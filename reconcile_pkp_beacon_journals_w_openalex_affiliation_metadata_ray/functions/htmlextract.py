@@ -1,0 +1,298 @@
+"""From-scratch HTML parsing + mention extraction.
+
+Reimplements, without bs4, the reference's landing-page extractor
+(`parse_landing_page_html.py`):
+
+- M11 meta-tag state machine (`:54-81`): iterate ``<meta>`` tags in
+  document order; a non-empty ``citation_author`` content starts a new
+  author; subsequent non-empty ``citation_author_institution`` contents
+  attach to the current author; the last open author is flushed at EOF;
+  the ``name`` attribute is compared case-insensitively; ``content`` is
+  stripped and empty content skipped.
+- M12 ``ul.authors`` DOM path (`:83-97`): the FIRST ``<ul>`` whose class
+  list contains ``authors``; its DIRECT ``<li>`` children only
+  (recursive=False); per item the first descendant ``span.name`` /
+  ``span.affiliation``; author required, affiliation defaults to ``""``;
+  text via get_text(strip=True) semantics (stripped strings joined with
+  no separator).
+- D2 merge (`:189-228`): key = (author.strip(), institution.strip());
+  meta rows first (an author with no institutions produces one row with
+  institution ""), then ul rows; sources accumulate as a set joined
+  ";"-sorted; a ul row OVERWRITES the stored original text even when the
+  key already exists ("ul original wins").
+
+Also defines the engine's frozen text-extraction spec (the
+byte-identical-per-url invariant target, BASELINE.json input_hint):
+pre-order traversal of the DOM, skipping ``script/style/noscript/
+template/head/title``, each text node whitespace-collapsed and
+non-empty nodes joined with a single ``\\n``. The reference never
+extracts full page text (its fetcher stores raw HTML,
+`retrieve_landing_pages.py:119-135`), so this spec — implemented once
+here and used by both the Ray stage and the single-threaded oracle —
+IS the invariant's definition.
+
+The DOM builder is a minimal, deterministic tree parser on stdlib
+``html.parser.HTMLParser``: void elements, ``li``/``p``/``tr``/``td``
+implied end tags, unmatched end tags ignored. It is not a full HTML5
+tree constructor; the fixture generator only emits constructs this
+parser and a browser agree on.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "meta br img link input hr area base col embed source track wbr param".split()
+)
+
+# tag -> set of open tags it implicitly closes (scanning up to a boundary)
+_IMPLIED_CLOSE = {
+    "li": ("li",),
+    "p": ("p",),
+    "tr": ("tr", "td", "th"),
+    "td": ("td", "th"),
+    "th": ("td", "th"),
+    "option": ("option",),
+}
+_CLOSE_BOUNDARY = frozenset("ul ol table body html div section article".split())
+
+_TEXT_SKIP = frozenset("script style noscript template head title".split())
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag, attrs=None, parent=None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children = []  # Node | str
+        self.parent = parent
+
+    def classes(self):
+        return self.attrs.get("class", "").split()
+
+    def iter_nodes(self):
+        """Pre-order traversal of element nodes (excluding self)."""
+        for child in self.children:
+            if isinstance(child, Node):
+                yield child
+                yield from child.iter_nodes()
+
+    def find(self, tag, cls=None):
+        """First descendant with tag (and class containing cls), like
+        bs4 ``find`` (recursive)."""
+        for node in self.iter_nodes():
+            if node.tag == tag and (cls is None or cls in node.classes()):
+                return node
+        return None
+
+    def find_direct(self, tag):
+        """Direct children with tag (bs4 find_all(recursive=False))."""
+        return [c for c in self.children if isinstance(c, Node) and c.tag == tag]
+
+    def get_text_stripped(self):
+        """bs4 get_text(strip=True) parity: all descendant strings,
+        stripped, empties dropped, joined with no separator."""
+        parts = []
+
+        def walk(node):
+            for child in node.children:
+                if isinstance(child, str):
+                    s = child.strip()
+                    if s:
+                        parts.append(s)
+                else:
+                    walk(child)
+
+        walk(self)
+        return "".join(parts)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]")
+        self.stack = [self.root]
+        self.meta_tags = []  # document-order <meta> nodes
+
+    def handle_starttag(self, tag, attrs):
+        attr_dict = {}
+        for k, v in attrs:
+            if k not in attr_dict:  # first occurrence wins
+                attr_dict[k] = v if v is not None else ""
+        if tag in VOID_ELEMENTS:
+            node = Node(tag, attr_dict, self.stack[-1])
+            self.stack[-1].children.append(node)
+            if tag == "meta":
+                self.meta_tags.append(node)
+            return
+        closes = _IMPLIED_CLOSE.get(tag)
+        if closes:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in _CLOSE_BOUNDARY:
+                    break
+                if t in closes:
+                    del self.stack[i:]
+                    break
+        node = Node(tag, attr_dict, self.stack[-1])
+        self.stack[-1].children.append(node)
+        self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_ELEMENTS:
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignored
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html) -> _TreeBuilder:
+    """Parse HTML (str or utf-8/replace-decoded bytes) into a DOM tree;
+    never raises on malformed input."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="ignore")
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        pass  # salvage whatever tree was built; record-level errors never fatal
+    return builder
+
+
+def extract_meta_pairs(builder: _TreeBuilder):
+    """M11: [(author, [institutions], 'meta')...] in document order, plus
+    tag-presence flags and the first citation_doi content."""
+    pairs = []
+    current_author = None
+    current_insts = []
+    has_author_tag = False
+    has_inst_tag = False
+    doi = ""
+    for tag in builder.meta_tags:
+        name = (tag.attrs.get("name") or "").lower()
+        content = tag.attrs.get("content")
+        if not content:
+            continue
+        content = content.strip()
+        if not content:
+            continue
+        if name == "citation_author":
+            has_author_tag = True
+            if current_author is not None:
+                pairs.append((current_author, list(current_insts), "meta"))
+            current_author = content
+            current_insts = []
+        elif name == "citation_author_institution":
+            has_inst_tag = True
+            if current_author is not None:
+                current_insts.append(content)
+        elif name == "citation_doi" and not doi:
+            doi = content
+    if current_author is not None:
+        pairs.append((current_author, list(current_insts), "meta"))
+    return pairs, has_author_tag, has_inst_tag, doi
+
+
+def extract_ul_pairs(builder: _TreeBuilder):
+    """M12: [(author, affiliation, 'ul.authors')...] from the first
+    ul.authors, direct li children only."""
+    out = []
+    authors_ul = builder.root.find("ul", cls="authors")
+    if authors_ul is None:
+        return out
+    for item in authors_ul.find_direct("li"):
+        name_tag = item.find("span", cls="name")
+        aff_tag = item.find("span", cls="affiliation")
+        author = name_tag.get_text_stripped() if name_tag else None
+        affiliation = aff_tag.get_text_stripped() if aff_tag else ""
+        if author:
+            out.append((author, affiliation, "ul.authors"))
+    return out
+
+
+def merge_mentions(meta_pairs, ul_pairs):
+    """D2 merge: returns [(author, institution, source)] in insertion
+    order, source = ';'.join(sorted(set)). 'ul original wins' on key
+    collision."""
+    combined = {}
+    for author, institutions, source in meta_pairs:
+        author_stripped = author.strip() if author else ""
+        if not institutions:
+            key = (author_stripped, "")
+            if key not in combined:
+                combined[key] = {"sources": set(), "original": [author, ""]}
+            combined[key]["sources"].add(source)
+        else:
+            for institution in institutions:
+                inst_stripped = institution.strip() if institution else ""
+                key = (author_stripped, inst_stripped)
+                if key not in combined:
+                    combined[key] = {"sources": set(), "original": [author, institution]}
+                combined[key]["sources"].add(source)
+    for author, institution, source in ul_pairs:
+        author_stripped = author.strip() if author else ""
+        inst_stripped = institution.strip() if institution else ""
+        key = (author_stripped, inst_stripped)
+        if key not in combined:
+            combined[key] = {"sources": set(), "original": [author, institution]}
+        combined[key]["sources"].add(source)
+        combined[key]["original"] = [author, institution]
+    rows = []
+    for data in combined.values():
+        original_author, original_institution = data["original"]
+        rows.append((original_author, original_institution, ";".join(sorted(data["sources"]))))
+    return rows
+
+
+def extract_text(builder: _TreeBuilder) -> str:
+    """Frozen text-extraction spec (the byte-identical invariant): each
+    text node outside script/style/noscript/template/head/title is
+    whitespace-collapsed; non-empty results joined with '\\n'."""
+    parts = []
+
+    def walk(node):
+        for child in node.children:
+            if isinstance(child, str):
+                s = " ".join(child.split())
+                if s:
+                    parts.append(s)
+            elif child.tag not in _TEXT_SKIP:
+                walk(child)
+
+    walk(builder.root)
+    return "\n".join(parts)
+
+
+def extract_page(html):
+    """Full per-page extraction: returns a dict with
+    ``mentions``: [(author, institution, source)], ``doi``, ``text``,
+    ``has_author_tag``, ``has_inst_tag``, ``has_ul_authors``.
+
+    This single function is the unit of determinism: the Ray stage maps
+    it over rows, the oracle calls it in a plain loop — outputs must be
+    identical at any parallelism (whole document always in one row)."""
+    builder = parse_html(html)
+    meta_pairs, has_author, has_inst, doi = extract_meta_pairs(builder)
+    ul_pairs = extract_ul_pairs(builder)
+    return {
+        "mentions": merge_mentions(meta_pairs, ul_pairs),
+        "doi": doi,
+        "text": extract_text(builder),
+        "has_author_tag": has_author,
+        "has_inst_tag": has_inst,
+        "has_ul_authors": bool(ul_pairs),
+    }

@@ -1,0 +1,129 @@
+"""MinHash signatures + LSH banding, SimHash, rolling-hash fingerprints.
+
+No analog exists in the reference (its only candidate generation is the
+hostname equality semi-join, `main.rs:216-260`); these are the scale
+path for name/text blocking and near-duplicate detection mandated by
+the north star. Vectorized with numpy: a batch of documents is hashed
+in one matmul-shaped pass, not per-row Python loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(token: str) -> int:
+    """Stable 64-bit hash of a token (blake2b, deterministic across runs,
+    unlike Python's salted hash())."""
+    return struct.unpack("<Q", hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest())[0]
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """num_perm-permutation MinHash over character-shingle (or token)
+    sets. Construct once per actor (holds the permutation parameters),
+    call per batch."""
+
+    def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 42):
+        self.num_perm = num_perm
+        self.shingle = shingle
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def shingles(self, text: str) -> list:
+        n = self.shingle
+        if len(text) <= n:
+            return [text] if text else []
+        return list({text[i : i + n] for i in range(len(text) - n + 1)})
+
+    def signature(self, text: str) -> np.ndarray:
+        """MinHash signature as uint64[num_perm]; empty text -> all MAX."""
+        sh = self.shingles(text)
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+        # (a*x + b) mod p for every (perm, shingle) pair, vectorized
+        prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % _MERSENNE
+        return prod.min(axis=1).astype(np.uint64)
+
+    def signatures(self, texts) -> np.ndarray:
+        """Batch of signatures, shape (len(texts), num_perm)."""
+        return np.vstack([self.signature(t) for t in texts])
+
+
+def band_keys(signature: np.ndarray, num_bands: int) -> list:
+    """Split a signature into num_bands bands and hash each band to a
+    string key 'b{i}:{hash}'. Equal band key => LSH candidate pair."""
+    rows = len(signature) // num_bands
+    keys = []
+    for i in range(num_bands):
+        band = signature[i * rows : (i + 1) * rows]
+        h = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+        keys.append(f"b{i}:{h}")
+    return keys
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """MinHash Jaccard estimate = fraction of agreeing components."""
+    return float(np.mean(sig_a == sig_b))
+
+
+def simhash64(text: str, shingle: int = 3) -> int:
+    """64-bit SimHash over character shingles."""
+    if not text:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    ones = np.arange(64, dtype=np.uint64)
+    seen = set()
+    n = shingle
+    grams = [text] if len(text) <= n else (text[i : i + n] for i in range(len(text) - n + 1))
+    for g in grams:
+        if g in seen:
+            continue
+        seen.add(g)
+        h = np.uint64(_hash64(g))
+        bits = ((h >> ones) & np.uint64(1)).astype(np.int64)
+        acc += 2 * bits - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprints(text: str, window: int = 16, mod_bits: int = 6) -> list:
+    """Winnowing-style document fingerprints: Rabin-Karp rolling hashes of
+    `window`-grams, keep hashes where hash % 2**mod_bits == 0 (a
+    deterministic sample). Returns sorted unique hex fingerprints."""
+    if len(text) < window:
+        return [hashlib.blake2b(text.encode("utf-8"), digest_size=8).hexdigest()] if text else []
+    base = 257
+    mod = (1 << 61) - 1
+    mask = (1 << mod_bits) - 1
+    h = 0
+    power = pow(base, window - 1, mod)
+    data = text.encode("utf-8", "replace")
+    out = set()
+    for i, byte in enumerate(data):
+        h = (h * base + byte) % mod
+        if i >= window:
+            h = (h - data[i - window] * power * base) % mod
+        if i >= window - 1 and (h & mask) == 0:
+            out.add(f"{h:016x}")
+    if not out:  # guarantee at least one fingerprint per document
+        out.add(hashlib.blake2b(data, digest_size=8).hexdigest())
+    return sorted(out)

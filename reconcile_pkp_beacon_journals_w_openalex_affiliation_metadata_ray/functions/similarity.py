@@ -1,0 +1,162 @@
+"""From-scratch string-similarity kernels.
+
+The reference scores pairs with rapidfuzz's ``fuzz.ratio``
+(`check...openalex.py:163,232`), which is *InDel* (insert/delete only,
+i.e. LCS-based) normalized similarity x100 — NOT plain Levenshtein.
+``indel_ratio`` here reproduces that definition exactly; it is the
+score used wherever the reference used ``fuzz.ratio``.
+
+Additional matchers required by the north star (BASELINE.json):
+Jaro-Winkler, token-set Jaccard, plain Levenshtein. All pure Python,
+but the InDel core uses Hyyrö's bit-parallel LCS so a pair of typical
+name-length strings costs a handful of big-int ops rather than an
+O(n*m) DP.
+"""
+
+from __future__ import annotations
+
+
+def lcs_length(a: str, b: str) -> int:
+    """Length of the longest common subsequence (bit-parallel, Hyyrö).
+
+    Runs in O(len(b) * ceil(len(a)/wordsize)) using Python big ints as
+    the bit vector, so it is effectively O(len(b)) for name-length
+    strings.
+    """
+    if not a or not b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    m = len(a)
+    mask = (1 << m) - 1
+    pm: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        pm[ch] = pm.get(ch, 0) | bit
+        bit <<= 1
+    v = mask
+    for ch in b:
+        p = pm.get(ch, 0)
+        u = v & p
+        v = ((v + u) | (v - u)) & mask
+    # zeros in v = LCS length
+    return m - bin(v).count("1")
+
+
+def indel_distance(a: str, b: str) -> int:
+    """Insert/delete-only edit distance = len(a)+len(b)-2*LCS(a,b)."""
+    return len(a) + len(b) - 2 * lcs_length(a, b)
+
+
+def indel_ratio(a: str, b: str) -> float:
+    """Normalized InDel similarity x100 — parity with rapidfuzz
+    ``fuzz.ratio``. Two empty strings score 100.0; empty vs non-empty
+    scores 0.0."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 100.0
+    return 100.0 * (1.0 - indel_distance(a, b) / total)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic Levenshtein distance (substitutions allowed), two-row DP."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def levenshtein_ratio(a: str, b: str) -> float:
+    """Normalized Levenshtein similarity x100: 1 - dist/max(len)."""
+    if not a and not b:
+        return 100.0
+    d = levenshtein(a, b)
+    return 100.0 * (1.0 - d / max(len(a), len(b)))
+
+
+def jaro(a: str, b: str) -> float:
+    """Jaro similarity in [0, 1]."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = True
+                match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[k]:
+                k += 1
+            if a[i] != b[k]:
+                transpositions += 1
+            k += 1
+    t = transpositions // 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1, max_prefix: int = 4) -> float:
+    """Jaro-Winkler similarity in [0, 1] (standard boost threshold 0.7)."""
+    j = jaro(a, b)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for ca, cb in zip(a, b):
+        if ca != cb or prefix >= max_prefix:
+            break
+        prefix += 1
+    return j + prefix * prefix_weight * (1.0 - j)
+
+
+def token_jaccard(a: str, b: str) -> float:
+    """Jaccard similarity of whitespace token sets, in [0, 1].
+    Two empty token sets score 1.0."""
+    sa, sb = set(a.split()), set(b.split())
+    if not sa and not sb:
+        return 1.0
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 1.0
+
+
+def ngram_set(text: str, n: int = 3) -> set:
+    """Character n-gram shingle set (no padding); short strings yield
+    the whole string as one shingle."""
+    if len(text) <= n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Jaccard similarity of character n-gram sets, in [0, 1]."""
+    sa, sb = ngram_set(a, n), ngram_set(b, n)
+    if not sa and not sb:
+        return 1.0
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 1.0
