@@ -1,0 +1,108 @@
+"""The flagship record-linkage pipeline (SURVEY.md §7.1):
+
+pages.parquet ──read_parquet──► EXTRACT (stateless map_batches, Arrow)
+──► records (page ∪ work sides) ──► BLOCK (key emit + hot-key refine +
+groupby pair-gen) ──► SCORE (actor pool, broadcast attrs) ──► CLUSTER
+(iterative min-label CC) ──► STATS.
+
+``run_reconcile`` returns the intermediate Datasets so callers (driver
+queries, tests, bench) can consume any stage; nothing here calls
+``ray.init``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..sources.fixtures import ensure_fixtures
+from ..stages import block, cluster, records, score
+from ..stages.extract import extract_pages, mentions_from_extracted
+
+
+def load_tables(sf_dir: str):
+    """Materialize fixture paths for a testdata tier dir."""
+    import ray.data as rd
+
+    fdir = ensure_fixtures(sf_dir)
+    pages = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    works = rd.read_parquet(os.path.join(fdir, "reference_works.parquet"))
+    return fdir, pages, works
+
+
+def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
+                  scorer_concurrency=None):
+    """Full pipeline over the tier's synthesized pages. Returns a dict
+    of stage outputs (lazy Datasets unless noted)."""
+    import ray
+
+    fdir, pages, works = load_tables(sf_dir)
+    extracted = extract_pages(pages)
+    recs = records.build_records(extracted, works).materialize()  # reused 3x, small (no html)
+    hot = block.find_hot_keys(recs, threshold=hot_threshold)
+    hot_ref = ray.put(hot)
+    pairs = block.candidate_pairs(recs, hot_keys_ref=hot_ref)
+    rec_ref = score.broadcast_records(recs)
+    scored = score.score_pairs(pairs, rec_ref, concurrency=scorer_concurrency)
+    scored = scored.materialize()  # consumed twice (edges + stats/eval)
+    edges = scored.map_batches(
+        lambda t: t.filter(t["is_match"]).select(["left_id", "right_id"]),
+        batch_format="pyarrow",
+    )
+    clusters = cluster.connected_components(edges, nodes_ds=recs)
+    return {
+        "fixture_dir": fdir,
+        "pages": pages,
+        "extracted": extracted,
+        "records": recs,
+        "hot_keys": hot,
+        "pairs": pairs,
+        "scored": scored,
+        "clusters": clusters,
+    }
+
+
+def pairwise_f1(clusters_ds, labeled_path: str) -> dict:
+    """Pairwise precision/recall/F1 of predicted same-cluster vs the
+    labeled pairs (the gate metric, BASELINE.json: F1 >= 0.99 at the
+    same blocking keys). The cluster map is collected driver-side —
+    it is one short row per record (the scale path replaces this with
+    two hash joins of labeled_pairs against clusters)."""
+    import pyarrow.parquet as pq
+
+    label = {}
+    for batch in clusters_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for rid, cid in zip(batch["record_id"].to_pylist(), batch["cluster_id"].to_pylist()):
+            label[rid] = cid
+    lp = pq.read_table(labeled_path)
+    tp = fp = fn = tn = 0
+    for left, right, is_match in zip(
+        lp["left_id"].to_pylist(), lp["right_id"].to_pylist(), lp["is_match"].to_pylist()
+    ):
+        cl, cr = label.get(left), label.get(right)
+        pred = cl is not None and cl == cr
+        if pred and is_match:
+            tp += 1
+        elif pred and not is_match:
+            fp += 1
+        elif not pred and is_match:
+            fn += 1
+        else:
+            tn += 1
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "tn": tn,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
+def run_mention_scoring(sf_dir: str, concurrency=None):
+    """The reference-parity chain: extract -> flat mentions -> 8-column
+    comparison vs authority works (per-DOI lookup) — the Ray-native
+    equivalent of scripts 6 -> 7 (`SURVEY.md §3.2`)."""
+    fdir, pages, works = load_tables(sf_dir)
+    extracted = extract_pages(pages)
+    mentions = mentions_from_extracted(extracted)
+    works_ref = score.broadcast_works_by_doi(works)
+    return fdir, score.score_mentions(mentions, works_ref, concurrency=concurrency)

@@ -1,0 +1,458 @@
+"""Deterministic synthesis of the linkage input tables.
+
+BASELINE.json's input_hint fixes the primary input: a Parquet table
+``pages(url, warc_ts, html, text, lang)`` of Common-Crawl-style web
+pages. No such table exists in /root/testdata, so it is synthesized
+here deterministically (fixed seed, no wall clock, no network) at a
+scale tied to each sf tier, together with the correlated side tables
+(FIXTURES.md F1-F4):
+
+- ``pages``            the primary input (OJS-style landing pages)
+- ``reference_works``  OpenAlex-style authority records with TRUE
+                       spellings (shape from `get-openalex...main.rs:69-84`)
+- ``base_urls``        blocking side table (`get_journal...py:74-76`)
+- ``oai_urls``         raw OAI endpoint rows the base-url pipeline reads
+- ``labeled_pairs``    ground truth for the pairwise-F1 >= 0.99 gate
+
+Corruption design (drives the F1 gate margins): page-side mentions are
+either (a) byte-exact, (b) "light" — case/diacritic/punct/whitespace
+variants that normalize_text() maps to the identical key, or (c) one
+character edit on names >= 12 chars (normalized InDel ratio >= 92).
+Planted hard negatives share a first name + host but differ by >= 3
+character edits in the surname (ratio <= 88) and carry different
+institutions, so a match threshold of 90 separates positives from
+negatives with margin on BOTH sides. Entities without a DOI on some of
+their pages force the fuzzy path; transitive A-B-C page chains force
+the clustering stage to infer A-C.
+
+Fixtures are cached under /tmp/graft_fixtures/{tier}/ with a VERSION
+stamp; bump _FIXTURE_VERSION whenever generation logic changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_FIXTURE_VERSION = "3"
+
+FIXTURE_ROOT = "/tmp/graft_fixtures"
+
+# entities (works) per tier; pages ~= entities * 1.85 + 15% noise
+TIER_ENTITIES = {"sf0.001": 40, "sf0.01": 800, "sf0.1": 30000}
+
+_FIRST = [
+    "María", "José", "Ana", "Luis", "Carmen", "Juan", "Lucía", "Pedro",
+    "Sofía", "Diego", "Elena", "Pablo", "Inés", "Andrés", "Björn", "Søren",
+    "Chloé", "François", "Müge", "Jürgen", "Agnieszka", "Paweł", "Nguyễn",
+    "Trần", "Siti", "Budi", "Putri", "Agus", "Ratna", "Dewi", "Kofi",
+    "Amara", "Yuki", "Haruto", "Wei", "Ling", "Ivan", "Olga", "Dmitri",
+    "Svetlana",
+]
+_LAST = [
+    "García", "Rodríguez", "Martínez", "Fernández", "López", "Santos",
+    "Pereira", "Oliveira", "Silva", "Souza", "Costa", "Almeida", "Müller",
+    "Schneider", "Dubois", "Lefèvre", "Kowalski", "Nowak", "Santoso",
+    "Wijaya", "Kusuma", "Hidayat", "Okafor", "Mensah", "Tanaka", "Sato",
+    "Zhang", "Wang", "Petrov", "Ivanova", "Johansson", "Andersen",
+    "Papadopoulos", "Rossi", "Bianchi", "Moreau", "Hansen", "Virtanen",
+    "Nakamura", "Kimura",
+]
+_INST_A = [
+    "Universidad de", "Universidade Federal de", "University of",
+    "Institut de Recherche de", "Universitas", "Instituto Nacional de",
+    "Politécnico de", "Academia de Ciencias de", "Center for Advanced Study of",
+    "Laboratório de",
+]
+_INST_B = [
+    "Chile", "São Paulo", "Antioquia", "Yogyakarta", "Cataluña", "Lisboa",
+    "Guadalajara", "Heidelberg", "Kraków", "Bandung", "Nairobi", "Kyoto",
+    "Montevideo", "La Plata", "Tromsø", "Gdańsk", "Córdoba", "Valparaíso",
+    "Recife", "Medellín",
+]
+
+_LANGS = ["en", "es", "pt", "id"]
+_LANG_P = [0.45, 0.25, 0.2, 0.1]
+
+# OJS host pool shapes; a couple of mega-publishers own a large share
+# of journals to exercise hot-key salting (SURVEY.md §4 skew row).
+_TLDS = ["edu", "org", "ac.id", "edu.br", "cl", "edu.co", "org.pe", "ac.uk"]
+
+
+def _hosts(rng, n_hosts):
+    hosts = []
+    for i in range(n_hosts):
+        tld = _TLDS[i % len(_TLDS)]
+        hosts.append(f"journals{i}.univ{i % 97}.{tld}")
+    return hosts
+
+
+def _light_variant(rng, text):
+    """Variant that normalize_text() maps to the same key."""
+    mode = rng.randint(4)
+    if mode == 0:
+        return text.upper()
+    if mode == 1:
+        return text.lower()
+    if mode == 2:
+        return "  " + text.replace(" ", "  ") + " "
+    # strip diacritics crudely by NFKD-folding via our own normalizer input
+    from ..functions.textnorm import ascii_fold
+
+    return ascii_fold(text)
+
+
+def _edit_variant(rng, text):
+    """One-character edit (delete) away; only for len >= 12."""
+    if len(text) < 12:
+        return text
+    pos = 1 + rng.randint(len(text) - 2)
+    return text[:pos] + text[pos + 1 :]
+
+
+def _corrupt(rng, text):
+    r = rng.rand()
+    if r < 0.55:
+        return text
+    if r < 0.90:
+        return _light_variant(rng, text)
+    return _edit_variant(rng, text)
+
+
+def _page_html(rng, template, doi, authors_insts, lang, noise_tag=False):
+    """Assemble an OJS-like landing page. template in
+    {'meta','ul','both'}; authors_insts = [(author, [insts])]."""
+    head = ["<html><head><title>Article view</title>"]
+    body = ["<body>"]
+    if doi:
+        head.append(f'<meta name="citation_doi" content="{doi}">')
+    head.append(f'<meta name="citation_language" content="{lang}">')
+    if noise_tag:
+        # institution tag before any author tag: dropped by M11
+        head.append('<meta name="citation_author_institution" content="Orphan Institute">')
+    if template in ("meta", "both"):
+        for author, insts in authors_insts:
+            nm = "Citation_Author" if rng.rand() < 0.15 else "citation_author"
+            head.append(f'<meta name="{nm}" content="{author}">')
+            for inst in insts:
+                head.append(f'<meta name="citation_author_institution" content="{inst}">')
+        if rng.rand() < 0.1:
+            head.append('<meta name="citation_author" content="   ">')  # empty content skipped
+    if template in ("ul", "both"):
+        body.append('<ul class="authors">')
+        for author, insts in authors_insts:
+            aff = f'<span class="affiliation">{insts[0]}</span>' if insts else ""
+            body.append(f'<li><span class="name">{author}</span>{aff}</li>')
+        body.append("</ul>")
+    body.append(f"<h1>Research article {rng.randint(10000)}</h1>")
+    body.append(f"<p>Abstract text segment {rng.randint(10**6)} about topic {rng.randint(500)}.</p>")
+    body.append("<script>var ignored = 1;</script>")
+    body.append("</body></html>")
+    head.append("</head>")
+    return "".join(head) + "".join(body)
+
+
+def _person(rng):
+    return f"{_FIRST[rng.randint(len(_FIRST))]} {_LAST[rng.randint(len(_LAST))]}"
+
+
+def _institution(rng):
+    return f"{_INST_A[rng.randint(len(_INST_A))]} {_INST_B[rng.randint(len(_INST_B))]}"
+
+
+def generate(tier: str, out_dir: str) -> None:
+    """Generate all fixture tables for a tier into out_dir."""
+    n_entities = TIER_ENTITIES[tier]
+    rng = np.random.RandomState(42)
+
+    n_hosts = max(8, n_entities // 25)
+    hosts = _hosts(rng, n_hosts)
+    # journal -> host assignment; first 2 hosts are mega-publishers
+    n_journals = max(4, n_entities // 8)
+    journal_host = []
+    for j in range(n_journals):
+        r = rng.rand()
+        if r < 0.22:
+            journal_host.append(hosts[0])
+        elif r < 0.40:
+            journal_host.append(hosts[1])
+        else:
+            journal_host.append(hosts[2 + rng.randint(n_hosts - 2)])
+    journal_scheme = ["https" if rng.rand() < 0.8 else "http" for _ in range(n_journals)]
+    journal_name = [f"rev{j}" for j in range(n_journals)]
+
+    # ---- entities (works) ----
+    entities = []
+    for e in range(n_entities):
+        j = rng.randint(n_journals)
+        n_auth = 1 + rng.randint(4)
+        authors = []
+        for _ in range(n_auth):
+            name = _person(rng)
+            n_inst = rng.randint(3)  # 0..2
+            insts = [_institution(rng) for _ in range(n_inst)]
+            authors.append((name, insts))
+        has_doi = rng.rand() < 0.9
+        doi = f"10.{4000 + j % 800}/{journal_name[j]}.v{e}" if has_doi else ""
+        entities.append({"eid": e, "journal": j, "doi": doi, "authors": authors})
+
+    # hard negatives: for ~10% of entities plant a sibling entity on the
+    # SAME journal whose first author shares the first name but has a
+    # surname >= 3 edits away and different institutions.
+    n_base = len(entities)
+    for e in range(0, n_base, 10):
+        ent = entities[e]
+        j = ent["journal"]
+        first = ent["authors"][0][0].split(" ")[0]
+        other_last = _LAST[(e * 7 + 3) % len(_LAST)]
+        # ensure a genuinely different surname
+        if other_last == ent["authors"][0][0].split(" ", 1)[1]:
+            other_last = _LAST[(e * 7 + 13) % len(_LAST)]
+        sib_authors = [(f"{first} {other_last}", [_institution(rng)])]
+        eid = len(entities)
+        entities.append(
+            {"eid": eid, "journal": j,
+             "doi": f"10.{4000 + j % 800}/{journal_name[j]}.v{eid}" if rng.rand() < 0.9 else "",
+             "authors": sib_authors, "sibling_of": e}
+        )
+
+    # ---- reference_works (authority, true spellings) ----
+    rw_rows = {"work_id": [], "doi": [], "landing_host": [], "landing_page_url": [],
+               "authorships": []}
+    for ent in entities:
+        j = ent["journal"]
+        url = f"{journal_scheme[j]}://{journal_host[j]}/index.php/{journal_name[j]}/article/view/{ent['eid']}"
+        rw_rows["work_id"].append(f"W{100000 + ent['eid']}")
+        rw_rows["doi"].append(ent["doi"])
+        rw_rows["landing_host"].append(journal_host[j])
+        rw_rows["landing_page_url"].append(url)
+        rw_rows["authorships"].append(
+            [{"raw_author_name": a, "raw_affiliation_strings": list(insts)} for a, insts in ent["authors"]]
+        )
+
+    # ---- pages ----
+    pages = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    page_entity = []  # parallel truth: entity id or -1 (noise)
+    templates = ["meta", "ul", "both"]
+    base_ts = 1577836800_000_000  # 2020-01-01 in epoch micros
+
+    for ent in entities:
+        j = ent["journal"]
+        k = rng.choice([1, 2, 3], p=[0.35, 0.45, 0.20])
+        # page 0 on the journal host; later pages may sit on a mirror host
+        for p in range(k):
+            host = journal_host[j] if (p == 0 or rng.rand() < 0.5) else hosts[(j + 3) % n_hosts]
+            scheme = journal_scheme[j]
+            url = f"{scheme}://{host}/index.php/{journal_name[j]}/article/view/{ent['eid']}" + (
+                f"/version/{p}" if p else "")
+            corrupted = []
+            for a, insts in ent["authors"]:
+                ca = _corrupt(rng, a)
+                cinsts = [_corrupt(rng, i) for i in insts]
+                corrupted.append((ca, cinsts))
+            include_doi = bool(ent["doi"]) and rng.rand() < 0.8
+            template = templates[rng.randint(3)]
+            lang = _LANGS[int(rng.choice(len(_LANGS), p=_LANG_P))]
+            html = _page_html(rng, template, ent["doi"] if include_doi else "",
+                              corrupted, lang, noise_tag=rng.rand() < 0.05)
+            pages["url"].append(url)
+            pages["warc_ts"].append(base_ts + len(pages["url"]) * 61_000_000 + rng.randint(1000))
+            pages["html"].append(html.encode("utf-8"))
+            pages["text"].append("")
+            pages["lang"].append(lang)
+            page_entity.append(ent["eid"])
+
+    # noise pages: no metadata at all / malformed
+    n_noise = max(4, int(0.15 * len(page_entity)))
+    for z in range(n_noise):
+        host = hosts[rng.randint(n_hosts)]
+        url = f"https://{host}/index.php/misc/issue/view/{z}"
+        if rng.rand() < 0.3:
+            html = f"<html><body><p>Announcement {z}</p>"  # truncated
+        else:
+            html = f"<html><head><title>Issue {z}</title></head><body><div>Table of contents {z}</div></body></html>"
+        pages["url"].append(url)
+        pages["warc_ts"].append(base_ts + len(pages["url"]) * 61_000_000 + rng.randint(1000))
+        pages["html"].append(html.encode("utf-8"))
+        pages["text"].append("")
+        pages["lang"].append("en")
+        page_entity.append(-1)
+
+    # ---- oai_urls + base_urls ----
+    oai_rows = []
+    for j in range(n_journals):
+        base = f"{journal_scheme[j]}://{journal_host[j]}"
+        suffix = ["/index.php/index/oai", "/journal/index.php/index/oai", "/oai"][rng.randint(3)]
+        oai_rows.append(base + suffix)
+        if rng.rand() < 0.3:
+            oai_rows.append(base + suffix)  # duplicate -> dedup target
+    oai_rows.append("")  # blank row skipped
+    oai_rows.append("https://decoy.example.net/no-suffix-endpoint")
+
+    from ..functions.urlkeys import strip_oai_suffix, url_key
+
+    base_set = set()
+    for u in oai_rows:
+        if u and u.strip():
+            b = strip_oai_suffix(u.strip())
+            if b:
+                base_set.add(b)
+    base_urls = sorted(base_set)
+    bu_rows = {"base_url": [], "scheme": [], "host": [], "port": []}
+    for b in base_urls:
+        key = url_key(b)
+        bu_rows["base_url"].append(b)
+        bu_rows["scheme"].append(key[0] if key else "")
+        bu_rows["host"].append(key[1] if key else "")
+        bu_rows["port"].append(key[2] if key else 0)
+
+    # ---- labeled_pairs ----
+    # records: pages (p:url) and works (w:Wid). Positives: all
+    # page-page / page-work pairs of the same entity. Negatives:
+    # sibling hard negatives + sampled same-journal pairs.
+    ent_pages: dict[int, list[int]] = {}
+    for idx, eid in enumerate(page_entity):
+        if eid >= 0:
+            ent_pages.setdefault(eid, []).append(idx)
+
+    lp = {"left_id": [], "right_id": [], "block_key": [], "is_match": []}
+
+    def _add_pair(lid, rid, key, match):
+        if lid > rid:
+            lid, rid = rid, lid
+        lp["left_id"].append(lid)
+        lp["right_id"].append(rid)
+        lp["block_key"].append(key)
+        lp["is_match"].append(match)
+
+    for ent in entities:
+        eid = ent["eid"]
+        pidx = ent_pages.get(eid, [])
+        wid = "w:" + f"W{100000 + eid}"
+        j = ent["journal"]
+        hostkey = f"host:{journal_scheme[j]}://{journal_host[j]}:{443 if journal_scheme[j]=='https' else 80}"
+        for a_i, a in enumerate(pidx):
+            _add_pair("p:" + pages["url"][a], wid, hostkey, True)
+            for b in pidx[a_i + 1 :]:
+                _add_pair("p:" + pages["url"][a], "p:" + pages["url"][b],
+                          hostkey if a_i == 0 else "transitive", True)
+        # hard negative vs sibling
+        sib = ent.get("sibling_of")
+        if sib is not None:
+            for a in pidx:
+                _add_pair("p:" + pages["url"][a], f"w:W{100000 + sib}", hostkey, False)
+            _add_pair(wid, f"w:W{100000 + sib}", hostkey, False)
+            for b in ent_pages.get(sib, [])[:2]:
+                for a in pidx:
+                    _add_pair("p:" + pages["url"][a], "p:" + pages["url"][b], hostkey, False)
+    # sampled same-journal negatives
+    by_journal: dict[int, list] = {}
+    for ent in entities:
+        by_journal.setdefault(ent["journal"], []).append(ent)
+    for j, ents in sorted(by_journal.items()):
+        if len(ents) < 2:
+            continue
+        for _ in range(min(len(ents), 20)):
+            e1, e2 = rng.choice(len(ents), 2, replace=False)
+            a_ent, b_ent = ents[int(e1)], ents[int(e2)]
+            if a_ent.get("sibling_of") == b_ent["eid"] or b_ent.get("sibling_of") == a_ent["eid"]:
+                continue
+            pga, pgb = ent_pages.get(a_ent["eid"], []), ent_pages.get(b_ent["eid"], [])
+            if pga and pgb:
+                hostkey = f"host:{journal_scheme[j]}://{journal_host[j]}:{443 if journal_scheme[j]=='https' else 80}"
+                _add_pair("p:" + pages["url"][pga[0]], "p:" + pages["url"][pgb[0]], hostkey, False)
+
+    # dedup labeled pairs (a pair may be added through several paths;
+    # is_match is consistent per pair by construction)
+    seen = {}
+    for i in range(len(lp["left_id"])):
+        seen[(lp["left_id"][i], lp["right_id"][i])] = i
+    keep = sorted(seen.values())
+    lp = {k: [v[i] for i in keep] for k, v in lp.items()}
+
+    # ---- write ----
+    os.makedirs(out_dir, exist_ok=True)
+    pages_tbl = pa.table(
+        {
+            "url": pa.array(pages["url"], pa.string()),
+            "warc_ts": pa.array(pages["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(pages["html"], pa.binary()),
+            "text": pa.array(pages["text"], pa.string()),
+            "lang": pa.array(pages["lang"], pa.string()),
+        }
+    )
+    pq.write_table(pages_tbl, os.path.join(out_dir, "pages.parquet"))
+
+    auth_type = pa.list_(
+        pa.struct(
+            [("raw_author_name", pa.string()), ("raw_affiliation_strings", pa.list_(pa.string()))]
+        )
+    )
+    rw_tbl = pa.table(
+        {
+            "work_id": pa.array(rw_rows["work_id"], pa.string()),
+            "doi": pa.array(rw_rows["doi"], pa.string()),
+            "landing_host": pa.array(rw_rows["landing_host"], pa.string()),
+            "landing_page_url": pa.array(rw_rows["landing_page_url"], pa.string()),
+            "authorships": pa.array(rw_rows["authorships"], auth_type),
+        }
+    )
+    pq.write_table(rw_tbl, os.path.join(out_dir, "reference_works.parquet"))
+
+    pq.write_table(
+        pa.table({"oai_url": pa.array(oai_rows, pa.string())}),
+        os.path.join(out_dir, "oai_urls.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "base_url": pa.array(bu_rows["base_url"], pa.string()),
+                "scheme": pa.array(bu_rows["scheme"], pa.string()),
+                "host": pa.array(bu_rows["host"], pa.string()),
+                "port": pa.array(bu_rows["port"], pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "base_urls.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "left_id": pa.array(lp["left_id"], pa.string()),
+                "right_id": pa.array(lp["right_id"], pa.string()),
+                "block_key": pa.array(lp["block_key"], pa.string()),
+                "is_match": pa.array(lp["is_match"], pa.bool_()),
+            }
+        ),
+        os.path.join(out_dir, "labeled_pairs.parquet"),
+    )
+    with open(os.path.join(out_dir, "VERSION"), "w") as f:
+        f.write(_FIXTURE_VERSION)
+
+
+def ensure_fixtures(sf_dir: str) -> str:
+    """Idempotently materialize the fixture tables for the tier implied
+    by sf_dir (basename, e.g. 'sf0.01'); returns the fixture dir.
+    Cached across processes via the VERSION stamp."""
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    if tier not in TIER_ENTITIES:
+        tier = "sf0.01"
+    out_dir = os.path.join(FIXTURE_ROOT, tier)
+    version_file = os.path.join(out_dir, "VERSION")
+    if os.path.exists(version_file):
+        with open(version_file) as f:
+            if f.read().strip() == _FIXTURE_VERSION:
+                return out_dir
+        shutil.rmtree(out_dir, ignore_errors=True)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    generate(tier, tmp)
+    # atomic-ish publish; a concurrent process may have won the race
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir

@@ -1,0 +1,296 @@
+"""Stage 3 — SCORE: candidate pairs -> scored pairs; plus the
+reference-parity mention scorer.
+
+Two scorers:
+
+1. :class:`PairScorer` — record-vs-record scoring for the linkage
+   pipeline. Actor-pool ``map_batches`` stage (T5 pattern): actor state
+   holds the broadcast record-attribute lookup (``ray.put`` once on the
+   driver, ``ray.get`` once per actor in ``__init__`` — never
+   re-shipped per batch). Semantics generalize the reference's
+   per-mention comparison (J2 argmax-with-early-exit,
+   `check...openalex.py:153-170`; J3 institution membership,
+   `:203-237`) to record pairs:
+   - equal non-empty DOIs  -> match (score 100);
+   - different non-empty DOIs -> non-match (score 0);
+   - else fuzzy: per-author best InDel ratio (both directions,
+     averaged over the smaller side), institution max-ratio with the
+     reference's empty-semantics, combined = 0.75*author + 0.25*inst
+     when either side has institutions. Match iff combined >= 90.
+
+   NOTE ON SCALE: the broadcast lookup is the small-side path (same
+   trade the reference's Rust filter makes with its Arc'd base-URL
+   list, `main.rs:597-603`). When the record table itself is huge the
+   pipeline instead co-partitions pairs and records by bucketed id
+   (ops.relational.bucket_join) — same scoring kernel either way.
+
+2. :func:`score_mentions` — byte-level parity with the reference's
+   comparison stage output columns (`check...openalex.py:285-289`):
+   flat mentions joined to authority works by DOI, per-mention
+   argmax over authorships, 8 added columns with identical names,
+   rounding (`:254-259`) and empty-institution edge semantics
+   (`:215-228`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.similarity import indel_ratio, jaro_winkler, token_jaccard
+from ..functions.textnorm import normalize_text
+
+MATCH_THRESHOLD = 90.0
+AUTHOR_WEIGHT = 0.75
+INST_WEIGHT = 0.25
+
+SCORED_PAIR_SCHEMA = pa.schema(
+    [
+        ("left_id", pa.string()),
+        ("right_id", pa.string()),
+        ("block_key", pa.string()),
+        ("author_score", pa.float64()),
+        ("inst_score", pa.float64()),
+        ("jw_score", pa.float64()),
+        ("jaccard_score", pa.float64()),
+        ("combined_score", pa.float64()),
+        ("doi_equal", pa.bool_()),
+        ("doi_conflict", pa.bool_()),
+        ("is_match", pa.bool_()),
+    ]
+)
+
+
+def _best_author_score(a_norm: list, b_norm: list) -> float:
+    """Average over the smaller side of best InDel ratio vs the other
+    side (argmax with early exit at 100.0, O4 semantics)."""
+    if not a_norm or not b_norm:
+        return 0.0
+    small, large = (a_norm, b_norm) if len(a_norm) <= len(b_norm) else (b_norm, a_norm)
+    total = 0.0
+    for name in small:
+        best = 0.0
+        for other in large:
+            score = indel_ratio(name, other)
+            if score > best:
+                best = score
+                if best == 100.0:
+                    break
+        total += best
+    return total / len(small)
+
+
+def _inst_score(a_norm: list, b_norm: list) -> float:
+    """Reference empty-institution semantics (`check...openalex.py:215-228`)
+    lifted to record level: both empty -> 100, one empty -> 0, else max
+    pairwise ratio."""
+    if not a_norm and not b_norm:
+        return 100.0
+    if not a_norm or not b_norm:
+        return 0.0
+    best = 0.0
+    for x in a_norm:
+        for y in b_norm:
+            s = indel_ratio(x, y)
+            if s > best:
+                best = s
+                if best == 100.0:
+                    return best
+    return best
+
+
+def score_pair(left: dict, right: dict) -> dict:
+    """Score one candidate pair of record dicts (keys: doi_norm,
+    authors_norm, insts_norm, name_blob)."""
+    doi_l, doi_r = left["doi_norm"], right["doi_norm"]
+    doi_equal = bool(doi_l) and doi_l == doi_r
+    doi_conflict = bool(doi_l) and bool(doi_r) and doi_l != doi_r
+    author = _best_author_score(left["authors_norm"], right["authors_norm"])
+    inst = _inst_score(left["insts_norm"], right["insts_norm"])
+    jw = jaro_winkler(left["name_blob"], right["name_blob"]) * 100.0
+    jac = token_jaccard(left["name_blob"], right["name_blob"]) * 100.0
+    if doi_equal:
+        combined, is_match = 100.0, True
+    elif doi_conflict:
+        combined, is_match = 0.0, False
+    else:
+        if left["insts_norm"] or right["insts_norm"]:
+            combined = AUTHOR_WEIGHT * author + INST_WEIGHT * inst
+        else:
+            combined = author
+        is_match = combined >= MATCH_THRESHOLD
+    return {
+        "author_score": round(author, 2),
+        "inst_score": round(inst, 2),
+        "jw_score": round(jw, 2),
+        "jaccard_score": round(jac, 2),
+        "combined_score": round(combined, 2),
+        "doi_equal": doi_equal,
+        "doi_conflict": doi_conflict,
+        "is_match": is_match,
+    }
+
+
+class PairScorer:
+    """Actor-pool batch scorer; state = broadcast record lookup."""
+
+    def __init__(self, records_ref):
+        import ray
+
+        self.records = ray.get(records_ref)  # dict record_id -> attr dict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lefts = batch["left_id"].to_pylist()
+        rights = batch["right_id"].to_pylist()
+        blocks = batch["block_key"].to_pylist()
+        out = {name: [] for name in SCORED_PAIR_SCHEMA.names}
+        for lid, rid, bk in zip(lefts, rights, blocks):
+            left, right = self.records.get(lid), self.records.get(rid)
+            if left is None or right is None:
+                continue
+            s = score_pair(left, right)
+            out["left_id"].append(lid)
+            out["right_id"].append(rid)
+            out["block_key"].append(bk)
+            for k, v in s.items():
+                out[k].append(v)
+        return pa.Table.from_pydict(out, schema=SCORED_PAIR_SCHEMA)
+
+
+def broadcast_records(records_ds):
+    """Collect record attributes into a broadcast dict (small-side path;
+    one ray.put, read by every scorer actor)."""
+    import ray
+
+    lookup = {}
+    for batch in records_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for row in batch.select(
+            ["record_id", "doi_norm", "authors_norm", "insts_norm", "name_blob"]
+        ).to_pylist():
+            lookup[row.pop("record_id")] = row
+    return ray.put(lookup)
+
+
+def score_pairs(pairs_ds, records_ref, concurrency=4, batch_size=2048):
+    return pairs_ds.map_batches(
+        PairScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        fn_constructor_kwargs={"records_ref": records_ref},
+        concurrency=concurrency or 4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity mention scorer (the 8 comparison columns)
+# ---------------------------------------------------------------------------
+
+ADDED_COLUMNS = [
+    "exact_author_match", "normalized_author_match", "author_similarity_score",
+    "exact_institution_match", "normalized_institution_match",
+    "institution_similarity_score", "openalex_matched_author_name",
+    "openalex_matched_institution_strings",
+]
+
+
+class MentionScorer:
+    """Parity port of `check...openalex.py:123-269` as an actor-pool
+    stage. State: broadcast dict doi -> authorships list (the local
+    stand-in for the per-DOI API lookup, J2/S7)."""
+
+    def __init__(self, works_by_doi_ref):
+        import ray
+
+        self.works_by_doi = ray.get(works_by_doi_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rec in batch.to_dict("records"):
+            doi = (rec.get("doi") or "").strip()
+            # the reference skips rows whose DOI doesn't start '10.'
+            # (`check...openalex.py:67-69`); mirrored as a status skip
+            if not doi.startswith("10."):
+                continue
+            authorships = self.works_by_doi.get(doi.lower(), [])
+            author_raw = rec.get("author", "") or ""
+            inst_raw = rec.get("institution", "") or ""
+            author_norm = normalize_text(author_raw)
+            inst_norm = normalize_text(inst_raw)
+
+            best_score, best_idx = -1.0, -1
+            if author_norm and authorships:
+                for idx, auth in enumerate(authorships):
+                    api_name = auth.get("raw_author_name") or ""
+                    cur = indel_ratio(author_norm, normalize_text(api_name))
+                    if cur > best_score:
+                        best_score, best_idx = cur, idx
+                        if best_score == 100.0:
+                            break
+
+            exact_author = norm_author = False
+            author_sim = 0.0
+            exact_inst = norm_inst = False
+            inst_sim = 0.0
+            matched_name = ""
+            matched_insts = ""
+            if best_idx != -1:
+                best = authorships[best_idx]
+                api_name = best.get("raw_author_name") or ""
+                matched_name = api_name
+                author_sim = best_score
+                exact_author = author_raw == api_name
+                norm_author = author_norm == normalize_text(api_name)
+                raw_affs = best.get("raw_affiliation_strings") or []
+                matched_insts = "; ".join(raw_affs)
+                norm_affs = [normalize_text(a) for a in raw_affs if a]
+                norm_affs = [a for a in norm_affs if a]
+                if not inst_raw:
+                    exact_inst = not bool(raw_affs)
+                elif raw_affs:
+                    exact_inst = any(inst_raw.lower() == a.lower() for a in raw_affs)
+                if not inst_norm:
+                    norm_inst = not bool(norm_affs)
+                elif norm_affs:
+                    norm_inst = inst_norm in norm_affs
+                if not inst_norm:
+                    inst_sim = 100.0 if not norm_affs else 0.0
+                elif norm_affs:
+                    inst_sim = max(indel_ratio(inst_norm, a) for a in norm_affs)
+            rec_out = dict(rec)
+            rec_out["exact_author_match"] = exact_author
+            rec_out["normalized_author_match"] = norm_author
+            rec_out["author_similarity_score"] = round(author_sim if best_idx != -1 else 0.0, 2)
+            rec_out["exact_institution_match"] = exact_inst
+            rec_out["normalized_institution_match"] = norm_inst
+            rec_out["institution_similarity_score"] = round(inst_sim, 2)
+            rec_out["openalex_matched_author_name"] = matched_name
+            rec_out["openalex_matched_institution_strings"] = matched_insts
+            rows.append(rec_out)
+        cols = list(batch.columns) + ADDED_COLUMNS
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        return pd.DataFrame(rows, columns=cols)
+
+
+def broadcast_works_by_doi(works_ds):
+    """doi(lower) -> authorships list, broadcast once."""
+    import ray
+
+    lookup = {}
+    for batch in works_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for row in batch.select(["doi", "authorships"]).to_pylist():
+            doi = (row["doi"] or "").strip().lower()
+            if doi:
+                lookup[doi] = row["authorships"] or []
+    return ray.put(lookup)
+
+
+def score_mentions(mentions_ds, works_by_doi_ref, concurrency=4, batch_size=1024):
+    return mentions_ds.map_batches(
+        MentionScorer,
+        batch_format="pandas",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"works_by_doi_ref": works_by_doi_ref},
+        concurrency=concurrency or 4,
+    )

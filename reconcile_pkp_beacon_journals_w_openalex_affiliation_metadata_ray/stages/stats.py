@@ -1,0 +1,175 @@
+"""Stage 5 — STATS: global + per-entity aggregate statistics.
+
+Parity with the reference's `get_stats.py`:
+- overall (A1/A2, `get_stats.py:39-149`): 13 derived counters with the
+  same names (..._count / ..._pct), and mean/median/min/max/stdev of the
+  two score columns.
+- per-DOI (A3, `get_stats.py:152-264`): the 23-column wide rows with
+  identical column names.
+
+Scale design: counters and moments are PRE-AGGREGATED inside
+``map_batches`` (one partial row per batch) and reduced with a tiny
+``aggregate`` — no all-row shuffle. The exact median exploits the
+reference's own 2-decimal rounding (`check...openalex.py:254-259`):
+scores live on a <=10001-point grid, so a (value -> count) groupby is
+bounded and the exact median falls out of a driver-side cumsum over at
+most 10001 rows. stdev matches ``statistics.stdev`` (sample, ddof=1).
+Per-DOI stats are a ``groupby(doi).map_groups`` — groups are per-entity
+and small by construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_COUNTER_DEFS = [
+    # name, fn(df) -> bool mask
+    ("exact_author_match", lambda d: d["exact_author_match"]),
+    ("normalized_author_match", lambda d: d["normalized_author_match"]),
+    ("exact_institution_match", lambda d: d["exact_institution_match"]),
+    ("normalized_institution_match", lambda d: d["normalized_institution_match"]),
+    ("exact_both_match", lambda d: d["exact_author_match"] & d["exact_institution_match"]),
+    ("normalized_both_match", lambda d: d["normalized_author_match"] & d["normalized_institution_match"]),
+    ("norm_author_not_exact", lambda d: d["normalized_author_match"] & ~d["exact_author_match"]),
+    ("norm_inst_not_exact", lambda d: d["normalized_institution_match"] & ~d["exact_institution_match"]),
+    ("high_author_score_no_norm_match", lambda d: (d["author_similarity_score"] > 90.0) & ~d["normalized_author_match"]),
+    ("high_inst_score_no_norm_match", lambda d: (d["institution_similarity_score"] > 90.0) & ~d["normalized_institution_match"]),
+    ("norm_author_match_no_norm_inst", lambda d: d["normalized_author_match"] & ~d["normalized_institution_match"]),
+    ("perfect_author_score", lambda d: d["author_similarity_score"] == 100.0),
+    ("perfect_inst_score", lambda d: d["institution_similarity_score"] == 100.0),
+]
+
+
+def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """One partial-aggregate row per batch (combiner; SURVEY.md §4)."""
+    d = batch
+    row = {"total_rows": len(d)}
+    for name, fn in _COUNTER_DEFS:
+        row[name] = int(fn(d).sum())
+    for prefix, col in (("author_score", "author_similarity_score"),
+                        ("inst_score", "institution_similarity_score")):
+        s = d[col].astype(float)
+        row[f"{prefix}_sum"] = float(s.sum())
+        row[f"{prefix}_sumsq"] = float((s * s).sum())
+        row[f"{prefix}_min"] = float(s.min()) if len(s) else math.inf
+        row[f"{prefix}_max"] = float(s.max()) if len(s) else -math.inf
+    return pd.DataFrame([row])
+
+
+def _value_counts(batch: pd.DataFrame) -> pd.DataFrame:
+    frames = []
+    for col in ("author_similarity_score", "institution_similarity_score"):
+        vc = batch[col].astype(float).value_counts()
+        frames.append(pd.DataFrame({"col": col, "value": vc.index, "n": vc.values}))
+    return pd.concat(frames, ignore_index=True)
+
+
+def _median_from_counts(counts: pd.DataFrame, total: int) -> float:
+    """Exact median (statistics.median semantics) from (value, n) rows."""
+    counts = counts.sort_values("value")
+    values = counts["value"].to_numpy()
+    cum = counts["n"].to_numpy().cumsum()
+    if total == 0:
+        return 0.0
+    if total % 2 == 1:
+        k = total // 2  # 0-based middle
+        return float(values[np.searchsorted(cum, k + 1)])
+    k1, k2 = total // 2 - 1, total // 2
+    lo = float(values[np.searchsorted(cum, k1 + 1)])
+    hi = float(values[np.searchsorted(cum, k2 + 1)])
+    return (lo + hi) / 2.0
+
+
+def overall_stats(scored_ds) -> dict:
+    """Global statistics dict with the reference's key names
+    (`get_stats.py:119-141`)."""
+    partials = scored_ds.map_batches(_partials, batch_format="pandas").to_pandas()
+    total = int(partials["total_rows"].sum())
+    out = {"total_rows": total, "valid_rows": total, "skipped_rows": 0}
+    for name, _ in _COUNTER_DEFS:
+        c = int(partials[name].sum())
+        out[f"{name}_count"] = c
+        out[f"{name}_pct"] = (c / total) * 100 if total else 0.0
+
+    vc = (
+        scored_ds.map_batches(_value_counts, batch_format="pandas")
+        .groupby(["col", "value"])
+        .sum("n")
+        .to_pandas()
+    )
+    n_col = "sum(n)" if "sum(n)" in vc.columns else "n"
+    for prefix in ("author_score", "inst_score"):
+        col = "author_similarity_score" if prefix == "author_score" else "institution_similarity_score"
+        if total == 0:
+            for stat in ("mean", "median", "min", "max", "stdev"):
+                out[f"{prefix}_{stat}"] = None
+            continue
+        s, ssq = float(partials[f"{prefix}_sum"].sum()), float(partials[f"{prefix}_sumsq"].sum())
+        mean = s / total
+        out[f"{prefix}_mean"] = mean
+        out[f"{prefix}_min"] = float(partials[f"{prefix}_min"].min())
+        out[f"{prefix}_max"] = float(partials[f"{prefix}_max"].max())
+        if total > 1:
+            var = max(0.0, (ssq - total * mean * mean) / (total - 1))
+            out[f"{prefix}_stdev"] = math.sqrt(var)
+        else:
+            out[f"{prefix}_stdev"] = 0.0
+        sub = vc[vc["col"] == col][["value", n_col]].rename(columns={n_col: "n"})
+        out[f"{prefix}_median"] = _median_from_counts(sub, total)
+    return out
+
+
+PER_DOI_COLUMNS = [
+    "DOI", "TotalAuthorsInput", "SkippedRows",
+    "CountExactAuthorMatch", "CountNormAuthorMatch",
+    "CountExactInstMatch", "CountNormInstMatch",
+    "CountExactBothMatch", "CountNormBothMatch",
+    "AvgAuthorScore", "MedianAuthorScore", "MinAuthorScore", "MaxAuthorScore",
+    "AvgInstScore", "MedianInstScore", "MinInstScore", "MaxInstScore",
+    "AllAuthorsExactMatch", "AllAuthorsNormMatch",
+    "AnyAuthorExactMatch", "AnyAuthorNormMatch",
+    "AllInstExactMatch", "AllInstNormMatch",
+]
+
+
+def _doi_group_stats(g: pd.DataFrame) -> pd.DataFrame:
+    n = len(g)
+    ea, na = g["exact_author_match"], g["normalized_author_match"]
+    ei, ni = g["exact_institution_match"], g["normalized_institution_match"]
+    a_s = g["author_similarity_score"].astype(float)
+    i_s = g["institution_similarity_score"].astype(float)
+    row = {
+        "DOI": g["doi"].iloc[0] if g["doi"].iloc[0] else "UNKNOWN_DOI",
+        "TotalAuthorsInput": n,
+        "SkippedRows": 0,
+        "CountExactAuthorMatch": int(ea.sum()),
+        "CountNormAuthorMatch": int(na.sum()),
+        "CountExactInstMatch": int(ei.sum()),
+        "CountNormInstMatch": int(ni.sum()),
+        "CountExactBothMatch": int((ea & ei).sum()),
+        "CountNormBothMatch": int((na & ni).sum()),
+        "AvgAuthorScore": float(a_s.mean()),
+        "MedianAuthorScore": float(a_s.median()),
+        "MinAuthorScore": float(a_s.min()),
+        "MaxAuthorScore": float(a_s.max()),
+        "AvgInstScore": float(i_s.mean()),
+        "MedianInstScore": float(i_s.median()),
+        "MinInstScore": float(i_s.min()),
+        "MaxInstScore": float(i_s.max()),
+        "AllAuthorsExactMatch": bool(int(ea.sum()) == n),
+        "AllAuthorsNormMatch": bool(int(na.sum()) == n),
+        "AnyAuthorExactMatch": bool(int(ea.sum()) > 0),
+        "AnyAuthorNormMatch": bool(int(na.sum()) > 0),
+        "AllInstExactMatch": bool(int(ei.sum()) == n),
+        "AllInstNormMatch": bool(int(ni.sum()) == n),
+    }
+    return pd.DataFrame([row], columns=PER_DOI_COLUMNS)
+
+
+def per_doi_stats(scored_ds):
+    """Per-entity wide stats (`get_stats.py:197-262` column contract)."""
+    return scored_ds.groupby("doi").map_groups(_doi_group_stats, batch_format="pandas")
