@@ -19,17 +19,17 @@ attribute is stable under the corruption model. Oversized blocks after
 refinement get a deterministic per-block pair cap with a logged
 ``dropped_pairs`` count (no silent caps).
 
+Execution shape: key emission is a STATELESS ``map_batches`` task —
+its only state (MinHash permutation parameters, the broadcast hot-key
+set) is cached per worker process in a module global, so tasks stay
+cheap and elastic and never pin CPUs the way a fixed actor pool would.
 Pair generation is ``groupby(block_key).map_groups``; pair dedup is a
-second groupby on the pair id keeping the lexicographically-first block
-key. All shuffles carry only (key, record_id) — never the heavy record
-payloads.
+``groupby(pair).aggregate(Min)``. All shuffles carry only
+(key, record_id) — never the heavy record payloads.
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -40,62 +40,74 @@ DEFAULT_NUM_BANDS = 8
 DEFAULT_HOT_THRESHOLD = 256
 DEFAULT_MAX_PAIRS_PER_BLOCK = 20_000
 
+# per-worker-process caches (tasks reuse workers; building the
+# MinHasher / fetching the broadcast hot set happens once per worker,
+# not once per batch)
+_MINHASHER: MinHasher | None = None
+_HOT_CACHE: dict = {}
 
-class BlockKeyEmitter:
-    """Actor-pool stage: holds the MinHasher (permutation params built
-    once per actor, T5 pattern) and optionally the broadcast hot-key
-    set; emits (block_key, record_id) rows."""
 
-    def __init__(self, hot_keys_ref=None, num_perm=DEFAULT_NUM_PERM,
-                 num_bands=DEFAULT_NUM_BANDS):
-        self.mh = MinHasher(num_perm=num_perm)
-        self.num_bands = num_bands
-        if hot_keys_ref is not None:
-            import ray
+def _get_minhasher(num_perm: int) -> MinHasher:
+    global _MINHASHER
+    if _MINHASHER is None or _MINHASHER.num_perm != num_perm:
+        _MINHASHER = MinHasher(num_perm=num_perm)
+    return _MINHASHER
 
-            self.hot = ray.get(hot_keys_ref)
-        else:
-            self.hot = frozenset()
 
-    def _refine(self, key: str, authors_norm, doi_norm: str) -> str:
-        if key not in self.hot:
-            return key
-        if authors_norm:
-            return f"{key}~{authors_norm[0][:2]}"
-        if doi_norm:
-            return f"{key}~{doi_norm.split('/')[0][-2:]}"
-        return f"{key}~_"
+def _get_hot(hot_keys_ref) -> frozenset:
+    if hot_keys_ref is None:
+        return frozenset()
+    key = hot_keys_ref.hex() if hasattr(hot_keys_ref, "hex") else id(hot_keys_ref)
+    if key not in _HOT_CACHE:
+        import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        rids = batch["record_id"].to_pylist()
-        dois = batch["doi_norm"].to_pylist()
-        hosts = batch["host_key"].to_pylist()
-        blobs = batch["name_blob"].to_pylist()
-        authors_norm = batch["authors_norm"].to_pylist()
-        keys, out_ids = [], []
-        for rid, doi, host, blob, a_norm in zip(rids, dois, hosts, blobs, authors_norm):
-            if doi:
-                keys.append("doi:" + doi)
+        _HOT_CACHE.clear()
+        _HOT_CACHE[key] = ray.get(hot_keys_ref)
+    return _HOT_CACHE[key]
+
+
+def _refine(key: str, hot: frozenset, authors_norm, doi_norm: str) -> str:
+    if key not in hot:
+        return key
+    if authors_norm:
+        return f"{key}~{authors_norm[0][:2]}"
+    if doi_norm:
+        return f"{key}~{doi_norm.split('/')[0][-2:]}"
+    return f"{key}~_"
+
+
+def emit_keys_batch(batch: pa.Table, hot_keys_ref=None, num_perm=DEFAULT_NUM_PERM,
+                    num_bands=DEFAULT_NUM_BANDS) -> pa.Table:
+    mh = _get_minhasher(num_perm)
+    hot = _get_hot(hot_keys_ref)
+    rids = batch["record_id"].to_pylist()
+    dois = batch["doi_norm"].to_pylist()
+    hosts = batch["host_key"].to_pylist()
+    blobs = batch["name_blob"].to_pylist()
+    authors_norm = batch["authors_norm"].to_pylist()
+    keys, out_ids = [], []
+    for rid, doi, host, blob, a_norm in zip(rids, dois, hosts, blobs, authors_norm):
+        if doi:
+            keys.append("doi:" + doi)
+            out_ids.append(rid)
+        if host:
+            keys.append(_refine("host:" + host, hot, a_norm, doi))
+            out_ids.append(rid)
+        if blob:
+            sig = mh.signature(blob)
+            for bk in band_keys(sig, num_bands):
+                keys.append(_refine(bk, hot, a_norm, doi))
                 out_ids.append(rid)
-            if host:
-                keys.append(self._refine("host:" + host, a_norm, doi))
-                out_ids.append(rid)
-            if blob:
-                sig = self.mh.signature(blob)
-                for bk in band_keys(sig, self.num_bands):
-                    keys.append(self._refine(bk, a_norm, doi))
-                    out_ids.append(rid)
-        return pa.table({"block_key": pa.array(keys, pa.string()),
-                         "record_id": pa.array(out_ids, pa.string())})
+    return pa.table({"block_key": pa.array(keys, pa.string()),
+                     "record_id": pa.array(out_ids, pa.string())})
 
 
-def emit_block_keys(records_ds, hot_keys_ref=None, concurrency=4):
+def emit_block_keys(records_ds, hot_keys_ref=None):
     return records_ds.map_batches(
-        BlockKeyEmitter,
+        emit_keys_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_constructor_kwargs={"hot_keys_ref": hot_keys_ref},
-        concurrency=concurrency,
+        fn_kwargs={"hot_keys_ref": hot_keys_ref},
     )
 
 
@@ -105,7 +117,9 @@ def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD):
     threshold)."""
     keys = emit_block_keys(records_ds)
     counts = keys.groupby("block_key").count()
-    hot = counts.filter(lambda row: row["count()"] > threshold)
+    hot = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["count()"], threshold)),
+        batch_format="pyarrow")
     return frozenset(r["block_key"] for r in hot.take_all())
 
 
@@ -113,8 +127,10 @@ def _pairs_for_group(g: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
     ids = sorted(set(g["record_id"].tolist()))
     n = len(ids)
     if n < 2:
-        return pd.DataFrame({"left_id": [], "right_id": [], "block_key": [],
-                             "dropped_pairs": []})
+        return pd.DataFrame({"left_id": pd.Series(dtype=str),
+                             "right_id": pd.Series(dtype=str),
+                             "block_key": pd.Series(dtype=str),
+                             "dropped_pairs": pd.Series(dtype="int64")})
     key = g["block_key"].iloc[0]
     total = n * (n - 1) // 2
     left, right = [], []
@@ -147,16 +163,22 @@ def _pairs_for_group(g: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
     )
 
 
-def candidate_pairs(records_ds, hot_keys_ref=None, max_pairs_per_block=DEFAULT_MAX_PAIRS_PER_BLOCK):
-    """records -> deduped candidate pairs (left_id < right_id, block_key
-    = lexicographically-first key that produced the pair)."""
+def candidate_pairs(records_ds, hot_keys_ref=None,
+                    max_pairs_per_block=DEFAULT_MAX_PAIRS_PER_BLOCK,
+                    dedup: bool = True):
+    """records -> candidate pairs (left_id < right_id). With dedup=True
+    a pair produced by several block keys keeps the lexicographically
+    smallest key (one aggregate shuffle)."""
     keys = emit_block_keys(records_ds, hot_keys_ref=hot_keys_ref)
     pairs = keys.groupby("block_key").map_groups(
         lambda g: _pairs_for_group(g, max_pairs_per_block), batch_format="pandas"
     )
+    if not dedup:
+        return pairs
+    from ray.data.aggregate import Max, Min
 
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("block_key", kind="mergesort")
-        return g.head(1)[["left_id", "right_id", "block_key", "dropped_pairs"]]
-
-    return pairs.groupby(["left_id", "right_id"]).map_groups(_dedup, batch_format="pandas")
+    out = pairs.groupby(["left_id", "right_id"]).aggregate(
+        Min("block_key", alias_name="block_key"),
+        Max("dropped_pairs", alias_name="dropped_pairs"),
+    )
+    return out

@@ -4,19 +4,21 @@ Distributed transitive closure via iterative hash-partitioned min-label
 propagation (the explicit generalization of the reference's implicit
 per-DOI grouping, `check...openalex.py:72-74`): every node starts
 labeled with its own id; each round every node takes the min label in
-its neighborhood; convergence when no label changes (checked with a
-tiny aggregate, not a driver scan). Rounds are
-``groupby(node).map_groups`` shuffles keyed on node id — the same
-partitioning key every round, so a multi-node scheduler can keep
-partitions sticky. Converges in O(graph diameter) rounds; the fixture
-chains have diameter <= 4. Each round's label set is re-materialized to
-keep lineage bounded (SURVEY.md §7.3).
+its closed neighborhood; convergence when the label assignment's
+deterministic fingerprint stops changing (a tiny tree-reduce aggregate
+— no extra shuffle). Each round costs exactly two keyed shuffles
+(message delivery + min-reduction), both partitioned on node id — the
+same key every round, so a multi-node scheduler keeps partitions
+sticky. Rounds are materialized to keep lineage bounded
+(SURVEY.md §7.3). Converges in O(component diameter) rounds.
 
-A driver-side union-find (`union_find`) is provided as the small-input
-oracle for tests; the Dataset implementation is the scale path.
+A driver-side union-find (`union_find`) is the small-input oracle for
+tests; the Dataset implementation is the scale path.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import pandas as pd
 import pyarrow as pa
@@ -51,70 +53,38 @@ def union_find(edges, nodes=()):
     return {n: find(n) for n in parent}
 
 
-def _propagate_round(labels_ds, edges_bidir_ds):
-    """One round: every node receives the labels of its neighbors and
-    itself; new label = min. Returns the new labels Dataset."""
-    import ray.data  # noqa: F401  (Dataset methods)
-
-    # message rows: (node, label). Self-messages carry the node's own
-    # current label; neighbor messages are produced by attaching each
-    # node's label to its outgoing edges.
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        lbl_rows = g[g["kind"] == "label"]
-        if lbl_rows.empty:
-            return pd.DataFrame({"node": [], "label": []})
-        label = lbl_rows["label"].min()
-        nbrs = g[g["kind"] == "edge"]["other"].tolist()
-        return pd.DataFrame({"node": [g["node"].iloc[0]] + nbrs,
-                             "label": [label] * (1 + len(nbrs))})
-
-    tagged_labels = labels_ds.map_batches(
-        lambda t: pa.table({"node": t["node"], "other": pa.nulls(t.num_rows, pa.string()),
-                            "label": t["label"],
-                            "kind": pa.array(["label"] * t.num_rows)}),
-        batch_format="pyarrow")
-    tagged_edges = edges_bidir_ds.map_batches(
-        lambda t: pa.table({"node": t["node"], "other": t["other"],
-                            "label": pa.nulls(t.num_rows, pa.string()),
-                            "kind": pa.array(["edge"] * t.num_rows)}),
-        batch_format="pyarrow")
-    msgs = tagged_labels.union(tagged_edges).groupby("node").map_groups(
-        attach, batch_format="pandas")
-
-    def take_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": [g["node"].iloc[0]], "label": [g["label"].min()]})
-
-    return msgs.groupby("node").map_groups(take_min, batch_format="pandas")
+def _deliver(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-node group of label row(s) + edge rows: deliver this node's
+    label to every neighbor and to itself."""
+    lbls = g.loc[g["other"].isna(), "label"]
+    if lbls.empty:
+        return pd.DataFrame({"node": pd.Series(dtype=str), "label": pd.Series(dtype=str)})
+    label = lbls.min()
+    nbrs = g.loc[g["other"].notna(), "other"].tolist()
+    return pd.DataFrame({"node": [g["node"].iloc[0]] + nbrs,
+                         "label": [label] * (1 + len(nbrs))})
 
 
-def _count_changed(old_ds, new_ds) -> int:
-    def tag(ds, kind):
-        return ds.map_batches(
-            lambda t, k=kind: pa.table({"node": t["node"], "label": t["label"],
-                                        "kind": pa.array([k] * t.num_rows)}),
-            batch_format="pyarrow")
-
-    def diff(g: pd.DataFrame) -> pd.DataFrame:
-        old = g[g["kind"] == "old"]["label"]
-        new = g[g["kind"] == "new"]["label"]
-        changed = int(old.min() != new.min()) if len(old) and len(new) else 1
-        return pd.DataFrame({"changed": [changed]})
-
-    both = tag(old_ds, "old").union(tag(new_ds, "new"))
-    res = both.groupby("node").map_groups(diff, batch_format="pandas")
+def _fingerprint(labels_ds) -> int:
     from ray.data.aggregate import Sum
 
-    out = res.aggregate(Sum("changed", alias_name="n"))
-    return int(out["n"]) if out and out.get("n") is not None else 0
+    parts = labels_ds.map_batches(
+        lambda t: pa.table({"fp": pa.array(
+            [sum(int.from_bytes(hashlib.blake2b(f"{n}\x00{l}".encode(), digest_size=7).digest(),
+                                "little")
+                 for n, l in zip(t["node"].to_pylist(), t["label"].to_pylist()))],
+            pa.int64())}),
+        batch_format="pyarrow")
+    out = parts.aggregate(Sum("fp", alias_name="fp"))
+    return int(out["fp"] or 0)
 
 
-def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
-                         check_every: int = 1):
+def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25):
     """edges (left_id, right_id) [+ optional extra nodes (record_id)]
-    -> Dataset (record_id, cluster_id).
-
-    Singleton nodes (present in nodes_ds but in no edge) keep their own
+    -> Dataset (record_id, cluster_id). Singleton nodes keep their own
     id as cluster_id."""
+    from ray.data.aggregate import Min
+
     edges_bidir = edges_ds.map_batches(
         lambda df: pd.DataFrame(
             {"node": pd.concat([df["left_id"], df["right_id"]], ignore_index=True),
@@ -128,16 +98,26 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
         node_sources = node_sources.union(
             nodes_ds.map_batches(lambda t: pa.table({"node": t["record_id"]}),
                                  batch_format="pyarrow"))
-    labels = node_sources.groupby("node").map_groups(
-        lambda g: pd.DataFrame({"node": [g["node"].iloc[0]], "label": [g["node"].iloc[0]]}),
-        batch_format="pandas").materialize()
+    labels = node_sources.groupby("node").aggregate(Min("node", alias_name="label")).materialize()
+    prev_fp = _fingerprint(labels)
 
     for _ in range(max_rounds):
-        new_labels = _propagate_round(labels, edges_bidir).materialize()
-        if _count_changed(labels, new_labels) == 0:
-            labels = new_labels
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "other": pa.nulls(t.num_rows, pa.string()),
+                                "label": t["label"]}),
+            batch_format="pyarrow")
+        tagged_edges = edges_bidir.map_batches(
+            lambda t: pa.table({"node": t["node"], "other": t["other"],
+                                "label": pa.nulls(t.num_rows, pa.string())}),
+            batch_format="pyarrow")
+        msgs = tagged_labels.union(tagged_edges).groupby("node").map_groups(
+            _deliver, batch_format="pandas")
+        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        fp = _fingerprint(labels)
+        if fp == prev_fp:
             break
-        labels = new_labels
+        prev_fp = fp
 
     return labels.map_batches(
         lambda t: pa.table({"record_id": t["node"], "cluster_id": t["label"]}),

@@ -171,14 +171,16 @@ def broadcast_records(records_ds):
     return ray.put(lookup)
 
 
-def score_pairs(pairs_ds, records_ref, concurrency=4, batch_size=2048):
+def score_pairs(pairs_ds, records_ref, concurrency=None, batch_size=2048):
+    # autoscaling pool with min=1 so the stage can always make progress
+    # even when other stages hold most CPUs (no starvation deadlock)
     return pairs_ds.map_batches(
         PairScorer,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
         fn_constructor_kwargs={"records_ref": records_ref},
-        concurrency=concurrency or 4,
+        concurrency=concurrency or (1, 8),
     )
 
 
@@ -286,11 +288,11 @@ def broadcast_works_by_doi(works_ds):
     return ray.put(lookup)
 
 
-def score_mentions(mentions_ds, works_by_doi_ref, concurrency=4, batch_size=1024):
+def score_mentions(mentions_ds, works_by_doi_ref, concurrency=None, batch_size=1024):
     return mentions_ds.map_batches(
         MentionScorer,
         batch_format="pandas",
         batch_size=batch_size,
         fn_constructor_kwargs={"works_by_doi_ref": works_by_doi_ref},
-        concurrency=concurrency or 4,
+        concurrency=concurrency or (1, 8),
     )

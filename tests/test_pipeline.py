@@ -1,0 +1,210 @@
+"""End-to-end pipeline gates (SURVEY.md §5):
+
+- byte-identical extracted text per url vs the single-threaded oracle,
+  at two parallelism levels (the input_hint invariant);
+- pairwise F1 >= 0.99 vs labeled pairs (the BASELINE.json gate);
+- distributed connected components vs union-find oracle;
+- mention-scorer parity with an independent per-row oracle.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources import fixtures
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import cluster as cluster_mod
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
+    extract_pages,
+    mentions_from_extracted,
+    oracle_extract,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fdir(ray_session):
+    return fixtures.ensure_fixtures(SF)
+
+
+def test_extraction_byte_identical_two_parallelism_levels(ray_session, fdir):
+    import ray.data as rd
+
+    pages_tbl = pq.read_table(os.path.join(fdir, "pages.parquet"))
+    oracle = oracle_extract(pages_tbl)
+
+    for num_blocks in (1, 8):
+        ds = rd.read_parquet(os.path.join(fdir, "pages.parquet"),
+                             override_num_blocks=num_blocks)
+        extracted = extract_pages(ds, batch_size=32 if num_blocks == 8 else 256)
+        got = {}
+        for batch in extracted.iter_batches(batch_size=512, batch_format="pyarrow"):
+            for row in batch.select(["url", "text", "doi"]).to_pylist():
+                got[row["url"]] = row
+        assert set(got) == set(oracle)
+        for url, o in oracle.items():
+            assert got[url]["text"] == o["text"], f"text differs for {url} at blocks={num_blocks}"
+            assert got[url]["doi"] == o["doi"]
+
+
+def test_mentions_match_oracle(ray_session, fdir):
+    import ray.data as rd
+
+    pages_tbl = pq.read_table(os.path.join(fdir, "pages.parquet"))
+    oracle = oracle_extract(pages_tbl)
+    want = set()
+    for url, o in oracle.items():
+        for author, inst, source in o["mentions"]:
+            want.add((url, o["doi"], author, inst, source))
+
+    ds = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    mentions = mentions_from_extracted(extract_pages(ds))
+    got = set()
+    for batch in mentions.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            got.add((row["url"], row["doi"], row["author"], row["institution"], row["source"]))
+    assert got == want
+
+
+def test_reconcile_f1_gate(ray_session, fdir):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import reconcile
+
+    out = reconcile.run_reconcile(SF)
+    clusters = out["clusters"].materialize()
+    res = reconcile.pairwise_f1(clusters, os.path.join(fdir, "labeled_pairs.parquet"))
+    assert res["f1"] >= 0.99, res
+    assert res["precision"] >= 0.99, res
+    assert res["recall"] >= 0.99, res
+
+
+def test_connected_components_vs_union_find(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = []
+    # random clusters: partition nodes into chains + extra random intra-cluster edges
+    k = 12
+    for ci in range(k):
+        members = nodes[ci::k]
+        for a, b in zip(members, members[1:]):
+            edges.append((a, b))
+        for _ in range(3):
+            i, j = rng.randint(len(members), size=2)
+            edges.append((members[i], members[j]))
+    oracle = cluster_mod.union_find(edges, nodes)
+
+    edges_ds = rd.from_arrow(pa.table({
+        "left_id": [e[0] for e in edges],
+        "right_id": [e[1] for e in edges],
+    }))
+    nodes_ds = rd.from_arrow(pa.table({"record_id": nodes}))
+    got_ds = cluster_mod.connected_components(edges_ds, nodes_ds=nodes_ds)
+    got = {}
+    for batch in got_ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            got[row["record_id"]] = row["cluster_id"]
+    assert got == oracle
+
+
+def _mention_oracle(mention_rows, works_by_doi):
+    """Independent reimplementation of `check...openalex.py` semantics
+    using the brute-force DP ratio (distinct code path from the
+    bit-parallel production kernel)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.textnorm import (
+        normalize_text,
+    )
+
+    def dp_ratio(a, b):
+        # indel distance via classic DP
+        m, n = len(a), len(b)
+        if m + n == 0:
+            return 100.0
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i]
+            for j in range(1, n + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur.append(prev[j - 1])
+                else:
+                    cur.append(min(prev[j], cur[j - 1]) + 1)
+            prev = cur
+        return 100.0 * (1 - prev[n] / (m + n))
+
+    out = []
+    for rec in mention_rows:
+        doi = (rec["doi"] or "").strip()
+        if not doi.startswith("10."):
+            continue
+        auths = works_by_doi.get(doi.lower(), [])
+        a_raw, i_raw = rec["author"] or "", rec["institution"] or ""
+        a_norm, i_norm = normalize_text(a_raw), normalize_text(i_raw)
+        best, best_idx = -1.0, -1
+        if a_norm and auths:
+            for idx, au in enumerate(auths):
+                cur = dp_ratio(a_norm, normalize_text(au.get("raw_author_name") or ""))
+                if cur > best:
+                    best, best_idx = cur, idx
+                    if best == 100.0:
+                        break
+        row = {"author_similarity_score": 0.0, "institution_similarity_score": 0.0,
+               "exact_author_match": False, "normalized_author_match": False,
+               "exact_institution_match": False, "normalized_institution_match": False}
+        if best_idx != -1:
+            au = auths[best_idx]
+            api_name = au.get("raw_author_name") or ""
+            row["author_similarity_score"] = round(best, 2)
+            row["exact_author_match"] = a_raw == api_name
+            row["normalized_author_match"] = a_norm == normalize_text(api_name)
+            raw_affs = au.get("raw_affiliation_strings") or []
+            norm_affs = [normalize_text(x) for x in raw_affs if x]
+            norm_affs = [x for x in norm_affs if x]
+            if not i_raw:
+                row["exact_institution_match"] = not bool(raw_affs)
+            elif raw_affs:
+                row["exact_institution_match"] = any(i_raw.lower() == x.lower() for x in raw_affs)
+            if not i_norm:
+                row["normalized_institution_match"] = not bool(norm_affs)
+            elif norm_affs:
+                row["normalized_institution_match"] = i_norm in norm_affs
+            if not i_norm:
+                row["institution_similarity_score"] = 100.0 if not norm_affs else 0.0
+            elif norm_affs:
+                row["institution_similarity_score"] = round(
+                    max(dp_ratio(i_norm, x) for x in norm_affs), 2)
+        out.append(((rec["url"], doi, a_raw, i_raw), row))
+    return dict(out)
+
+
+def test_mention_scorer_parity(ray_session, fdir):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import reconcile
+
+    _, scored = reconcile.run_mention_scoring(SF)
+    got = {}
+    for batch in scored.iter_batches(batch_size=1024, batch_format="pandas"):
+        for rec in batch.to_dict("records"):
+            got[(rec["url"], rec["doi"], rec["author"], rec["institution"])] = rec
+
+    works = pq.read_table(os.path.join(fdir, "reference_works.parquet")).to_pylist()
+    works_by_doi = {w["doi"].strip().lower(): w["authorships"] for w in works if w["doi"]}
+
+    import ray.data as rd
+
+    pages_tbl = pq.read_table(os.path.join(fdir, "pages.parquet"))
+    oracle_pages = oracle_extract(pages_tbl)
+    mention_rows = []
+    for url, o in oracle_pages.items():
+        for author, inst, source in o["mentions"]:
+            mention_rows.append({"url": url, "doi": o["doi"], "author": author,
+                                 "institution": inst})
+    oracle = _mention_oracle(mention_rows, works_by_doi)
+
+    assert set(got) == set(oracle)
+    for key, orow in oracle.items():
+        grow = got[key]
+        for col, val in orow.items():
+            assert grow[col] == pytest.approx(val) if isinstance(val, float) else grow[col] == val, (
+                key, col, grow[col], val)
