@@ -1,44 +1,599 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship record-linkage pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 inventory + the training-data ops); ``oracle_sql()``
+provides DuckDB-equivalent SQL for every relationally-expressible one
+(the rest get the driver's rows-only check: HTML extraction, fuzzy
+scoring, LSH, clustering and language-ID are not SQL-expressible).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` anywhere in this module or the library.
+
+Float columns that result from aggregation are rounded (2-6 decimals)
+in BOTH the Ray implementation and the SQL so that value-hash
+comparison is insensitive to summation order.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from datetime import datetime
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+    dedup as dedup_ops,
+    multimodal,
+    relational,
+    similarity_search,
+    text as text_ops,
+)
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.fixtures import (
+    FIXTURE_ROOT,
+    ensure_fixtures,
+)
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _tbl(sf_dir: str, name: str, **kwargs):
+    return _rd().read_parquet(os.path.join(sf_dir, f"{name}.parquet"), **kwargs)
+
+
+def _tier(sf_dir: str) -> str:
+    t = os.path.basename(os.path.normpath(sf_dir))
+    return t if t.startswith("sf") else "sf0.01"
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full blocking + scoring + clustering linkage run on the
+    sf0.001 synthesized pages corpus; returns the cluster assignment."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
+        reconcile,
+    )
+
+    out = reconcile.run_reconcile("/root/testdata/sf0.001")
+    return out["clusters"]
+
+
+# --------------------------------------------------------------------------
+# memoized reconcile outputs (several queries expose different stages)
+# --------------------------------------------------------------------------
+
+_RECONCILE_CACHE: dict = {}
+_MENTION_CACHE: dict = {}
+
+
+def _reconcile(sf_dir: str):
+    key = _tier(sf_dir)
+    if key not in _RECONCILE_CACHE:
+        from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
+            reconcile,
+        )
+
+        _RECONCILE_CACHE[key] = reconcile.run_reconcile(sf_dir)
+    return _RECONCILE_CACHE[key]
+
+
+def _mention_scored(sf_dir: str):
+    key = _tier(sf_dir)
+    if key not in _MENTION_CACHE:
+        from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
+            reconcile,
+        )
+
+        _, scored = reconcile.run_mention_scoring(sf_dir)
+        _MENTION_CACHE[key] = scored.materialize()
+    return _MENTION_CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# relational queries (TPC-H-ish, DuckDB-oracled)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered groupby with pre-aggregated partials
+    (A1 pattern, SURVEY.md §2.5)."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = datetime(1998, 9, 2)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow")
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(disc_price=b.l_extendedprice * (1 - b.l_discount))
+        g = b.groupby(["l_returnflag", "l_linestatus"], as_index=False, sort=False)
+        return g.agg(sum_qty=("l_quantity", "sum"),
+                     sum_base_price=("l_extendedprice", "sum"),
+                     sum_disc_price=("disc_price", "sum"),
+                     sum_disc=("l_discount", "sum"),
+                     count_order=("l_quantity", "size"))
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(_partial, batch_format="pandas")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_price", alias_name="sum_base_price"),
+                      Sum("sum_disc_price", alias_name="sum_disc_price"),
+                      Sum("sum_disc", alias_name="sum_disc"),
+                      Sum("count_order", alias_name="count_order"))
+           .to_pandas())
+    out["avg_qty"] = (out.sum_qty / out.count_order).round(4)
+    out["avg_price"] = (out.sum_base_price / out.count_order).round(4)
+    out["avg_disc"] = (out.sum_disc / out.count_order).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "avg_qty", "avg_price", "avg_disc", "count_order"]]
+
+
+def q_revenue_q6(sf_dir: str):
+    """TPC-H Q6 shape: filter + projection + global sum (read prunes to
+    the 4 needed columns; row filter is vectorized Arrow)."""
+    ds = _tbl(sf_dir, "lineitem",
+              columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo, hi = datetime(1995, 1, 1), datetime(1996, 1, 1)
+
+    def _f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi))),
+            pc.and_(pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                            pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                    pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(mask)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table({"revenue_part": pa.array(
+            [rev.as_py() if rev.as_py() is not None else 0.0], pa.float64())})
+
+    parts = ds.map_batches(_f, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue": [round(float(parts.revenue_part.sum()), 2)]})
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (O1/O2 family)."""
+    ds = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast inner join (J1 family: small dimension shipped once)
+    + pre-aggregated groupby."""
+    orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = relational.broadcast_join(orders, cust, on="o_custkey", how="inner")
+    agg = relational.pre_aggregated(joined, keys="c_mktsegment",
+                                    sums=("o_totalprice",), counts=True).to_pandas()
+    agg["revenue"] = agg["sum_o_totalprice"].round(2)
+    agg = agg.rename(columns={"n": "n_orders"})
+    return agg[["c_mktsegment", "n_orders", "revenue"]]
+
+
+def q_nation_customers(sf_dir: str):
+    """Three-way broadcast join chain region-nation-customer."""
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _tbl(sf_dir, "nation").to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
+    region = _tbl(sf_dir, "region").to_pandas().rename(columns={"r_regionkey": "n_regionkey"})
+    side = nation.merge(region, on="n_regionkey")[["c_nationkey", "n_name", "r_name"]]
+    joined = relational.broadcast_join(cust, side, on="c_nationkey", how="inner")
+    agg = relational.pre_aggregated(joined, keys=["r_name", "n_name"], counts=True).to_pandas()
+    return agg.rename(columns={"n": "n_customers"})[["r_name", "n_name", "n_customers"]]
+
+
+def q_suppliers_with_sales(sf_dir: str):
+    """Broadcast SEMI join (M8/J1 semantics: keep rows whose key is in
+    the broadcast set)."""
+    supp = _tbl(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    keys = _tbl(sf_dir, "lineitem", columns=["l_suppkey"])
+    key_df = (keys.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
+              .to_pandas().drop_duplicates().rename(columns={"l_suppkey": "s_suppkey"}))
+    return relational.broadcast_join(supp, key_df, on="s_suppkey", how="semi")
+
+
+def q_events_by_type(sf_dir: str):
+    """Full aggregate battery incl. sample stddev (A2 family)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Std("value", ddof=1, alias_name="std_value"),
+    ).to_pandas()
+    for c in ("sum_value", "avg_value", "min_value", "max_value", "std_value"):
+        out[c] = out[c].astype(float).round(4)
+    return out
+
+
+def q_events_daily(sf_dir: str):
+    """Timestamp bucketing (M18 family) + counted groupby."""
+    ds = _tbl(sf_dir, "events", columns=["ts"])
+
+    def _day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": b["ts"].dt.floor("D")})
+
+    agg = relational.pre_aggregated(ds.map_batches(_day, batch_format="pandas"),
+                                    keys="day", counts=True).to_pandas()
+    return agg.rename(columns={"n": "n_events"})[["day", "n_events"]]
+
+
+def q_top_event_per_user(sf_dir: str):
+    """Per-group argmax (O4: top-1 with deterministic tie-break)."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    top = relational.topk_per_group(ds, key="user_id", sort_col="value", k=1,
+                                    descending=True, tie_break="event_id")
+    return top.to_pandas()[["user_id", "event_id", "value"]]
+
+
+def q_distinct_langs(sf_dir: str):
+    """Exact distinct (D3)."""
+    return relational.distinct(_tbl(sf_dir, "documents", columns=["lang"]), "lang")
+
+
+# --------------------------------------------------------------------------
+# dedup / text analysis / similarity (documents, embeddings)
+# --------------------------------------------------------------------------
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup: min id + copy count per content hash (D1)."""
+    return dedup_ops.exact_dedup(_tbl(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_doc_token_counts(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(text_ops.token_counts, batch_format="pandas")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def q_doc_fingerprints(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_ops.fingerprints, batch_format="pandas").select_columns(
+        ["doc_id", "md5"])
+
+
+def q_doc_quality(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_ops.quality_scores, batch_format="pandas")
+
+
+def q_doc_lang_id(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_ops.lang_id, batch_format="pandas")
+
+
+def q_doc_simhash(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_ops.fingerprints, batch_format="pandas").select_columns(
+        ["doc_id", "simhash", "n_fingerprints"])
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs at Jaccard >= 0.6 (D4)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_ops.minhash_lsh_pairs(ds, jaccard_threshold=0.6)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_ops.simhash_pairs(ds, max_hamming=3)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup_ops.embedding_near_dup_pairs(ds, cosine_threshold=0.95)
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.slice(0, 10_000).to_pandas()
+    df = df[df.vec_id < n].sort_values("vec_id")
+    return np.array(df.embedding.tolist(), dtype=np.float64), df.vec_id.tolist()
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-5 for query vectors vec_id 0..4 (broadcast
+    query matrix, per-batch matmul + partial top-k)."""
+    q, qids = _query_vectors(sf_dir)
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity_search.knn_bruteforce(ds, q, qids, k=5)
+
+
+def q_knn_ivf(sf_dir: str):
+    q, qids = _query_vectors(sf_dir)
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity_search.knn_ivf(ds, q, qids, k=5, n_cells=8, nprobe=4)
+
+
+def q_decode_media(sf_dir: str):
+    """Multimodal plumbing: binary payload column -> decoded features
+    (deterministic fake decoder; real plumbing)."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    media = docs.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b.doc_id,
+                                "payload": b.text.map(lambda t: t.encode("utf-8"))}),
+        batch_format="pandas")
+    out = multimodal.decode_media(media, decoder="fake")
+    return out.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b.doc_id, "n_bytes": b.n_bytes,
+                                "decode_status": b.decode_status}),
+        batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# linkage pipeline queries (synthesized pages fixtures)
+# --------------------------------------------------------------------------
+
+def q_base_urls(sf_dir: str):
+    """OAI url -> base url normalize + exact dedup + sort (M1/D1/O1,
+    the reference's first pipeline stage)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.urlkeys import (
+        strip_oai_suffix,
+    )
+
+    fdir = ensure_fixtures(sf_dir)
+    ds = _rd().read_parquet(os.path.join(fdir, "oai_urls.parquet"))
+
+    def _norm(b: pd.DataFrame) -> pd.DataFrame:
+        urls = b["oai_url"].fillna("").map(lambda u: strip_oai_suffix(u.strip()))
+        urls = urls[urls != ""]
+        return pd.DataFrame({"base_url": urls.drop_duplicates()})
+
+    return relational.distinct(ds.map_batches(_norm, batch_format="pandas"),
+                               "base_url").sort("base_url")
+
+
+def q_extract_mentions(sf_dir: str):
+    """HTML extraction (M11+M12+D2) — not SQL-expressible."""
+    out = _reconcile(sf_dir)
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
+        mentions_from_extracted,
+    )
+
+    return mentions_from_extracted(out["extracted"])
+
+
+def q_extracted_text(sf_dir: str):
+    """The byte-identical invariant surface: url -> extracted text."""
+    out = _reconcile(sf_dir)
+    return out["extracted"].map_batches(
+        lambda t: t.select(["url", "text"]), batch_format="pyarrow")
+
+
+def q_block_keys(sf_dir: str):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import block
+
+    out = _reconcile(sf_dir)
+    return block.emit_block_keys(out["records"])
+
+
+def q_candidate_pairs(sf_dir: str):
+    out = _reconcile(sf_dir)
+    return out["pairs"]
+
+
+def q_scored_pairs(sf_dir: str):
+    out = _reconcile(sf_dir)
+    return out["scored"]
+
+
+def q_clusters(sf_dir: str):
+    out = _reconcile(sf_dir)
+    return out["clusters"]
+
+
+def q_mention_scoring(sf_dir: str):
+    """Reference-parity 8-column comparison output
+    (`check...openalex.py:285-289`)."""
+    return _mention_scored(sf_dir)
+
+
+def q_stats_overall(sf_dir: str):
+    """Global match statistics (A1/A2, `get_stats.py:39-149`)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
+
+    scored = _mention_scored(sf_dir)
+    d = stats.overall_stats(scored)
+    rows = [{"Statistic_Name": k,
+             "Value": round(v, 6) if isinstance(v, float) else (v if v is not None else -1)}
+            for k, v in d.items()]
+    df = pd.DataFrame(rows)
+    df["Value"] = df["Value"].astype(float)
+    return df
+
+
+def q_stats_per_entity(sf_dir: str):
+    """Per-DOI wide statistics (A3, `get_stats.py:152-264`)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
+
+    scored = _mention_scored(sf_dir)
+    out = stats.per_doi_stats(scored).to_pandas()
+    for c in out.columns:
+        if out[c].dtype == float:
+            out[c] = out[c].round(4)
+    return out
+
+
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operators over the driver tables
+        "q_pricing_summary": q_pricing_summary,
+        "q_revenue_q6": q_revenue_q6,
+        "q_top_orders": q_top_orders,
+        "q_segment_revenue": q_segment_revenue,
+        "q_nation_customers": q_nation_customers,
+        "q_suppliers_with_sales": q_suppliers_with_sales,
+        "q_events_by_type": q_events_by_type,
+        "q_events_daily": q_events_daily,
+        "q_top_event_per_user": q_top_event_per_user,
+        "q_distinct_langs": q_distinct_langs,
+        # dedup / text / similarity (training-data ops)
+        "q_docs_exact_dedup": q_docs_exact_dedup,
+        "q_doc_token_counts": q_doc_token_counts,
+        "q_doc_fingerprints": q_doc_fingerprints,
+        "q_doc_quality": q_doc_quality,
+        "q_doc_lang_id": q_doc_lang_id,
+        "q_doc_simhash": q_doc_simhash,
+        "q_minhash_near_dups": q_minhash_near_dups,
+        "q_simhash_near_dups": q_simhash_near_dups,
+        "q_embedding_near_dups": q_embedding_near_dups,
+        "q_knn_bruteforce": q_knn_bruteforce,
+        "q_knn_ivf": q_knn_ivf,
+        "q_decode_media": q_decode_media,
+        # the linkage pipeline itself
+        "q_base_urls": q_base_urls,
+        "q_extract_mentions": q_extract_mentions,
+        "q_extracted_text": q_extracted_text,
+        "q_block_keys": q_block_keys,
+        "q_candidate_pairs": q_candidate_pairs,
+        "q_scored_pairs": q_scored_pairs,
+        "q_clusters": q_clusters,
+        "q_mention_scoring": q_mention_scoring,
+        "q_stats_overall": q_stats_overall,
+        "q_stats_per_entity": q_stats_per_entity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    oai = os.path.join(FIXTURE_ROOT, "sf0.01", "oai_urls.parquet")
+    return {
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+                   round(sum(l_discount) / count(*), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_revenue_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_segment_revenue": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_nation_customers": """
+            SELECT r_name, n_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q_suppliers_with_sales": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM lineitem)
+        """,
+        "q_events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 4) AS avg_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   round(stddev_samp(value), 4) AS std_value
+            FROM events GROUP BY event_type
+        """,
+        "q_events_daily": """
+            SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "q_top_event_per_user": """
+            SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "q_docs_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_doc_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "q_doc_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "q_doc_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS upper_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round(length(regexp_replace(text, '[\w\s]', '', 'g'))
+                         / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents
+        """,
+        "q_knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                            list_cosine_similarity(q.qe, e.embedding) AS cos_raw
+                     FROM q CROSS JOIN embeddings e),
+            ranked AS (SELECT query_id, neighbor_id, cos_raw,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos_raw DESC, neighbor_id) AS rank
+                       FROM sims)
+            SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_base_urls": f"""
+            SELECT DISTINCT CASE
+                WHEN u LIKE '%/journal/index.php/index/oai'
+                     THEN left(u, length(u) - length('/journal/index.php/index/oai'))
+                WHEN u LIKE '%/index.php/index/oai'
+                     THEN left(u, length(u) - length('/index.php/index/oai'))
+                WHEN u LIKE '%/oai' THEN left(u, length(u) - length('/oai'))
+                ELSE u END AS base_url
+            FROM (SELECT trim(oai_url) AS u
+                  FROM read_parquet('{oai}')
+                  WHERE oai_url IS NOT NULL AND trim(oai_url) <> '') t
+            WHERE base_url <> ''
+            ORDER BY base_url
+        """,
+    }

@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Mirrors the reference's stateful VLM OCR stage
+(`utils/vlm_text_extractor/vlm_text_extractor.py:257-291` model load
+once, `:402-549` per-item inference) as the canonical actor-pool
+pattern: heavyweight state in ``__init__``, per-batch work in
+``__call__``, small ``batch_size`` because payload rows are large.
+
+The actual decoders (image/audio libs) are NOT available in this
+container, so the decode kernel is stubbed: ``decoder="fake"`` runs a
+deterministic byte-level feature extractor (real plumbing, fake
+pixels); ``decoder="real"`` raises NotImplementedError where PIL/ffmpeg
+would be called. Schema, batch sizing, actor signature and output
+layout are the real, tested parts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+class MediaDecoder:
+    """Actor-pool stage: binary media -> fixed-size feature vector +
+    metadata columns."""
+
+    def __init__(self, decoder: str = "fake", feature_dim: int = 16):
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+        self.feature_dim = feature_dim
+        # heavyweight setup would happen here ONCE per actor (model
+        # weights, codec contexts) — T1 pattern
+
+    def _decode_one(self, payload: bytes):
+        if self.decoder == "real":
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg, not present in this environment"
+            )
+        # deterministic fake: blake2b-seeded byte statistics
+        if payload is None:
+            payload = b""
+        digest = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
+        feat = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+        return feat, len(payload)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats, sizes, status = [], [], []
+        for payload in batch["payload"]:
+            try:
+                f, n = self._decode_one(payload)
+                feats.append(f)
+                sizes.append(n)
+                status.append("ok")
+            except NotImplementedError:
+                raise
+            except Exception as exc:  # record-level never fatal
+                feats.append(np.zeros(self.feature_dim, dtype=np.float32))
+                sizes.append(0)
+                status.append(f"error: {exc}")
+        out = batch[[c for c in batch.columns if c != "payload"]].copy()
+        out["n_bytes"] = pd.Series(sizes, index=batch.index, dtype="int64")
+        out["features"] = pd.Series(feats, index=batch.index)
+        out["decode_status"] = pd.Series(status, index=batch.index)
+        return out
+
+
+def decode_media(ds, decoder: str = "fake", batch_size: int = 64, concurrency=(1, 4)):
+    """Run the decode actor pool. Small batch_size: media rows are
+    large, batch x concurrency must fit the worker heap."""
+    return ds.map_batches(
+        MediaDecoder,
+        batch_format="pandas",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"decoder": decoder},
+        concurrency=concurrency,
+    )

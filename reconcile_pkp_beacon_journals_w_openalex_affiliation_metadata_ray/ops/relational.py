@@ -1,0 +1,143 @@
+"""Generic relational operators on ray.data.Dataset.
+
+Join strategy mirrors the reference's split (SURVEY.md §2.4): the only
+joins it has are a broadcast semi-join against a small side
+(`main.rs:216-260`) and a keyed enrichment lookup
+(`check...openalex.py:128-170`) — both map to :func:`broadcast_join`
+(small side shipped once via ``ray.put``, merged per batch, no
+shuffle). :func:`bucket_join` is the big-big path: both sides hashed
+into B buckets on the key, co-grouped with one shuffle, merged
+per-bucket with pandas (an explicit partitioned hash join; salt count
+B is the documented partitioning assumption).
+
+Aggregation helpers pre-aggregate inside ``map_batches`` before the
+keyed shuffle (combiner pattern) so the all-to-all exchange moves one
+row per (key, batch), not one per input row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner",
+                   suffix: str = "_r"):
+    """Join a big Dataset against a small pandas side table without a
+    shuffle. how in {'inner','left','semi','anti'}."""
+    import ray
+
+    on = [on] if isinstance(on, str) else list(on)
+    small_ref = ray.put(small_df)
+
+    def _merge(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(small_ref)
+        if how in ("semi", "anti"):
+            keys = small[on].drop_duplicates()
+            marked = batch.merge(keys, on=on, how="left", indicator=True)
+            mask = marked["_merge"] == "both" if how == "semi" else marked["_merge"] == "left_only"
+            return marked.loc[mask, list(batch.columns)]
+        return batch.merge(small, on=on, how=how, suffixes=("", suffix))
+
+    return big_ds.map_batches(_merge, batch_format="pandas")
+
+
+def bucket_join(left_ds, right_ds, on, num_buckets: int = 64, how: str = "inner",
+                suffixes=("_l", "_r")):
+    """Partitioned hash join for two large Datasets: one shuffle keyed
+    on hash(key) % num_buckets, pandas merge per bucket."""
+    on = [on] if isinstance(on, str) else list(on)
+    # deterministic bucket hash (python hash() is salted -> use pandas'
+    # stable row hashing)
+    from pandas.util import hash_pandas_object
+
+    def _tagger(side_name):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            b["__bucket"] = (hash_pandas_object(b[on].astype("string"), index=False)
+                             % num_buckets).astype("int64")
+            b["__side"] = side_name
+            return b
+        return fn
+
+    left_t = left_ds.map_batches(_tagger("l"), batch_format="pandas")
+    right_t = right_ds.map_batches(_tagger("r"), batch_format="pandas")
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
+
+    def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["__side"] == "l", lcols]
+        right = g.loc[g["__side"] == "r", rcols]
+        return left.merge(right, on=on, how=how, suffixes=suffixes)
+
+    both = left_t.union(right_t)
+    return both.groupby("__bucket").map_groups(_merge_bucket, batch_format="pandas")
+
+
+def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64):
+    """Keyed shuffle with COARSE partitions: rows are hashed into
+    num_buckets buckets on key_cols (stable pandas hashing), the
+    groupby runs over buckets (B Python calls total, not one per key),
+    and ``fn`` receives each bucket as a DataFrame to process per-key
+    with vectorized pandas internally. All rows of a key land in one
+    bucket. This is the antidote to per-tiny-group map_groups overhead
+    at high key cardinality."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    from pandas.util import hash_pandas_object
+
+    def _tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (hash_pandas_object(b[key_cols].astype("string"), index=False)
+                         % num_buckets).astype("int64")
+        return b
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    return (ds.map_batches(_tag, batch_format="pandas")
+            .groupby("__bucket").map_groups(_per_bucket, batch_format="pandas"))
+
+
+def pre_aggregated(ds, keys, sums=(), counts=True):
+    """Combiner + reduce: per-batch partial sums/counts per key, then a
+    small groupby-sum over the partials. Returns columns
+    ``sum_{col}`` for each col in sums and ``n`` when counts."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sums = list(sums)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        aggs = {f"sum_{c}": (c, "sum") for c in sums}
+        if counts:
+            aggs["n"] = (keys[0], "size")
+        return batch.groupby(keys, as_index=False, sort=False).agg(**aggs)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    agg_objs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sums]
+    if counts:
+        agg_objs.append(Sum("n", alias_name="n"))
+    return partials.groupby(keys).aggregate(*agg_objs)
+
+
+def topk_per_group(ds, key, sort_col, k: int = 1, descending: bool = True,
+                   tie_break=None):
+    """Per-group top-k (O4 argmax generalization). Deterministic:
+    secondary sort on tie_break (defaults to all remaining columns is
+    NOT used — pass an explicit column)."""
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [sort_col] + ([tie_break] if tie_break else [])
+        asc = [not descending] + ([True] if tie_break else [])
+        return g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+
+    return ds.groupby(key).map_groups(_top, batch_format="pandas")
+
+
+def distinct(ds, cols):
+    """Exact distinct rows over cols (hash-partition + per-group first,
+    D1 pattern)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    proj = ds.map_batches(
+        lambda b: b[cols].drop_duplicates(),  # in-batch combiner
+        batch_format="pandas")
+    return proj.groupby(cols).map_groups(lambda g: g.head(1), batch_format="pandas")

@@ -1,0 +1,132 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- :func:`knn_bruteforce`: exact cosine top-k — the broadcast-query
+  baseline. The (small) query matrix is ``ray.put`` once; every batch
+  does one float64 matmul against it and emits only its local top-k
+  partials; a final tiny per-query reduction merges partials. The big
+  side streams; nothing materializes.
+- :func:`knn_ivf`: the scale path — IVF-style coarse quantization:
+  k-means centroids fitted on a deterministic sample (driver-side,
+  numpy), every vector assigned to its nearest centroid inside
+  ``map_batches``, searches probe only ``nprobe`` cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def knn_bruteforce(emb_ds, queries: np.ndarray, query_ids, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact cosine top-k. Returns a pandas DataFrame
+    (query_id, rank, neighbor_id, cosine) — ranks 1..k, deterministic
+    tie-break on neighbor_id."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def _partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
+        if mat.shape[0] == 0:
+            return pd.DataFrame({"q": [], "neighbor_id": [], "cosine": []})
+        sims = _normalize(mat) @ qm.T  # (n, nq)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pd.DataFrame({"q": out_q, "neighbor_id": out_id, "cosine": out_s})
+
+    partials = emb_ds.map_batches(_partial_topk, batch_format="pandas").to_pandas()
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        sub = partials[partials["q"] == qi].sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        for rank, (_, r) in enumerate(sub.iterrows(), 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "neighbor_id": int(r["neighbor_id"]),
+                         "cosine": round(float(r["cosine"]), 6)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])
+
+
+def _kmeans_fit(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    n = sample.shape[0]
+    centroids = sample[rng.choice(n, size=min(n_cells, n), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(centroids.shape[0]):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    centroids[c] = v / norm
+    return centroids
+
+
+def knn_ivf(emb_ds, queries: np.ndarray, query_ids, k: int = 10, n_cells: int = 16,
+            nprobe: int = 4, sample_limit: int = 4096,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF cosine top-k: centroids from a deterministic head-sample,
+    cell assignment in map_batches, per-batch search restricted to the
+    nprobe closest cells per query. Approximate by construction; recall
+    vs brute force is asserted in tests."""
+    import ray
+
+    sample = emb_ds.limit(sample_limit).to_pandas()
+    smat = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
+    centroids = _kmeans_fit(smat, n_cells)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    cent_ref = ray.put(centroids)
+    q_ref = ray.put(q)
+    qcell_ref = ray.put(q_cells)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cent_ref)
+        qm = ray.get(q_ref)
+        qc = ray.get(qcell_ref)
+        mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
+        if mat.shape[0] == 0:
+            return pd.DataFrame({"q": [], "neighbor_id": [], "cosine": []})
+        unit = _normalize(mat)
+        cells = np.argmax(unit @ cents.T, axis=1)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cells, qc[qi])
+            if not mask.any():
+                continue
+            sims = unit[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pd.DataFrame({"q": out_q, "neighbor_id": out_id, "cosine": out_s})
+
+    partials = emb_ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        sub = partials[partials["q"] == qi].sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        for rank, (_, r) in enumerate(sub.iterrows(), 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "neighbor_id": int(r["neighbor_id"]),
+                         "cosine": round(float(r["cosine"]), 6)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])

@@ -1,0 +1,101 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+Training-data-pipeline staples, all vectorized per batch:
+- token counting (whitespace split — the SQL-parity definition — plus a
+  BPE-ish word/punct regex count),
+- quality scoring (length / punctuation / uppercase / digit / stopword
+  ratios),
+- language ID (stopword-overlap heuristic over a fixed per-language
+  function-word table; pure n-gram/stopword heuristic, no model),
+- document fingerprinting (md5 content hash for SQL parity + winnowing
+  rolling-hash fingerprints from functions.minhash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+from ..functions.minhash import rolling_fingerprints, simhash64
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+_UPPER_RE = re.compile(r"[A-Z]")
+_DIGIT_RE = re.compile(r"[0-9]")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it", "with", "was", "on"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para"},
+    "pt": {"o", "a", "de", "que", "e", "em", "um", "uma", "os", "as", "por", "com", "para"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "du", "en", "est", "que", "pour"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "ein"},
+    "id": {"yang", "dan", "di", "dengan", "untuk", "dari", "pada", "ini", "itu", "ke", "adalah"},
+}
+
+
+def token_counts(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """n_tokens = whitespace-token count (== SQL string_split_regex on
+    trimmed text); n_words = BPE-ish regex token count."""
+    texts = batch[text_col].fillna("")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": texts.map(lambda t: len(t.split())).astype("int64"),
+            "n_words": texts.map(lambda t: len(_WORD_RE.findall(t))).astype("int64"),
+        }
+    )
+
+
+def quality_scores(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Deterministic quality features. Ratios rounded to 6 decimals
+    (stable across float paths, matches the SQL oracle's ROUND)."""
+    texts = batch[text_col].fillna("")
+    n_chars = texts.str.len().astype("int64")
+    n_tokens = texts.map(lambda t: len(t.split())).astype("int64")
+    n_upper = texts.map(lambda t: len(_UPPER_RE.findall(t))).astype("int64")
+    n_digit = texts.map(lambda t: len(_DIGIT_RE.findall(t))).astype("int64")
+    n_punct = texts.map(lambda t: len(_PUNCT_RE.findall(t))).astype("int64")
+    denom = n_chars.where(n_chars > 0, 1)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "upper_ratio": (n_upper / denom).round(6),
+            "digit_ratio": (n_digit / denom).round(6),
+            "punct_ratio": (n_punct / denom).round(6),
+        }
+    )
+
+
+def lang_id(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Stopword-overlap language guess; 'und' (undetermined) when no
+    language scores > 0. Ties break alphabetically (deterministic)."""
+    def guess(t: str) -> str:
+        toks = set(w.lower() for w in t.split())
+        best_lang, best = "und", 0
+        for lang in sorted(_STOPWORDS):
+            score = len(toks & _STOPWORDS[lang])
+            if score > best:
+                best, best_lang = score, lang
+        return best_lang
+
+    return pd.DataFrame(
+        {"doc_id": batch["doc_id"], "lang_pred": batch[text_col].fillna("").map(guess)}
+    )
+
+
+def fingerprints(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """md5 hex content hash (SQL-parity via duckdb md5()) + winnowing
+    fingerprint count + 64-bit simhash hex."""
+    texts = batch[text_col].fillna("")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "md5": texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+            "n_fingerprints": texts.map(lambda t: len(rolling_fingerprints(t))).astype("int64"),
+            "simhash": texts.map(lambda t: f"{simhash64(t):016x}"),
+        }
+    )

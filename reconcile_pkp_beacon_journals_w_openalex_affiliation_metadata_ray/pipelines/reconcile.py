@@ -42,7 +42,7 @@ def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
     recs = records.build_records(extracted, works).materialize()  # reused 3x, small (no html)
     hot = block.find_hot_keys(recs, threshold=hot_threshold)
     hot_ref = ray.put(hot)
-    pairs = block.candidate_pairs(recs, hot_keys_ref=hot_ref)
+    pairs = block.candidate_pairs(recs, hot_keys_ref=hot_ref).materialize()
     rec_ref = score.broadcast_records(recs)
     scored = score.score_pairs(pairs, rec_ref, concurrency=scorer_concurrency)
     scored = scored.materialize()  # consumed twice (edges + stats/eval)

@@ -83,12 +83,16 @@ def emit_keys_batch(batch: pa.Table, hot_keys_ref=None, num_perm=DEFAULT_NUM_PER
     rids = batch["record_id"].to_pylist()
     dois = batch["doi_norm"].to_pylist()
     hosts = batch["host_key"].to_pylist()
+    paths = batch["path_key"].to_pylist()
     blobs = batch["name_blob"].to_pylist()
     authors_norm = batch["authors_norm"].to_pylist()
     keys, out_ids = [], []
-    for rid, doi, host, blob, a_norm in zip(rids, dois, hosts, blobs, authors_norm):
+    for rid, doi, host, path, blob, a_norm in zip(rids, dois, hosts, paths, blobs, authors_norm):
         if doi:
             keys.append("doi:" + doi)
+            out_ids.append(rid)
+        if path:
+            keys.append("path:" + path)
             out_ids.append(rid)
         if host:
             keys.append(_refine("host:" + host, hot, a_norm, doi))
@@ -123,62 +127,73 @@ def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD):
     return frozenset(r["block_key"] for r in hot.take_all())
 
 
-def _pairs_for_group(g: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
-    ids = sorted(set(g["record_id"].tolist()))
-    n = len(ids)
-    if n < 2:
+def _triu_unflatten(flat: "np.ndarray", n: int):
+    """Flat upper-triangle pair index k (0-based, row-major over i<j)
+    -> (i, j). Vectorized."""
+    import numpy as np
+
+    # i is the largest row such that offset(i) <= k, where
+    # offset(i) = i*n - i*(i+1)/2  (pairs before row i)
+    kk = flat.astype(np.float64)
+    i = np.floor((2 * n - 1 - np.sqrt((2 * n - 1) ** 2 - 8 * kk)) / 2).astype(np.int64)
+    offset = i * n - (i * (i + 1)) // 2
+    # guard against fp rounding at boundaries
+    over = offset > flat
+    i = i - over.astype(np.int64)
+    offset = i * n - (i * (i + 1)) // 2
+    j = (flat - offset) + i + 1
+    return i, j
+
+
+def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
+    """Vectorized pair generation for every block key in a bucket."""
+    import numpy as np
+
+    outs = []
+    for key, g in df.groupby("block_key", sort=False):
+        ids = np.unique(g["record_id"].to_numpy())
+        n = len(ids)
+        if n < 2:
+            continue
+        total = n * (n - 1) // 2
+        if total <= max_pairs:
+            iu, ju = np.triu_indices(n, k=1)
+            dropped = 0
+        else:
+            flat = np.unique(np.linspace(0, total - 1, max_pairs).astype(np.int64))
+            iu, ju = _triu_unflatten(flat, n)
+            dropped = total - len(flat)
+        outs.append(pd.DataFrame({"left_id": ids[iu], "right_id": ids[ju],
+                                  "block_key": key, "dropped_pairs": dropped}))
+    if not outs:
         return pd.DataFrame({"left_id": pd.Series(dtype=str),
                              "right_id": pd.Series(dtype=str),
                              "block_key": pd.Series(dtype=str),
                              "dropped_pairs": pd.Series(dtype="int64")})
-    key = g["block_key"].iloc[0]
-    total = n * (n - 1) // 2
-    left, right = [], []
-    if total <= max_pairs:
-        for i in range(n):
-            for j in range(i + 1, n):
-                left.append(ids[i])
-                right.append(ids[j])
-        dropped = 0
-    else:
-        # deterministic subsample: stride over the pair index space
-        stride = total / max_pairs
-        k = 0
-        target = 0.0
-        for i in range(n):
-            for j in range(i + 1, n):
-                if k >= target:
-                    left.append(ids[i])
-                    right.append(ids[j])
-                    target += stride
-                    if len(left) >= max_pairs:
-                        break
-                k += 1
-            if len(left) >= max_pairs:
-                break
-        dropped = total - len(left)
-    return pd.DataFrame(
-        {"left_id": left, "right_id": right, "block_key": [key] * len(left),
-         "dropped_pairs": [dropped] * len(left)}
-    )
+    return pd.concat(outs, ignore_index=True)
+
+
+def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-pair dedup inside a bucket: min block_key, max dropped."""
+    return df.groupby(["left_id", "right_id"], as_index=False, sort=False).agg(
+        block_key=("block_key", "min"), dropped_pairs=("dropped_pairs", "max"))
 
 
 def candidate_pairs(records_ds, hot_keys_ref=None,
                     max_pairs_per_block=DEFAULT_MAX_PAIRS_PER_BLOCK,
-                    dedup: bool = True):
+                    dedup: bool = True, num_buckets: int = 64):
     """records -> candidate pairs (left_id < right_id). With dedup=True
     a pair produced by several block keys keeps the lexicographically
-    smallest key (one aggregate shuffle)."""
+    smallest key. Both shuffles use coarse hash buckets
+    (ops.relational.bucketed_map_groups) so Python-per-group overhead
+    is O(num_buckets), not O(num_keys)."""
+    from ..ops.relational import bucketed_map_groups
+
     keys = emit_block_keys(records_ds, hot_keys_ref=hot_keys_ref)
-    pairs = keys.groupby("block_key").map_groups(
-        lambda g: _pairs_for_group(g, max_pairs_per_block), batch_format="pandas"
-    )
+    pairs = bucketed_map_groups(
+        keys, "block_key", lambda df: _pairs_for_bucket(df, max_pairs_per_block),
+        num_buckets=num_buckets)
     if not dedup:
         return pairs
-    from ray.data.aggregate import Max, Min
-
-    out = pairs.groupby(["left_id", "right_id"]).aggregate(
-        Min("block_key", alias_name="block_key"),
-        Max("dropped_pairs", alias_name="dropped_pairs"),
-    )
-    return out
+    return bucketed_map_groups(pairs, ["left_id", "right_id"], _dedup_bucket,
+                               num_buckets=num_buckets)

@@ -53,16 +53,21 @@ def union_find(edges, nodes=()):
     return {n: find(n) for n in parent}
 
 
-def _deliver(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-node group of label row(s) + edge rows: deliver this node's
-    label to every neighbor and to itself."""
-    lbls = g.loc[g["other"].isna(), "label"]
-    if lbls.empty:
+def _deliver_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Bucket of label rows + edge rows (all rows of a node co-bucketed):
+    deliver each node's label to all its neighbors and itself —
+    vectorized pandas merge, one call per bucket."""
+    labels = g.loc[g["other"].isna(), ["node", "label"]]
+    edges = g.loc[g["other"].notna(), ["node", "other"]]
+    if labels.empty:
         return pd.DataFrame({"node": pd.Series(dtype=str), "label": pd.Series(dtype=str)})
-    label = lbls.min()
-    nbrs = g.loc[g["other"].notna(), "other"].tolist()
-    return pd.DataFrame({"node": [g["node"].iloc[0]] + nbrs,
-                         "label": [label] * (1 + len(nbrs))})
+    msgs = edges.merge(labels, on="node", how="inner")[["other", "label"]]
+    msgs = msgs.rename(columns={"other": "node"})
+    return pd.concat([labels, msgs], ignore_index=True)
+
+
+def _min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    return g.groupby("node", as_index=False, sort=False).agg(label=("label", "min"))
 
 
 def _fingerprint(labels_ds) -> int:
@@ -79,11 +84,13 @@ def _fingerprint(labels_ds) -> int:
     return int(out["fp"] or 0)
 
 
-def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25):
+def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
+                         num_buckets: int = 64):
     """edges (left_id, right_id) [+ optional extra nodes (record_id)]
     -> Dataset (record_id, cluster_id). Singleton nodes keep their own
-    id as cluster_id."""
-    from ray.data.aggregate import Min
+    id as cluster_id. Each round = two coarse-bucketed shuffles keyed on
+    hash(node) % num_buckets (ops.relational.bucketed_map_groups)."""
+    from ..ops.relational import bucketed_map_groups
 
     edges_bidir = edges_ds.map_batches(
         lambda df: pd.DataFrame(
@@ -93,32 +100,37 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25):
     ).materialize()
 
     node_sources = edges_bidir.map_batches(
-        lambda t: pa.table({"node": t["node"]}), batch_format="pyarrow")
+        lambda df: pd.DataFrame({"node": df["node"]}), batch_format="pandas")
     if nodes_ds is not None:
         node_sources = node_sources.union(
-            nodes_ds.map_batches(lambda t: pa.table({"node": t["record_id"]}),
-                                 batch_format="pyarrow"))
-    labels = node_sources.groupby("node").aggregate(Min("node", alias_name="label")).materialize()
+            nodes_ds.map_batches(lambda df: pd.DataFrame({"node": df["record_id"]}),
+                                 batch_format="pandas"))
+    labels = bucketed_map_groups(
+        node_sources,
+        "node",
+        lambda df: df.drop_duplicates().assign(label=lambda d: d["node"]),
+        num_buckets=num_buckets,
+    ).materialize()
     prev_fp = _fingerprint(labels)
 
     for _ in range(max_rounds):
         tagged_labels = labels.map_batches(
-            lambda t: pa.table({"node": t["node"],
-                                "other": pa.nulls(t.num_rows, pa.string()),
-                                "label": t["label"]}),
-            batch_format="pyarrow")
+            lambda df: pd.DataFrame({"node": df["node"], "other": pd.Series([None] * len(df), dtype=object),
+                                     "label": df["label"]}),
+            batch_format="pandas")
         tagged_edges = edges_bidir.map_batches(
-            lambda t: pa.table({"node": t["node"], "other": t["other"],
-                                "label": pa.nulls(t.num_rows, pa.string())}),
-            batch_format="pyarrow")
-        msgs = tagged_labels.union(tagged_edges).groupby("node").map_groups(
-            _deliver, batch_format="pandas")
-        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+            lambda df: pd.DataFrame({"node": df["node"], "other": df["other"],
+                                     "label": pd.Series([None] * len(df), dtype=object)}),
+            batch_format="pandas")
+        msgs = bucketed_map_groups(tagged_labels.union(tagged_edges), "node",
+                                   _deliver_bucket, num_buckets=num_buckets)
+        labels = bucketed_map_groups(msgs, "node", _min_bucket,
+                                     num_buckets=num_buckets).materialize()
         fp = _fingerprint(labels)
         if fp == prev_fp:
             break
         prev_fp = fp
 
     return labels.map_batches(
-        lambda t: pa.table({"record_id": t["node"], "cluster_id": t["label"]}),
-        batch_format="pyarrow")
+        lambda df: pd.DataFrame({"record_id": df["node"], "cluster_id": df["label"]}),
+        batch_format="pandas")

@@ -26,6 +26,7 @@ RECORD_SCHEMA = pa.schema(
         ("side", pa.string()),  # 'page' | 'work'
         ("doi_norm", pa.string()),
         ("host_key", pa.string()),
+        ("path_key", pa.string()),
         ("authors", pa.list_(pa.string())),
         ("insts", pa.list_(pa.string())),
         ("authors_norm", pa.list_(pa.string())),
@@ -41,10 +42,26 @@ def normalize_doi(doi: str) -> str:
     return clean_doi(doi or "").strip().lower()
 
 
-def _record_rows(ids, sides, dois, hosts, authors_lists, insts_lists):
+import re as _re
+
+_PATH_KEY_RE = _re.compile(r"/index\.php/([^/]+/(?:article|issue)/view/\d+)")
+
+
+def path_key(url: str) -> str:
+    """Structural URL-token blocking key: the OJS journal/article path
+    segment, which is host-invariant across mirrors (the 'ISSN-like
+    token' key family of the north star). '' when the URL doesn't carry
+    the OJS shape."""
+    if not url or not isinstance(url, str):
+        return ""
+    m = _PATH_KEY_RE.search(url)
+    return m.group(1).lower() if m else ""
+
+
+def _record_rows(ids, sides, dois, hosts, paths, authors_lists, insts_lists):
     out = {name: [] for name in RECORD_SCHEMA.names}
-    for rid, side, doi, host, authors, insts in zip(
-        ids, sides, dois, hosts, authors_lists, insts_lists
+    for rid, side, doi, host, path, authors, insts in zip(
+        ids, sides, dois, hosts, paths, authors_lists, insts_lists
     ):
         doi_n = normalize_doi(doi)
         authors = [a for a in (authors or []) if a]
@@ -57,6 +74,7 @@ def _record_rows(ids, sides, dois, hosts, authors_lists, insts_lists):
         out["side"].append(side)
         out["doi_norm"].append(doi_n)
         out["host_key"].append(host)
+        out["path_key"].append(path)
         out["authors"].append(authors)
         out["insts"].append(insts)
         out["authors_norm"].append(a_norm)
@@ -72,11 +90,12 @@ def page_records_batch(batch: pa.Table) -> pa.Table:
     dois = batch["doi"].to_pylist()
     authors_l = batch["mention_authors"].to_pylist()
     insts_l = batch["mention_insts"].to_pylist()
-    ids, sides, hosts, auth_out, inst_out = [], [], [], [], []
+    ids, sides, hosts, paths, auth_out, inst_out = [], [], [], [], [], []
     for url, authors, insts in zip(urls, authors_l, insts_l):
         ids.append("p:" + url)
         sides.append("page")
         hosts.append(host_key(url))
+        paths.append(path_key(url))
         # dedup while preserving first-seen order
         seen_a, ua = set(), []
         for a in authors or []:
@@ -90,7 +109,7 @@ def page_records_batch(batch: pa.Table) -> pa.Table:
                 ui.append(i)
         auth_out.append(ua)
         inst_out.append(ui)
-    return _record_rows(ids, sides, dois, hosts, auth_out, inst_out)
+    return _record_rows(ids, sides, dois, hosts, paths, auth_out, inst_out)
 
 
 def work_records_batch(batch: pa.Table) -> pa.Table:
@@ -100,11 +119,12 @@ def work_records_batch(batch: pa.Table) -> pa.Table:
     dois = batch["doi"].to_pylist()
     urls = batch["landing_page_url"].to_pylist()
     authorships = batch["authorships"].to_pylist()
-    ids, sides, hosts, auth_out, inst_out = [], [], [], [], []
+    ids, sides, hosts, paths, auth_out, inst_out = [], [], [], [], [], []
     for wid, url, auths in zip(work_ids, urls, authorships):
         ids.append("w:" + wid)
         sides.append("work")
         hosts.append(host_key(url))
+        paths.append(path_key(url))
         names, insts = [], []
         for a in auths or []:
             name = a.get("raw_author_name") or ""
@@ -115,7 +135,7 @@ def work_records_batch(batch: pa.Table) -> pa.Table:
                     insts.append(s)
         auth_out.append(names)
         inst_out.append(insts)
-    return _record_rows(ids, sides, dois, hosts, auth_out, inst_out)
+    return _record_rows(ids, sides, dois, hosts, paths, auth_out, inst_out)
 
 
 def build_records(extracted_ds, works_ds):

@@ -114,7 +114,11 @@ def score_pair(left: dict, right: dict) -> dict:
     elif doi_conflict:
         combined, is_match = 0.0, False
     else:
-        if left["insts_norm"] or right["insts_norm"]:
+        # institutions only discriminate when BOTH sides carry them;
+        # a missing-inst side must not cap the score (the record-level
+        # analog of the reference's empty-inst edge case,
+        # `check...openalex.py:215-228`)
+        if left["insts_norm"] and right["insts_norm"]:
             combined = AUTHOR_WEIGHT * author + INST_WEIGHT * inst
         else:
             combined = author
