@@ -1,0 +1,142 @@
+"""Benchmark harness.
+
+Headline: the flagship record-linkage pipeline (extract -> block ->
+score -> cluster) over the synthesized pages corpus for $GRAFT_SF_DIR
+(default /root/testdata/sf0.1), plus individual operator timings.
+Prints ONE JSON line.
+
+--scaling: runs the headline twice in fresh subprocesses at
+RAY_GRAFT_CPUS=8 and =32 on the same (pre-generated, page-cache-warmed)
+input and reports throughput at both plus the scaling efficiency
+(T_32/T_8)/4 — the sandbox evidence for the north rule's two-cluster-
+size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
+        reconcile,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.fixtures import (
+        ensure_fixtures,
+    )
+
+    fdir = ensure_fixtures(sf_dir)  # cached; also warms page cache below
+    import pyarrow.parquet as pq
+
+    n_pages = pq.read_metadata(os.path.join(fdir, "pages.parquet")).num_rows
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    with open(os.path.join(fdir, "pages.parquet"), "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: full linkage pipeline ----
+    t0 = time.time()
+    out = reconcile.run_reconcile(sf_dir)
+    n_clusters = out["clusters"].count()
+    headline = time.time() - t0
+    queries["reconcile_e2e"] = round(headline, 3)
+
+    # ---- stage: extraction only (the per-document kernel) ----
+    import ray.data as rd
+
+    t0 = time.time()
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
+        extract_pages,
+    )
+
+    ds = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    n = extract_pages(ds).count()
+    queries["extract_only"] = round(time.time() - t0, 3)
+
+    # ---- operator benches over the driver tables ----
+    import __ray_entry__ as entrymod
+
+    for name in ("q_pricing_summary", "q_docs_exact_dedup", "q_knn_bruteforce",
+                 "q_doc_quality"):
+        t0 = time.time()
+        res = entrymod.queries()[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "reconcile_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1),
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "docs_per_sec": round(n_pages / headline, 1),
+        "clusters_rows": n_clusters,
+    }
+    return result
+
+
+def run_scaling() -> dict:
+    # pre-generate fixtures once so neither child pays generation cost
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.fixtures import (
+        ensure_fixtures,
+    )
+
+    ensure_fixtures(sf_dir)
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = child(lo)
+    r_hi = child(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "sf": r_lo["sf"],
+        "queries": {"reconcile_e2e_8": t_lo, "reconcile_e2e_32": t_hi},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        res = run_bench()
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()

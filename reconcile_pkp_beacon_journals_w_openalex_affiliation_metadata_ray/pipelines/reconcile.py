@@ -50,7 +50,7 @@ def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
         lambda t: t.filter(t["is_match"]).select(["left_id", "right_id"]),
         batch_format="pyarrow",
     )
-    clusters = cluster.connected_components(edges, nodes_ds=recs)
+    clusters = cluster.connected_components_auto(edges, nodes_ds=recs)
     return {
         "fixture_dir": fdir,
         "pages": pages,

@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_FIXTURE_VERSION = "3"
+_FIXTURE_VERSION = "5"
 
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
@@ -157,7 +157,16 @@ def _page_html(rng, template, doi, authors_insts, lang, noise_tag=False):
 
 
 def _person(rng):
-    return f"{_FIRST[rng.randint(len(_FIRST))]} {_LAST[rng.randint(len(_LAST))]}"
+    """Name with optional middle initial — the initial lifts name-space
+    entropy so identical-name collisions across entities stay rare even
+    at sf0.1 cardinalities (keeps LSH blocks from degenerating into
+    same-name cliques)."""
+    first = _FIRST[rng.randint(len(_FIRST))]
+    last = _LAST[rng.randint(len(_LAST))]
+    if rng.rand() < 0.85:
+        mi = chr(ord('A') + rng.randint(26))
+        return f"{first} {mi}. {last}"
+    return f"{first} {last}"
 
 
 def _institution(rng):
@@ -210,7 +219,7 @@ def generate(tier: str, out_dir: str) -> None:
         first = ent["authors"][0][0].split(" ")[0]
         other_last = _LAST[(e * 7 + 3) % len(_LAST)]
         # ensure a genuinely different surname
-        if other_last == ent["authors"][0][0].split(" ", 1)[1]:
+        if other_last == ent["authors"][0][0].split(" ")[-1]:
             other_last = _LAST[(e * 7 + 13) % len(_LAST)]
         sib_authors = [(f"{first} {other_last}", [_institution(rng)])]
         eid = len(entities)

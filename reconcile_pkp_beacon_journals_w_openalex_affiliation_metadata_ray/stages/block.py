@@ -5,9 +5,13 @@ Blocking keys (north-star inventory):
                           per-DOI grouping, `check...openalex.py:72-74`)
 - ``host:{host_key}``     normalized-hostname equality — the reference's
                           Rust broadcast semi-join key (`main.rs:235-243`)
-- ``b{i}:{band_hash}``    MinHash-LSH bands over the normalized author
-                          name blob (no reference analog; the scale path
-                          for fuzzy candidates)
+- ``an:{name}``           exact normalized author-name equality (tiny
+                          blocks; catches cross-host light-corruption)
+- ``b{i}:{band_hash}``    MinHash-LSH bands (4 bands x 16 rows of a
+                          64-perm signature, S-curve threshold ~0.92)
+                          over the normalized author name blob — the
+                          fuzzy near-identical-set candidates (no
+                          reference analog; the scale path)
 
 Hot keys (mega-publisher hosts, SURVEY.md §4 skew row) are handled
 EXPLICITLY: a first cheap ``groupby().count()`` pass measures block
@@ -36,7 +40,7 @@ import pyarrow as pa
 from ..functions.minhash import MinHasher, band_keys
 
 DEFAULT_NUM_PERM = 64
-DEFAULT_NUM_BANDS = 8
+DEFAULT_NUM_BANDS = 4
 DEFAULT_HOT_THRESHOLD = 256
 DEFAULT_MAX_PAIRS_PER_BLOCK = 20_000
 
@@ -67,12 +71,17 @@ def _get_hot(hot_keys_ref) -> frozenset:
 
 
 def _refine(key: str, hot: frozenset, authors_norm, doi_norm: str) -> str:
+    """Hot keys get a secondary attribute appended: the FULL normalized
+    first-author name (stable under the light-corruption tier; records
+    with heavier corruption are co-blocked via doi/path/LSH keys, so
+    deep refinement here costs recall ~nothing while collapsing a
+    mega-host block to same-name groups)."""
     if key not in hot:
         return key
     if authors_norm:
-        return f"{key}~{authors_norm[0][:2]}"
+        return f"{key}~{authors_norm[0]}"
     if doi_norm:
-        return f"{key}~{doi_norm.split('/')[0][-2:]}"
+        return f"{key}~{doi_norm}"
     return f"{key}~_"
 
 
@@ -86,24 +95,36 @@ def emit_keys_batch(batch: pa.Table, hot_keys_ref=None, num_perm=DEFAULT_NUM_PER
     paths = batch["path_key"].to_pylist()
     blobs = batch["name_blob"].to_pylist()
     authors_norm = batch["authors_norm"].to_pylist()
-    keys, out_ids = [], []
+    keys, out_ids, has_doi = [], [], []
+
+    def emit(k, rid, d):
+        keys.append(k)
+        out_ids.append(rid)
+        has_doi.append(bool(d))
+
     for rid, doi, host, path, blob, a_norm in zip(rids, dois, hosts, paths, blobs, authors_norm):
         if doi:
-            keys.append("doi:" + doi)
-            out_ids.append(rid)
+            emit("doi:" + doi, rid, doi)
         if path:
-            keys.append("path:" + path)
-            out_ids.append(rid)
+            emit("path:" + path, rid, doi)
         if host:
-            keys.append(_refine("host:" + host, hot, a_norm, doi))
-            out_ids.append(rid)
+            # host equality alone is the reference's SEMI-JOIN key, not
+            # a pair key — for pair generation it is ALWAYS refined by
+            # the first author name (else mega-hosts go quadratic)
+            suffix = a_norm[0] if a_norm else (doi or "_")
+            emit(f"host:{host}~{suffix}", rid, doi)
+        # exact normalized author-name keys: cheap, tiny blocks, catch
+        # cross-host records whose name normalizes identically (first
+        # three authors bound the fanout)
+        for name in a_norm[:3]:
+            emit(_refine("an:" + name, hot, a_norm, doi), rid, doi)
         if blob:
             sig = mh.signature(blob)
             for bk in band_keys(sig, num_bands):
-                keys.append(_refine(bk, hot, a_norm, doi))
-                out_ids.append(rid)
+                emit(_refine(bk, hot, a_norm, doi), rid, doi)
     return pa.table({"block_key": pa.array(keys, pa.string()),
-                     "record_id": pa.array(out_ids, pa.string())})
+                     "record_id": pa.array(out_ids, pa.string()),
+                     "has_doi": pa.array(has_doi, pa.bool_())})
 
 
 def emit_block_keys(records_ds, hot_keys_ref=None):
@@ -116,15 +137,20 @@ def emit_block_keys(records_ds, hot_keys_ref=None):
 
 
 def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD):
-    """First pass: measure block sizes, return the set of oversized keys
-    (small driver-side result — one row per distinct key above
-    threshold)."""
+    """First pass: measure block sizes, return the set of oversized
+    keys. No shuffle: each batch emits its per-key value_counts
+    restricted to keys that could plausibly be hot (count > 1 in-batch
+    OR host/doi prefix keys), the driver sums the partials — the
+    partial table is O(distinct keys), tiny next to the data."""
     keys = emit_block_keys(records_ds)
-    counts = keys.groupby("block_key").count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["count()"], threshold)),
-        batch_format="pyarrow")
-    return frozenset(r["block_key"] for r in hot.take_all())
+
+    def _partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["block_key"].value_counts()
+        return pd.DataFrame({"block_key": vc.index, "n": vc.values})
+
+    partials = keys.map_batches(_partial_counts, batch_format="pandas").to_pandas()
+    totals = partials.groupby("block_key")["n"].sum()
+    return frozenset(totals.index[totals > threshold])
 
 
 def _triu_unflatten(flat: "np.ndarray", n: int):
@@ -146,24 +172,58 @@ def _triu_unflatten(flat: "np.ndarray", n: int):
 
 
 def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
-    """Vectorized pair generation for every block key in a bucket."""
+    """Vectorized pair generation for every block key in a bucket.
+
+    In non-DOI blocks, pairs where BOTH records carry a DOI are
+    skipped: their outcome is already decided by the DOI itself (equal
+    DOIs co-block under the doi: key; different DOIs are a definite
+    non-match) — this prunes the dominant both-authoritative share of
+    fuzzy blocks without losing a single undecided pair."""
     import numpy as np
 
     outs = []
     for key, g in df.groupby("block_key", sort=False):
-        ids = np.unique(g["record_id"].to_numpy())
-        n = len(ids)
+        g = g.drop_duplicates(subset=["record_id"])
+        n = len(g)
         if n < 2:
             continue
-        total = n * (n - 1) // 2
-        if total <= max_pairs:
-            iu, ju = np.triu_indices(n, k=1)
-            dropped = 0
+        if key.startswith("doi:"):
+            ids = np.sort(g["record_id"].to_numpy())
+            total = n * (n - 1) // 2
+            if total <= max_pairs:
+                iu, ju = np.triu_indices(n, k=1)
+                dropped = 0
+            else:
+                flat = np.unique(np.linspace(0, total - 1, max_pairs).astype(np.int64))
+                iu, ju = _triu_unflatten(flat, n)
+                dropped = total - len(flat)
+            left, right = ids[iu], ids[ju]
         else:
-            flat = np.unique(np.linspace(0, total - 1, max_pairs).astype(np.int64))
-            iu, ju = _triu_unflatten(flat, n)
-            dropped = total - len(flat)
-        outs.append(pd.DataFrame({"left_id": ids[iu], "right_id": ids[ju],
+            order = np.argsort(g["record_id"].to_numpy())
+            ids = g["record_id"].to_numpy()[order]
+            hd = g["has_doi"].to_numpy()[order]
+            nd_ids = ids[~hd]          # no-doi records
+            d_ids = ids[hd]            # doi-carrying records
+            m = len(nd_ids)
+            if m == 0:
+                continue
+            # no-doi x no-doi
+            iu, ju = np.triu_indices(m, k=1)
+            l1, r1 = nd_ids[iu], nd_ids[ju]
+            # no-doi x doi (cross product)
+            l2 = np.repeat(nd_ids, len(d_ids))
+            r2 = np.tile(d_ids, m)
+            left = np.concatenate([l1, l2])
+            right = np.concatenate([r1, r2])
+            # canonical ordering left < right
+            swap = left > right
+            left[swap], right[swap] = right[swap], left[swap].copy()
+            dropped = 0
+            if len(left) > max_pairs:
+                sel = np.unique(np.linspace(0, len(left) - 1, max_pairs).astype(np.int64))
+                dropped = len(left) - len(sel)
+                left, right = left[sel], right[sel]
+        outs.append(pd.DataFrame({"left_id": left, "right_id": right,
                                   "block_key": key, "dropped_pairs": dropped}))
     if not outs:
         return pd.DataFrame({"left_id": pd.Series(dtype=str),

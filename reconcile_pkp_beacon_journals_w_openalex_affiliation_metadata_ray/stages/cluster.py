@@ -134,3 +134,41 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
     return labels.map_batches(
         lambda df: pd.DataFrame({"record_id": df["node"], "cluster_id": df["label"]}),
         batch_format="pandas")
+
+
+def connected_components_auto(edges_ds, nodes_ds=None,
+                              driver_edge_limit: int = 2_000_000,
+                              num_buckets: int = 64):
+    """Hybrid transitive closure: the matched-edge set is typically a
+    tiny fraction of the input corpus (only records that scored as
+    matches), so when it fits comfortably on the driver
+    (< driver_edge_limit edges) we stream the edges once and run
+    union-find there — one pass, no per-round shuffles. Above the
+    limit, the fully-distributed min-label propagation
+    (:func:`connected_components`) takes over. Both paths produce the
+    identical min-id labeling (asserted in tests)."""
+    n_edges = edges_ds.count()
+    if n_edges > driver_edge_limit:
+        return connected_components(edges_ds, nodes_ds=nodes_ds,
+                                    num_buckets=num_buckets)
+    edges = []
+    for b in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        edges.extend(zip(b["left_id"].to_pylist(), b["right_id"].to_pylist()))
+    labels = union_find(edges)
+
+    import ray
+
+    labels_ref = ray.put(labels)
+
+    if nodes_ds is not None:
+        def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+            lbl = ray.get(labels_ref)
+            nodes = batch["record_id"]
+            return pd.DataFrame({"record_id": nodes,
+                                 "cluster_id": nodes.map(lambda n: lbl.get(n, n))})
+
+        return nodes_ds.map_batches(_assign, batch_format="pandas")
+    rows = sorted(labels.items())
+    import ray.data as rd
+
+    return rd.from_items([{"record_id": k, "cluster_id": v} for k, v in rows])

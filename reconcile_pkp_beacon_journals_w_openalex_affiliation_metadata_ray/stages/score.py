@@ -107,8 +107,14 @@ def score_pair(left: dict, right: dict) -> dict:
     doi_conflict = bool(doi_l) and bool(doi_r) and doi_l != doi_r
     author = _best_author_score(left["authors_norm"], right["authors_norm"])
     inst = _inst_score(left["insts_norm"], right["insts_norm"])
-    jw = jaro_winkler(left["name_blob"], right["name_blob"]) * 100.0
-    jac = token_jaccard(left["name_blob"], right["name_blob"]) * 100.0
+    if doi_equal or doi_conflict:
+        # decision is DOI-determined; skip the auxiliary O(n^2) blob
+        # metrics on the (dominant) exact-key pairs
+        jw = 100.0 if doi_equal else 0.0
+        jac = 100.0 if doi_equal else 0.0
+    else:
+        jw = jaro_winkler(left["name_blob"], right["name_blob"]) * 100.0
+        jac = token_jaccard(left["name_blob"], right["name_blob"]) * 100.0
     if doi_equal:
         combined, is_match = 100.0, True
     elif doi_conflict:
@@ -175,16 +181,27 @@ def broadcast_records(records_ds):
     return ray.put(lookup)
 
 
+def _auto_pool():
+    """Autoscaling pool bounds sized to the session: min=1 guarantees
+    progress under contention (no starvation deadlock), max leaves a
+    few CPUs for the surrounding read/shuffle stages."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(4, cpus - 4))
+
+
 def score_pairs(pairs_ds, records_ref, concurrency=None, batch_size=2048):
-    # autoscaling pool with min=1 so the stage can always make progress
-    # even when other stages hold most CPUs (no starvation deadlock)
     return pairs_ds.map_batches(
         PairScorer,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
         fn_constructor_kwargs={"records_ref": records_ref},
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or _auto_pool(),
     )
 
 
