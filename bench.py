@@ -6,10 +6,13 @@ score -> cluster) over the synthesized pages corpus for $GRAFT_SF_DIR
 Prints ONE JSON line.
 
 --scaling: runs the headline twice in fresh subprocesses at
-RAY_GRAFT_CPUS=8 and =32 on the same (pre-generated, page-cache-warmed)
-input and reports throughput at both plus the scaling efficiency
-(T_32/T_8)/4 — the sandbox evidence for the north rule's two-cluster-
-size criterion (see BASELINE.md).
+RAY_GRAFT_CPUS=N and 4N (default 4 and 16; override with
+GRAFT_SCALE_LO/GRAFT_SCALE_HI) on the same (pre-generated,
+page-cache-warmed) input and reports throughput at both plus the
+scaling efficiency (T_lo/T_hi)/4 — the sandbox evidence for the north
+rule's two-cluster-size criterion (see BASELINE.md, including the
+measured ~21-effective-core host ceiling that makes 4-vs-16 the
+honest 4x pair on this VM).
 """
 
 from __future__ import annotations
@@ -113,7 +116,13 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N. This VM's host delivers only ~21 effective cores under
+    # 32-wide load (measured: pure-CPU multiprocessing reaches 20.7
+    # core-equivalents at 32 workers but 17.9/4.7 = 3.83x from 4 -> 16
+    # workers), so the honest 4x pair that fits inside the hardware
+    # ceiling is 4 vs 16; numbers for 8 vs 32 are also recorded in
+    # BASELINE.md with the ceiling measurement.
+    lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo = child(lo)
     r_hi = child(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -122,12 +131,14 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
         "sf": r_lo["sf"],
-        "queries": {"reconcile_e2e_8": t_lo, "reconcile_e2e_32": t_hi},
+        "queries": {f"reconcile_e2e_{lo}": t_lo, f"reconcile_e2e_{hi}": t_hi},
     }
 
 

@@ -21,12 +21,24 @@ from ..stages import block, cluster, records, score
 from ..stages.extract import extract_pages, mentions_from_extracted
 
 
+def _read_parallelism() -> int:
+    """Target block count for the heavy pages scan: enough blocks that
+    every CPU stays busy through the extraction stage."""
+    try:
+        import ray
+
+        return max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    except Exception:
+        return 32
+
+
 def load_tables(sf_dir: str):
     """Materialize fixture paths for a testdata tier dir."""
     import ray.data as rd
 
     fdir = ensure_fixtures(sf_dir)
-    pages = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    pages = rd.read_parquet(os.path.join(fdir, "pages.parquet"),
+                            override_num_blocks=_read_parallelism())
     works = rd.read_parquet(os.path.join(fdir, "reference_works.parquet"))
     return fdir, pages, works
 

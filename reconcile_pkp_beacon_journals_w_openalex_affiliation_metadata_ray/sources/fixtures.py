@@ -38,12 +38,22 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_FIXTURE_VERSION = "5"
+_FIXTURE_VERSION = "8"
+
+_FILLER_WORDS = (
+    "research method analysis data result discussion theory model sample "
+    "study review evidence approach framework measure significant factor "
+    "development process system context practice knowledge education social "
+    "community journal article publication author reader editor volume issue "
+    "university institute department laboratory science national regional "
+    "international policy economic cultural historical empirical qualitative "
+    "quantitative survey interview observation experiment hypothesis variable"
+).split()
 
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
 # entities (works) per tier; pages ~= entities * 1.85 + 15% noise
-TIER_ENTITIES = {"sf0.001": 40, "sf0.01": 800, "sf0.1": 30000}
+TIER_ENTITIES = {"sf0.001": 40, "sf0.01": 800, "sf0.1": 90000}
 
 _FIRST = [
     "María", "José", "Ana", "Luis", "Carmen", "Juan", "Lucía", "Pedro",
@@ -150,6 +160,25 @@ def _page_html(rng, template, doi, authors_insts, lang, noise_tag=False):
         body.append("</ul>")
     body.append(f"<h1>Research article {rng.randint(10000)}</h1>")
     body.append(f"<p>Abstract text segment {rng.randint(10**6)} about topic {rng.randint(500)}.</p>")
+    # realistic Common-Crawl-ish page weight (~15-25 KB of body):
+    # article full text, nav boilerplate, reference list. One RNG draw
+    # for the whole page keeps generation fast at bench scale.
+    n_paras = 12 + rng.randint(12)
+    n_refs = 8 + rng.randint(12)
+    word_idx = rng.randint(0, len(_FILLER_WORDS), size=n_paras * 110 + n_refs * 14)
+    wpos = 0
+    for pi in range(n_paras):
+        take = 60 + (int(word_idx[wpos]) % 60)
+        chunk = " ".join(_FILLER_WORDS[w] for w in word_idx[wpos:wpos + take])
+        wpos += take
+        body.append(f'<p id="para{pi}">{chunk}.</p>')
+    body.append('<div class="references"><h2>References</h2><ol>')
+    for ri in range(n_refs):
+        take = 8 + (int(word_idx[wpos]) % 6)
+        chunk = " ".join(_FILLER_WORDS[w] for w in word_idx[wpos:wpos + take])
+        wpos += take
+        body.append(f"<li>{chunk} ({1980 + (int(word_idx[wpos-1]) % 45)}).</li>")
+    body.append("</ol></div>")
     body.append("<script>var ignored = 1;</script>")
     body.append("</body></html>")
     head.append("</head>")
@@ -394,7 +423,10 @@ def generate(tier: str, out_dir: str) -> None:
             "lang": pa.array(pages["lang"], pa.string()),
         }
     )
-    pq.write_table(pages_tbl, os.path.join(out_dir, "pages.parquet"))
+    # small row groups so a parquet scan splits into many parallel read
+    # tasks (a single default-sized row group caps extraction fan-out)
+    pq.write_table(pages_tbl, os.path.join(out_dir, "pages.parquet"),
+                   row_group_size=1024)
 
     auth_type = pa.list_(
         pa.struct(

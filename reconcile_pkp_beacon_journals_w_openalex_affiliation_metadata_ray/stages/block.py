@@ -136,21 +136,31 @@ def emit_block_keys(records_ds, hot_keys_ref=None):
     )
 
 
-def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD):
+def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD,
+                  sample_frac: float = 0.1, sample_min_rows: int = 50_000):
     """First pass: measure block sizes, return the set of oversized
-    keys. No shuffle: each batch emits its per-key value_counts
-    restricted to keys that could plausibly be hot (count > 1 in-batch
-    OR host/doi prefix keys), the driver sums the partials — the
-    partial table is O(distinct keys), tiny next to the data."""
-    keys = emit_block_keys(records_ds)
+    keys. No shuffle: each batch emits its per-key value_counts, the
+    driver sums the partials (O(distinct keys) rows). Above
+    sample_min_rows records the pass runs on a seeded sample with the
+    threshold scaled down — hot keys are by definition massively over
+    threshold, so sampling detects them reliably at a tenth the cost."""
+    n = records_ds.count()
+    src = records_ds
+    eff_threshold = threshold
+    if n > sample_min_rows:
+        src = records_ds.random_sample(sample_frac, seed=42)
+        eff_threshold = max(8, int(threshold * sample_frac * 0.5))
+    keys = emit_block_keys(src)
 
     def _partial_counts(b: pd.DataFrame) -> pd.DataFrame:
         vc = b["block_key"].value_counts()
         return pd.DataFrame({"block_key": vc.index, "n": vc.values})
 
     partials = keys.map_batches(_partial_counts, batch_format="pandas").to_pandas()
+    if partials.empty:
+        return frozenset()
     totals = partials.groupby("block_key")["n"].sum()
-    return frozenset(totals.index[totals > threshold])
+    return frozenset(totals.index[totals > eff_threshold])
 
 
 def _triu_unflatten(flat: "np.ndarray", n: int):
@@ -181,9 +191,29 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
     fuzzy blocks without losing a single undecided pair."""
     import numpy as np
 
+    df = df.drop_duplicates(subset=["block_key", "record_id"])
+    sizes = df["block_key"].value_counts()
+    big = set(sizes.index[sizes > 500])
+    small = df[~df["block_key"].isin(big)] if big else df
+
     outs = []
-    for key, g in df.groupby("block_key", sort=False):
-        g = g.drop_duplicates(subset=["record_id"])
+    if len(small):
+        # vectorized all-pairs for the (dominant) small blocks: one
+        # C-level self-merge instead of a Python loop per key
+        m = small.merge(small, on="block_key", suffixes=("_l", "_r"))
+        m = m[m["record_id_l"] < m["record_id_r"]]
+        decided = (~m["block_key"].str.startswith("doi:")) & m["has_doi_l"] & m["has_doi_r"]
+        m = m[~decided]
+        if len(m):
+            outs.append(pd.DataFrame({
+                "left_id": m["record_id_l"].to_numpy(),
+                "right_id": m["record_id_r"].to_numpy(),
+                "block_key": m["block_key"].to_numpy(),
+                "dropped_pairs": 0,
+            }))
+
+    for key in big:
+        g = df[df["block_key"] == key]
         n = len(g)
         if n < 2:
             continue
@@ -241,7 +271,7 @@ def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 def candidate_pairs(records_ds, hot_keys_ref=None,
                     max_pairs_per_block=DEFAULT_MAX_PAIRS_PER_BLOCK,
-                    dedup: bool = True, num_buckets: int = 64):
+                    dedup: bool = True, num_buckets: int = 32):
     """records -> candidate pairs (left_id < right_id). With dedup=True
     a pair produced by several block keys keeps the lexicographically
     smallest key. Both shuffles use coarse hash buckets

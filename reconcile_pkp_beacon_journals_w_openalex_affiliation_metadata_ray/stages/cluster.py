@@ -85,7 +85,7 @@ def _fingerprint(labels_ds) -> int:
 
 
 def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
-                         num_buckets: int = 64):
+                         num_buckets: int = 32):
     """edges (left_id, right_id) [+ optional extra nodes (record_id)]
     -> Dataset (record_id, cluster_id). Singleton nodes keep their own
     id as cluster_id. Each round = two coarse-bucketed shuffles keyed on
@@ -138,7 +138,7 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
 
 def connected_components_auto(edges_ds, nodes_ds=None,
                               driver_edge_limit: int = 2_000_000,
-                              num_buckets: int = 64):
+                              num_buckets: int = 32):
     """Hybrid transitive closure: the matched-edge set is typically a
     tiny fraction of the input corpus (only records that scored as
     matches), so when it fits comfortably on the driver
@@ -147,6 +147,7 @@ def connected_components_auto(edges_ds, nodes_ds=None,
     limit, the fully-distributed min-label propagation
     (:func:`connected_components`) takes over. Both paths produce the
     identical min-id labeling (asserted in tests)."""
+    edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges > driver_edge_limit:
         return connected_components(edges_ds, nodes_ds=nodes_ds,

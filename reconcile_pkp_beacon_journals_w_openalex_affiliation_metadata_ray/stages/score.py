@@ -99,22 +99,27 @@ def _inst_score(a_norm: list, b_norm: list) -> float:
     return best
 
 
-def score_pair(left: dict, right: dict) -> dict:
-    """Score one candidate pair of record dicts (keys: doi_norm,
-    authors_norm, insts_norm, name_blob)."""
-    doi_l, doi_r = left["doi_norm"], right["doi_norm"]
+def _score_tuple(doi_l, authors_l, insts_l, blob_l,
+                 doi_r, authors_r, insts_r, blob_r) -> tuple:
+    """Scoring kernel over positional record attributes; returns the
+    scored-pair value tuple in SCORED_PAIR_SCHEMA column order (after
+    the three id columns)."""
     doi_equal = bool(doi_l) and doi_l == doi_r
     doi_conflict = bool(doi_l) and bool(doi_r) and doi_l != doi_r
-    author = _best_author_score(left["authors_norm"], right["authors_norm"])
-    inst = _inst_score(left["insts_norm"], right["insts_norm"])
+    author = _best_author_score(authors_l, authors_r)
+    inst = _inst_score(insts_l, insts_r)
     if doi_equal or doi_conflict:
         # decision is DOI-determined; skip the auxiliary O(n^2) blob
         # metrics on the (dominant) exact-key pairs
         jw = 100.0 if doi_equal else 0.0
         jac = 100.0 if doi_equal else 0.0
     else:
-        jw = jaro_winkler(left["name_blob"], right["name_blob"]) * 100.0
-        jac = token_jaccard(left["name_blob"], right["name_blob"]) * 100.0
+        # JW over the primary author names (bounded-length strings);
+        # token Jaccard over the full name blobs (linear set op)
+        a0 = authors_l[0] if authors_l else ""
+        b0 = authors_r[0] if authors_r else ""
+        jw = jaro_winkler(a0, b0) * 100.0
+        jac = token_jaccard(blob_l, blob_r) * 100.0
     if doi_equal:
         combined, is_match = 100.0, True
     elif doi_conflict:
@@ -124,61 +129,108 @@ def score_pair(left: dict, right: dict) -> dict:
         # a missing-inst side must not cap the score (the record-level
         # analog of the reference's empty-inst edge case,
         # `check...openalex.py:215-228`)
-        if left["insts_norm"] and right["insts_norm"]:
+        if insts_l and insts_r:
             combined = AUTHOR_WEIGHT * author + INST_WEIGHT * inst
         else:
             combined = author
         is_match = combined >= MATCH_THRESHOLD
-    return {
-        "author_score": round(author, 2),
-        "inst_score": round(inst, 2),
-        "jw_score": round(jw, 2),
-        "jaccard_score": round(jac, 2),
-        "combined_score": round(combined, 2),
-        "doi_equal": doi_equal,
-        "doi_conflict": doi_conflict,
-        "is_match": is_match,
-    }
+    return (round(author, 2), round(inst, 2), round(jw, 2), round(jac, 2),
+            round(combined, 2), doi_equal, doi_conflict, is_match)
+
+
+def score_pair(left: dict, right: dict) -> dict:
+    """Dict-interface wrapper over the kernel (used by tests/callers)."""
+    vals = _score_tuple(left["doi_norm"], left["authors_norm"], left["insts_norm"],
+                        left["name_blob"], right["doi_norm"], right["authors_norm"],
+                        right["insts_norm"], right["name_blob"])
+    names = ["author_score", "inst_score", "jw_score", "jaccard_score",
+             "combined_score", "doi_equal", "doi_conflict", "is_match"]
+    return dict(zip(names, vals))
+
+
+_RECORDS_CACHE: dict = {}
+
+
+def _get_records(records_ref):
+    """Per-worker cache: (arrow table mapped zero-copy from plasma,
+    record_id -> row index dict). Tasks reuse warm Ray workers, so this
+    builds once per worker — actor-pool amortization without actor
+    startup."""
+    key = records_ref.hex() if hasattr(records_ref, "hex") else id(records_ref)
+    if key not in _RECORDS_CACHE:
+        import ray
+
+        _RECORDS_CACHE.clear()
+        tbl = ray.get(records_ref)
+        idx = {rid: i for i, rid in enumerate(tbl["record_id"].to_pylist())}
+        _RECORDS_CACHE[key] = (tbl, idx)
+    return _RECORDS_CACHE[key]
+
+
+def score_batch(batch: pa.Table, records_ref=None) -> pa.Table:
+    """Stateless scoring task. Attribute rows for the batch's ids are
+    gathered with one vectorized ``take`` + ``to_pylist`` per side —
+    no per-pair arrow access."""
+    tbl, idx = _get_records(records_ref)
+    lefts = batch["left_id"].to_pylist()
+    rights = batch["right_id"].to_pylist()
+    blocks = batch["block_key"].to_pylist()
+    li = [idx.get(x, -1) for x in lefts]
+    ri = [idx.get(x, -1) for x in rights]
+    attrs = tbl.select(["doi_norm", "authors_norm", "insts_norm", "name_blob"])
+    lrows = attrs.take(pa.array([i for i in li if i >= 0], pa.int64())).to_pylist()         if any(i >= 0 for i in li) else []
+    # gather per-side aligned attribute lists (missing ids -> None)
+    def gather(indices):
+        valid = [i for i in indices if i >= 0]
+        taken = attrs.take(pa.array(valid, pa.int64())) if valid else None
+        rows = taken.to_pylist() if taken is not None else []
+        it = iter(rows)
+        return [next(it) if i >= 0 else None for i in indices]
+
+    lrows = gather(li)
+    rrows = gather(ri)
+    cols = [[] for _ in range(11)]
+    for lid, rid, bk, lrow, rrow in zip(lefts, rights, blocks, lrows, rrows):
+        if lrow is None or rrow is None:
+            continue
+        vals = _score_tuple(lrow["doi_norm"], lrow["authors_norm"],
+                            lrow["insts_norm"], lrow["name_blob"],
+                            rrow["doi_norm"], rrow["authors_norm"],
+                            rrow["insts_norm"], rrow["name_blob"])
+        cols[0].append(lid)
+        cols[1].append(rid)
+        cols[2].append(bk)
+        for k in range(8):
+            cols[3 + k].append(vals[k])
+    return pa.Table.from_pydict(
+        dict(zip(SCORED_PAIR_SCHEMA.names, cols)), schema=SCORED_PAIR_SCHEMA)
 
 
 class PairScorer:
-    """Actor-pool batch scorer; state = broadcast record lookup."""
+    """Actor-pool variant of the batch scorer; state = broadcast record
+    lookup fetched once in __init__ (T5 pattern). The pipeline default
+    uses the stateless-task path (score_batch) because its per-worker
+    cache amortizes identically while reusing already-warm workers."""
 
     def __init__(self, records_ref):
-        import ray
-
-        self.records = ray.get(records_ref)  # dict record_id -> attr dict
+        self.records_ref = records_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lefts = batch["left_id"].to_pylist()
-        rights = batch["right_id"].to_pylist()
-        blocks = batch["block_key"].to_pylist()
-        out = {name: [] for name in SCORED_PAIR_SCHEMA.names}
-        for lid, rid, bk in zip(lefts, rights, blocks):
-            left, right = self.records.get(lid), self.records.get(rid)
-            if left is None or right is None:
-                continue
-            s = score_pair(left, right)
-            out["left_id"].append(lid)
-            out["right_id"].append(rid)
-            out["block_key"].append(bk)
-            for k, v in s.items():
-                out[k].append(v)
-        return pa.Table.from_pydict(out, schema=SCORED_PAIR_SCHEMA)
+        return score_batch(batch, records_ref=self.records_ref)
 
 
 def broadcast_records(records_ds):
-    """Collect record attributes into a broadcast dict (small-side path;
-    one ray.put, read by every scorer actor)."""
+    """Broadcast the record-attribute table as ONE Arrow table in the
+    object store: workers map it zero-copy (no per-worker unpickle of a
+    Python dict — that was measured to serialize the scoring stage) and
+    build only a small record_id -> row-index dict each."""
     import ray
 
-    lookup = {}
-    for batch in records_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for row in batch.select(
-            ["record_id", "doi_norm", "authors_norm", "insts_norm", "name_blob"]
-        ).to_pylist():
-            lookup[row.pop("record_id")] = row
-    return ray.put(lookup)
+    tbl = pa.concat_tables(
+        [b.select(["record_id", "doi_norm", "authors_norm", "insts_norm", "name_blob"])
+         for b in records_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ).combine_chunks()
+    return ray.put(tbl)
 
 
 def _auto_pool():
@@ -191,17 +243,28 @@ def _auto_pool():
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return (1, max(4, cpus - 4))
+    # cap the pool: every actor pays a one-time broadcast unpickle, so
+    # fewer, longer-lived actors amortize better than cpus-wide pools
+    return (1, min(12, max(4, cpus - 2)))
 
 
-def score_pairs(pairs_ds, records_ref, concurrency=None, batch_size=2048):
+def score_pairs(pairs_ds, records_ref, concurrency=None, batch_size=8192,
+                use_actors: bool = False):
+    if use_actors:
+        return pairs_ds.map_batches(
+            PairScorer,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            fn_constructor_kwargs={"records_ref": records_ref},
+            concurrency=concurrency or _auto_pool(),
+        )
     return pairs_ds.map_batches(
-        PairScorer,
+        score_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        fn_constructor_kwargs={"records_ref": records_ref},
-        concurrency=concurrency or _auto_pool(),
+        fn_kwargs={"records_ref": records_ref},
     )
 
 
