@@ -75,6 +75,61 @@ def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
     }
 
 
+def run_reconcile_checkpointed(sf_dir: str, workdir: str):
+    """Checkpointed variant: every stage lands in per-partition Parquet
+    with a lineage manifest under ``workdir`` (state.manifest). A rerun
+    with unchanged inputs resumes: completed stages are READ, their
+    upstream compute never re-executes (ds_factory laziness). Returns
+    (outputs dict, resumed dict: stage -> bool)."""
+    import ray
+
+    from ..state import manifest as mf
+
+    fdir = ensure_fixtures(sf_dir)
+    pages_path = os.path.join(fdir, "pages.parquet")
+    works_path = os.path.join(fdir, "reference_works.parquet")
+    fp = mf.fingerprint_inputs(pages_path, works_path, "v1")
+    resumed = {}
+
+    def records_factory():
+        import ray.data as rd
+
+        pages = rd.read_parquet(pages_path, override_num_blocks=_read_parallelism())
+        works = rd.read_parquet(works_path)
+        return records.build_records(extract_pages(pages), works)
+
+    recs, resumed["records"] = mf.checkpoint(
+        records_factory, workdir, "records", fp, partition_key="record_id")
+    recs = recs.materialize()
+
+    def pairs_factory():
+        hot = block.find_hot_keys(recs)
+        return block.candidate_pairs(recs, hot_keys_ref=ray.put(hot))
+
+    pairs, resumed["pairs"] = mf.checkpoint(
+        pairs_factory, workdir, "pairs", fp, partition_key="left_id")
+
+    def scored_factory():
+        rec_ref = score.broadcast_records(recs)
+        return score.score_pairs(pairs, rec_ref)
+
+    scored, resumed["scored"] = mf.checkpoint(
+        scored_factory, workdir, "scored", fp, partition_key="left_id",
+        histogram_col="combined_score")
+
+    def clusters_factory():
+        edges = scored.map_batches(
+            lambda t: t.filter(t["is_match"]).select(["left_id", "right_id"]),
+            batch_format="pyarrow")
+        return cluster.connected_components_auto(edges, nodes_ds=recs)
+
+    clusters, resumed["clusters"] = mf.checkpoint(
+        clusters_factory, workdir, "clusters", fp, partition_key="record_id")
+
+    return {"fixture_dir": fdir, "records": recs, "pairs": pairs,
+            "scored": scored, "clusters": clusters}, resumed
+
+
 def pairwise_f1(clusters_ds, labeled_path: str) -> dict:
     """Pairwise precision/recall/F1 of predicted same-cluster vs the
     labeled pairs (the gate metric, BASELINE.json: F1 >= 0.99 at the

@@ -1,0 +1,195 @@
+"""Unit tests for the generic operator library (ops/) against
+independent pandas/numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+    dedup as dedup_ops,
+    multimodal,
+    relational,
+    similarity_search,
+    text as text_ops,
+)
+
+
+@pytest.fixture(scope="module")
+def rds(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _sorted(df, cols=None):
+    df = df if isinstance(df, pd.DataFrame) else df.to_pandas()
+    sort_cols = cols or list(df.columns)
+    return (df.sort_values(sort_cols, kind="mergesort")
+            .reset_index(drop=True)[sorted(df.columns, key=list(df.columns).index)])
+
+
+def test_broadcast_join_modes(rds):
+    big = rds.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4, 2], "v": list("abcde")}))
+    small = pd.DataFrame({"k": [2, 3, 9], "w": ["x", "y", "z"]})
+    inner = _sorted(relational.broadcast_join(big, small, on="k", how="inner").to_pandas())
+    oracle = _sorted(pd.DataFrame({"k": [1, 2, 3, 4, 2], "v": list("abcde")})
+                     .merge(small, on="k", how="inner"))
+    pd.testing.assert_frame_equal(inner, oracle, check_dtype=False)
+
+    semi = _sorted(relational.broadcast_join(big, small, on="k", how="semi").to_pandas())
+    assert semi["k"].tolist() == [2, 2, 3]
+    anti = _sorted(relational.broadcast_join(big, small, on="k", how="anti").to_pandas())
+    assert anti["k"].tolist() == [1, 4]
+
+    left = relational.broadcast_join(big, small, on="k", how="left").to_pandas()
+    assert len(left) == 5 and left["w"].isna().sum() == 2
+
+
+def test_bucket_join_matches_pandas(rds):
+    rng = np.random.RandomState(0)
+    ldf = pd.DataFrame({"k": rng.randint(0, 50, 500), "a": rng.rand(500)})
+    rdf = pd.DataFrame({"k": rng.randint(0, 50, 300), "b": rng.rand(300)})
+    got = _sorted(relational.bucket_join(rds.from_pandas(ldf), rds.from_pandas(rdf),
+                                         on="k", num_buckets=8).to_pandas())
+    want = _sorted(ldf.merge(rdf, on="k", how="inner"))
+    pd.testing.assert_frame_equal(got.round(9), want.round(9), check_dtype=False)
+
+
+def test_bucketed_map_groups_covers_all_keys(rds):
+    df = pd.DataFrame({"k": [f"k{i % 17}" for i in range(200)], "v": range(200)})
+
+    def fn(bucket):
+        return bucket.groupby("k", as_index=False).agg(s=("v", "sum"))
+
+    got = _sorted(relational.bucketed_map_groups(rds.from_pandas(df), "k", fn,
+                                                 num_buckets=4).to_pandas())
+    want = _sorted(df.groupby("k", as_index=False).agg(s=("v", "sum")))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_topk_per_group(rds):
+    df = pd.DataFrame({"g": [1, 1, 1, 2, 2], "x": [5, 9, 9, 1, 2], "id": [3, 1, 2, 9, 8]})
+    got = relational.topk_per_group(rds.from_pandas(df), "g", "x", k=1,
+                                    tie_break="id").to_pandas()
+    got = _sorted(got, ["g", "x", "id"])
+    # group 1: max x=9, tie broken by min id=1; group 2: x=2
+    assert got[["g", "x", "id"]].values.tolist() == [[1, 9, 1], [2, 2, 8]]
+
+
+def test_exact_dedup_finds_planted_duplicates(rds):
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["alpha", "beta", "alpha", "gamma", "beta", "alpha", "", ""],
+    })
+    got = dedup_ops.exact_dedup(rds.from_pandas(docs)).to_pandas()
+    got = _sorted(got, ["doc_id"])
+    want = {0: 3, 1: 2, 3: 1, 6: 2}  # kept_id -> n_copies
+    assert dict(zip(got.doc_id, got.n_copies)) == want
+
+
+def test_minhash_lsh_finds_planted_near_dups(rds):
+    base = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the quiet forest while the sun slowly sets behind hills")
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [base,
+                 base.replace("quick", "quik"),          # near-dup of 0
+                 base,                                     # exact dup of 0
+                 "completely different text about databases and query engines"],
+    })
+    pairs = dedup_ops.minhash_lsh_pairs(rds.from_pandas(docs),
+                                        jaccard_threshold=0.7).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs.left_id, pairs.right_id)}
+    assert (0, 2) in found and (0, 1) in found and (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_simhash_pairs_planted(rds):
+    base = "word " * 60 + "ending segment alpha beta gamma delta"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, base, "entirely unrelated content qwerty zxcvb plumbing"],
+    })
+    pairs = dedup_ops.simhash_pairs(rds.from_pandas(docs)).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs.left_id, pairs.right_id)}
+    assert (0, 1) in found
+    assert all(2 not in p for p in found)
+
+
+def test_embedding_near_dup_planted(rds):
+    rng = np.random.RandomState(3)
+    base = rng.randn(16)
+    vecs = [base, base + rng.randn(16) * 0.01, rng.randn(16), rng.randn(16)]
+    ds = rds.from_pandas(pd.DataFrame({"vec_id": range(4),
+                                       "embedding": [v.astype("float32").tolist() for v in vecs]}))
+    pairs = dedup_ops.embedding_near_dup_pairs(ds, cosine_threshold=0.98).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs.left_id, pairs.right_id)}
+    assert (0, 1) in found and len(found) == 1
+
+
+def test_knn_bruteforce_matches_numpy(rds):
+    rng = np.random.RandomState(1)
+    mat = rng.randn(200, 8).astype("float64")
+    ds = rds.from_pandas(pd.DataFrame({"vec_id": range(200),
+                                       "embedding": [v.tolist() for v in mat]}))
+    q = mat[:3]
+    got = similarity_search.knn_bruteforce(ds, q, [0, 1, 2], k=5)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qu = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = unit @ qu.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(200), -sims[:, qi]))[:5]
+        want = order.tolist()
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert sub.neighbor_id.tolist() == want
+        assert sub.iloc[0].neighbor_id == qi and sub.iloc[0].cosine == 1.0
+
+
+def test_knn_ivf_recall(rds):
+    rng = np.random.RandomState(2)
+    mat = rng.randn(400, 16).astype("float64")
+    ds = rds.from_pandas(pd.DataFrame({"vec_id": range(400),
+                                       "embedding": [v.tolist() for v in mat]}))
+    q = mat[:5]
+    exact = similarity_search.knn_bruteforce(ds, q, list(range(5)), k=10)
+    approx = similarity_search.knn_ivf(ds, q, list(range(5)), k=10, n_cells=8, nprobe=4)
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi].neighbor_id)
+        a = set(approx[approx.query_id == qi].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4 of 8 cells
+
+
+def test_text_ops_deterministic(rds):
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["Hello World 123!", "", "  the and of a to x  "]})
+    tok = text_ops.token_counts(docs)
+    assert tok.n_tokens.tolist() == [3, 0, 6]
+    q = text_ops.quality_scores(docs)
+    assert q.n_chars.tolist() == [16, 0, 21]
+    assert q.loc[0, "digit_ratio"] == round(3 / 16, 6)
+    lang = text_ops.lang_id(docs)
+    assert lang.lang_pred.tolist()[2] == "en"
+    assert lang.lang_pred.tolist()[1] == "und"
+    fp = text_ops.fingerprints(docs)
+    import hashlib
+
+    assert fp.md5.tolist()[0] == hashlib.md5(b"Hello World 123!").hexdigest()
+
+
+def test_media_decoder_plumbing(rds):
+    df = pd.DataFrame({"item_id": [1, 2], "payload": [b"\x00\x01binary", b""]})
+    out = multimodal.decode_media(rds.from_pandas(df), decoder="fake",
+                                  concurrency=(1, 2)).to_pandas()
+    assert out.n_bytes.tolist() == [8, 0]
+    assert all(out.decode_status == "ok")
+    assert all(len(f) == 16 for f in out.features)
+    # deterministic features
+    out2 = multimodal.decode_media(rds.from_pandas(df), decoder="fake",
+                                   concurrency=(1, 2)).to_pandas()
+    assert np.allclose(np.vstack(out.features), np.vstack(out2.features))
+    with pytest.raises(ValueError):
+        multimodal.MediaDecoder(decoder="bogus")
+    with pytest.raises(NotImplementedError):
+        multimodal.MediaDecoder(decoder="real")._decode_one(b"x")
