@@ -29,6 +29,18 @@ from ..functions.similarity import ngram_jaccard
 _MH: MinHasher | None = None
 
 
+def _typed_or_empty(ds, schema_fields):
+    """Aggregates over an empty pair set lose their schema; give empty
+    results a stable typed one so downstream consumers (and the
+    driver's schema check) see consistent columns."""
+    ds = ds.materialize()
+    if ds.count() > 0:
+        return ds
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({name: pa.array([], typ) for name, typ in schema_fields}))
+
+
 def _mh(num_perm: int) -> MinHasher:
     global _MH
     if _MH is None or _MH.num_perm != num_perm:
@@ -93,8 +105,10 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     pairs = (docs_ds.map_batches(_bands, batch_format="pandas")
              .groupby("band_key").map_groups(_pairs, batch_format="pandas"))
     # a pair can surface from several bands -> dedup
-    return pairs.groupby(["left_id", "right_id"]).aggregate(
+    out = pairs.groupby(["left_id", "right_id"]).aggregate(
         Max("jaccard", alias_name="jaccard"))
+    return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
+                                 ("jaccard", pa.float64())])
 
 
 def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
@@ -133,8 +147,10 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
     pairs = (docs_ds.map_batches(_keys, batch_format="pandas")
              .groupby("band_key").map_groups(_pairs, batch_format="pandas"))
-    return pairs.groupby(["left_id", "right_id"]).aggregate(
+    out = pairs.groupby(["left_id", "right_id"]).aggregate(
         Min("hamming", alias_name="hamming"))
+    return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
+                                 ("hamming", pa.int64())])
 
 
 def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -176,5 +192,7 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
 
     pairs = (emb_ds.map_batches(_buckets, batch_format="pandas")
              .groupby("bucket").map_groups(_pairs, batch_format="pandas"))
-    return pairs.groupby(["left_id", "right_id"]).aggregate(
+    out = pairs.groupby(["left_id", "right_id"]).aggregate(
         Max("cosine", alias_name="cosine"))
+    return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
+                                 ("cosine", pa.float64())])
