@@ -342,6 +342,24 @@ def q_decode_media(sf_dir: str):
         batch_format="pandas")
 
 
+def q_filter_works(sf_dir: str):
+    """Reference entry-point-A parity: broadcast (scheme,host,port)
+    semi-join + non-empty-affiliation predicate over the authority
+    snapshot (`main.rs:216-286`)."""
+    import pyarrow.parquet as pq
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+        filter_works,
+    )
+
+    fdir = ensure_fixtures(sf_dir)
+    works = _rd().read_parquet(os.path.join(fdir, "reference_works.parquet"))
+    base = pq.read_table(os.path.join(fdir, "base_urls.parquet")).to_pandas()
+    out = filter_works.filter_works(works, base)
+    return out.map_batches(lambda t: t.select(["work_id", "doi"]),
+                           batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # linkage pipeline queries (synthesized pages fixtures)
 # --------------------------------------------------------------------------
@@ -424,15 +442,35 @@ def q_stats_overall(sf_dir: str):
     return df
 
 
+def _scored_mentions_path(sf_dir: str) -> str:
+    return os.path.join(FIXTURE_ROOT, _tier(sf_dir), "scored_mentions.parquet")
+
+
+def _round_half_away(series, ndigits: int):
+    """DuckDB-compatible rounding (half away from zero; numpy/pandas
+    round half-to-even, which disagrees at exact .5 boundaries)."""
+    factor = 10 ** ndigits
+    return np.sign(series) * np.floor(np.abs(series) * factor + 0.5) / factor
+
+
 def q_stats_per_entity(sf_dir: str):
-    """Per-DOI wide statistics (A3, `get_stats.py:152-264`)."""
+    """Per-DOI wide statistics (A3, `get_stats.py:152-264`). The scored
+    mention table is also persisted to a deterministic path so the
+    DuckDB oracle can recompute the same aggregation independently
+    (scores taken as given — the aggregation itself is what this
+    query's oracle validates)."""
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
 
     scored = _mention_scored(sf_dir)
+    cols = ["doi", "exact_author_match", "normalized_author_match",
+            "author_similarity_score", "exact_institution_match",
+            "normalized_institution_match", "institution_similarity_score"]
+    pdf = scored.to_pandas()[cols]
+    pdf.to_parquet(_scored_mentions_path(sf_dir), index=False)
     out = stats.per_doi_stats(scored).to_pandas()
     for c in out.columns:
         if out[c].dtype == float:
-            out[c] = out[c].round(4)
+            out[c] = _round_half_away(out[c], 4)
     return out
 
 
@@ -467,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_media": q_decode_media,
         # the linkage pipeline itself
         "q_base_urls": q_base_urls,
+        "q_filter_works": q_filter_works,
         "q_extract_mentions": q_extract_mentions,
         "q_extracted_text": q_extracted_text,
         "q_block_keys": q_block_keys,
@@ -480,8 +519,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    oai = os.path.join(FIXTURE_ROOT, "sf0.01", "oai_urls.parquet")
+    fdir = os.path.join(FIXTURE_ROOT, "sf0.01")
+    oai = os.path.join(fdir, "oai_urls.parquet")
+    scored_path = os.path.join(fdir, "scored_mentions.parquet")
     return {
+        "q_stats_per_entity": f"""
+            SELECT doi AS DOI,
+                   count(*) AS TotalAuthorsInput,
+                   0 AS SkippedRows,
+                   sum(CASE WHEN exact_author_match THEN 1 ELSE 0 END) AS CountExactAuthorMatch,
+                   sum(CASE WHEN normalized_author_match THEN 1 ELSE 0 END) AS CountNormAuthorMatch,
+                   sum(CASE WHEN exact_institution_match THEN 1 ELSE 0 END) AS CountExactInstMatch,
+                   sum(CASE WHEN normalized_institution_match THEN 1 ELSE 0 END) AS CountNormInstMatch,
+                   sum(CASE WHEN exact_author_match AND exact_institution_match THEN 1 ELSE 0 END) AS CountExactBothMatch,
+                   sum(CASE WHEN normalized_author_match AND normalized_institution_match THEN 1 ELSE 0 END) AS CountNormBothMatch,
+                   round(sum(CAST(round(author_similarity_score * 100) AS BIGINT)) / count(*) / 100.0, 4) AS AvgAuthorScore,
+                   round(median(CAST(round(author_similarity_score * 100) AS BIGINT)) / 100.0, 4) AS MedianAuthorScore,
+                   round(min(author_similarity_score), 4) AS MinAuthorScore,
+                   round(max(author_similarity_score), 4) AS MaxAuthorScore,
+                   round(sum(CAST(round(institution_similarity_score * 100) AS BIGINT)) / count(*) / 100.0, 4) AS AvgInstScore,
+                   round(median(CAST(round(institution_similarity_score * 100) AS BIGINT)) / 100.0, 4) AS MedianInstScore,
+                   round(min(institution_similarity_score), 4) AS MinInstScore,
+                   round(max(institution_similarity_score), 4) AS MaxInstScore,
+                   (sum(CASE WHEN exact_author_match THEN 1 ELSE 0 END) = count(*)) AS AllAuthorsExactMatch,
+                   (sum(CASE WHEN normalized_author_match THEN 1 ELSE 0 END) = count(*)) AS AllAuthorsNormMatch,
+                   (sum(CASE WHEN exact_author_match THEN 1 ELSE 0 END) > 0) AS AnyAuthorExactMatch,
+                   (sum(CASE WHEN normalized_author_match THEN 1 ELSE 0 END) > 0) AS AnyAuthorNormMatch,
+                   (sum(CASE WHEN exact_institution_match THEN 1 ELSE 0 END) = count(*)) AS AllInstExactMatch,
+                   (sum(CASE WHEN normalized_institution_match THEN 1 ELSE 0 END) = count(*)) AS AllInstNormMatch
+            FROM read_parquet('{scored_path}')
+            GROUP BY doi
+        """,
+        "q_filter_works": f"""
+            SELECT work_id, doi
+            FROM read_parquet('{fdir}/reference_works.parquet') w
+            WHERE EXISTS (
+              SELECT 1 FROM read_parquet('{fdir}/base_urls.parquet') b
+              WHERE lower(split_part(w.landing_page_url, '://', 1)) = b.scheme
+                AND lower(split_part(split_part(w.landing_page_url, '://', 2), '/', 1)) = b.host)
+            AND len(list_filter(w.authorships,
+                    a -> len(list_filter(a.raw_affiliation_strings,
+                                         s -> trim(s) <> '')) > 0)) > 0
+        """,
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

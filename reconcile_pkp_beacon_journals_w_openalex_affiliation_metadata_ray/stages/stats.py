@@ -140,8 +140,13 @@ def _doi_group_stats(g: pd.DataFrame) -> pd.DataFrame:
     n = len(g)
     ea, na = g["exact_author_match"], g["normalized_author_match"]
     ei, ni = g["exact_institution_match"], g["normalized_institution_match"]
-    a_s = g["author_similarity_score"].astype(float)
-    i_s = g["institution_similarity_score"].astype(float)
+    # scores are 2-decimal by contract (`check...openalex.py:254-259`);
+    # aggregate in exact integer hundredths so means/medians are
+    # reproducible bit-for-bit across engines (no float-sum-order drift)
+    a_c = (g["author_similarity_score"].astype(float) * 100).round().astype("int64")
+    i_c = (g["institution_similarity_score"].astype(float) * 100).round().astype("int64")
+    a_s = a_c / 100.0
+    i_s = i_c / 100.0
     row = {
         "DOI": g["doi"].iloc[0] if g["doi"].iloc[0] else "UNKNOWN_DOI",
         "TotalAuthorsInput": n,
@@ -152,12 +157,12 @@ def _doi_group_stats(g: pd.DataFrame) -> pd.DataFrame:
         "CountNormInstMatch": int(ni.sum()),
         "CountExactBothMatch": int((ea & ei).sum()),
         "CountNormBothMatch": int((na & ni).sum()),
-        "AvgAuthorScore": float(a_s.mean()),
-        "MedianAuthorScore": float(a_s.median()),
+        "AvgAuthorScore": float(a_c.sum()) / n / 100.0,
+        "MedianAuthorScore": float(a_c.median()) / 100.0,
         "MinAuthorScore": float(a_s.min()),
         "MaxAuthorScore": float(a_s.max()),
-        "AvgInstScore": float(i_s.mean()),
-        "MedianInstScore": float(i_s.median()),
+        "AvgInstScore": float(i_c.sum()) / n / 100.0,
+        "MedianInstScore": float(i_c.median()) / 100.0,
         "MinInstScore": float(i_s.min()),
         "MaxInstScore": float(i_s.max()),
         "AllAuthorsExactMatch": bool(int(ea.sum()) == n),
