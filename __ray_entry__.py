@@ -342,6 +342,33 @@ def q_decode_media(sf_dir: str):
         batch_format="pandas")
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization over the events log (stream-shaped op;
+    30-minute gap)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return windows.sessionize(ds, gap_minutes=30.0)
+
+
+def q_tumbling_window(sf_dir: str):
+    """1-hour tumbling event-time windows per event_type."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = windows.tumbling_window(ds, width="1h").to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def q_running_sum(sf_dir: str):
+    """Per-user running sum in event-time order."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return windows.running_aggregate(ds)
+
+
 def q_filter_works(sf_dir: str):
     """Reference entry-point-A parity: broadcast (scheme,host,port)
     semi-join + non-empty-affiliation predicate over the authority
@@ -489,6 +516,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_by_type": q_events_by_type,
         "q_events_daily": q_events_daily,
         "q_top_event_per_user": q_top_event_per_user,
+        "q_sessionize": q_sessionize,
+        "q_tumbling_window": q_tumbling_window,
+        "q_running_sum": q_running_sum,
         "q_distinct_langs": q_distinct_langs,
         # dedup / text / similarity (training-data ops)
         "q_docs_exact_dedup": q_docs_exact_dedup,
@@ -624,6 +654,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM events) WHERE rn = 1
         """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "q_sessionize": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tagged AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM ordered)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM tagged GROUP BY user_id, session_no
+        """,
+        "q_tumbling_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_running_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+            FROM events
+        """,
         "q_docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)

@@ -1,0 +1,76 @@
+"""Stream-shaped operators over an ordered event log.
+
+Ray Data is a batch engine with no event-time watermarks (SURVEY.md
+§2.9: the reference is purely batch too), so stream semantics are
+expressed the canonical Ray way: treat the events table as a
+partitioned log — partition by key, sort by timestamp INSIDE each
+group, window with vectorized pandas. The ordering assumption is
+per-key only; no global order is required.
+
+- :func:`sessionize` — gap-based session ids per user (classic
+  lag-gt-gap cumsum).
+- :func:`tumbling_window` — fixed-width event-time windows per key
+  (floor(ts / width)), pre-aggregated per batch before the keyed
+  shuffle.
+- :func:`running_aggregate` — per-key cumulative sum ordered by ts
+  (the reference's closest analog: deterministic output ordering by
+  input line number, `retrieve_landing_pages.py:250`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def sessionize(events_ds, key: str = "user_id", ts: str = "ts",
+               gap_minutes: float = 30.0):
+    """Assign session ids: a new session starts when the gap since the
+    previous event of the same key exceeds ``gap_minutes``. Output: one
+    row per session (key, session_start, session_end, n_events).
+    Deterministic: ties in ts are ordered by event_id."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts, "event_id"], kind="mergesort")
+        new_session = (g[ts].diff() > gap).cumsum()
+        agg = g.groupby(new_session).agg(
+            session_start=(ts, "min"), session_end=(ts, "max"),
+            n_events=(ts, "size"))
+        agg[key] = g[key].iloc[0]
+        return agg.reset_index(drop=True)[[key, "session_start", "session_end", "n_events"]]
+
+    return events_ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def tumbling_window(events_ds, key: str = "event_type", ts: str = "ts",
+                    value: str = "value", width: str = "1h"):
+    """Fixed event-time windows: (key, window_start) -> count + sum.
+    Per-batch partial aggregation before the keyed shuffle (combiner
+    pattern) — the shuffle moves one row per (key, window, batch)."""
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[ts].dt.floor(width)
+        g = b.assign(window_start=w).groupby([key, "window_start"],
+                                             as_index=False, sort=False)
+        return g.agg(n=(value, "size"), sum_value=(value, "sum"))
+
+    from ray.data.aggregate import Sum
+
+    partials = events_ds.map_batches(_partial, batch_format="pandas")
+    out = partials.groupby([key, "window_start"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    return out
+
+
+def running_aggregate(events_ds, key: str = "user_id", ts: str = "ts",
+                      value: str = "value"):
+    """Per-key running (cumulative) sum in ts order; output one row per
+    event with the running total. Tie-break on event_id keeps it
+    deterministic at any parallelism."""
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts, "event_id"], kind="mergesort")
+        return pd.DataFrame({
+            key: g[key], "event_id": g["event_id"],
+            "running_sum": g[value].cumsum().round(6),
+        })
+
+    return events_ds.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,71 @@
+"""Source readers (CSV / gzipped JSONL) and sampling (S1/S4/O3)."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources import io as src_io
+
+
+def test_read_csv_with_validation(ray_session, tmp_path):
+    p = tmp_path / "beacon.csv"
+    p.write_text("oai_url,extra\nhttps://a.org/oai,1\nhttps://b.org/index.php/index/oai,2\n,3\n")
+    ds = src_io.read_csv_table(str(p), required=["oai_url"])
+    rows = ds.take_all()
+    assert len(rows) == 3 and rows[0]["oai_url"] == "https://a.org/oai"
+    with pytest.raises(src_io.MissingColumnsError):
+        src_io.read_csv_table(str(p), required=["nonexistent_col"])
+
+
+def test_read_gzipped_jsonl(ray_session, tmp_path):
+    p = tmp_path / "works.jsonl.gz"
+    recs = [{"id": f"W{i}", "doi": f"10.1/{i}",
+             "authorships": [{"raw_author_name": f"A {i}",
+                              "raw_affiliation_strings": ["U"]}]}
+            for i in range(5)]
+    with gzip.open(p, "wt") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    ds = src_io.read_jsonl(str(p), required=["id", "doi", "authorships"])
+    rows = sorted(ds.take_all(), key=lambda r: r["id"])
+    assert len(rows) == 5
+    assert rows[0]["authorships"][0]["raw_author_name"] == "A 0"
+
+
+def test_sample_exact_clamped_and_seeded(ray_session):
+    import ray.data as rd
+
+    ds = rd.range(100)
+    s1 = sorted(r["id"] for r in src_io.sample_exact(ds, 10, seed=7).take_all())
+    s2 = sorted(r["id"] for r in src_io.sample_exact(rd.range(100), 10, seed=7).take_all())
+    assert len(s1) == 10 and s1 == s2  # deterministic under same seed
+    big = src_io.sample_exact(rd.range(5), 10)
+    assert big.count() == 5  # clamped to population
+
+
+def test_csv_roundtrip_base_urls_pipeline(ray_session, tmp_path):
+    """S1+M1+D1+O1 end-to-end from a CSV source (the reference's first
+    script contract, `get_journal_base_urls_from_pkp_beacon_file.py`)."""
+    import pandas as pd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.urlkeys import (
+        strip_oai_suffix,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.relational import (
+        distinct,
+    )
+
+    p = tmp_path / "beacon.csv"
+    p.write_text("oai_url\nhttps://x.org/oai\nhttps://x.org/oai\n"
+                 "https://y.org/index.php/index/oai\nhttps://z.org/journal/index.php/index/oai\n")
+    ds = src_io.read_csv_table(str(p), required=["oai_url"])
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        urls = b["oai_url"].fillna("").map(lambda u: strip_oai_suffix(u.strip()))
+        return pd.DataFrame({"base_url": urls[urls != ""]})
+
+    out = distinct(ds.map_batches(norm, batch_format="pandas"), "base_url").sort("base_url")
+    assert [r["base_url"] for r in out.take_all()] == [
+        "https://x.org", "https://y.org", "https://z.org"]
