@@ -13,23 +13,32 @@ Blocking keys (north-star inventory):
                           fuzzy near-identical-set candidates (no
                           reference analog; the scale path)
 
-Hot keys (mega-publisher hosts, SURVEY.md §4 skew row) are handled
-EXPLICITLY: a first cheap ``groupby().count()`` pass measures block
-sizes; keys above ``hot_threshold`` are re-derived with a deterministic
-refinement suffix (first two characters of the normalized first author
-name, falling back to the DOI prefix). Refinement — unlike random
-salting — keeps same-entity records co-blocked, because the refinement
-attribute is stable under the corruption model. Oversized blocks after
-refinement get a deterministic per-block pair cap with a logged
-``dropped_pairs`` count (no silent caps).
+- ``path:{segment}``      host-invariant OJS URL-path token (the
+                          'ISSN-like token' family; links mirrors)
+
+Skew handling (SURVEY.md §4 skew row) is EXPLICIT and two-tier:
+host keys are ALWAYS refined by the normalized first-author name
+(host equality is the reference's semi-join key, never a sane pair
+key on a mega-publisher), and any other key family found hot by a
+sampled, shuffle-free counting pass gets the same deterministic
+refinement. Refinement — unlike random salting — keeps same-entity
+records co-blocked because the attribute is stable under the
+corruption model. Oversized blocks after refinement get a
+deterministic per-block pair cap with a logged ``dropped_pairs``
+count (no silent caps), computed over the VIRTUAL pair-index space so
+a million-record block never materializes its cross product.
+
+Pair pruning: in non-DOI blocks, pairs where both records carry a DOI
+are skipped — their outcome is already decided by the DOI key family.
 
 Execution shape: key emission is a STATELESS ``map_batches`` task —
 its only state (MinHash permutation parameters, the broadcast hot-key
 set) is cached per worker process in a module global, so tasks stay
 cheap and elastic and never pin CPUs the way a fixed actor pool would.
-Pair generation is ``groupby(block_key).map_groups``; pair dedup is a
-``groupby(pair).aggregate(Min)``. All shuffles carry only
-(key, record_id) — never the heavy record payloads.
+Pair generation and pair dedup run as coarse bucketed shuffles
+(ops.relational.bucketed_map_groups: O(num_buckets) Python calls,
+C-level self-merge / groupby-agg inside). All shuffles carry only
+(key, record_id, has_doi) — never the heavy record payloads.
 """
 
 from __future__ import annotations
@@ -193,7 +202,9 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
 
     df = df.drop_duplicates(subset=["block_key", "record_id"])
     sizes = df["block_key"].value_counts()
-    big = set(sizes.index[sizes > 500])
+    # keys whose pair count could exceed the cap go through the capped
+    # per-key path; the rest use one C-level self-merge
+    big = set(sizes.index[(sizes > 500) | (sizes.mul(sizes - 1) // 2 > max_pairs)])
     small = df[~df["block_key"].isin(big)] if big else df
 
     outs = []
@@ -234,25 +245,35 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
             hd = g["has_doi"].to_numpy()[order]
             nd_ids = ids[~hd]          # no-doi records
             d_ids = ids[hd]            # doi-carrying records
-            m = len(nd_ids)
+            m, d = len(nd_ids), len(d_ids)
             if m == 0:
                 continue
-            # no-doi x no-doi
-            iu, ju = np.triu_indices(m, k=1)
-            l1, r1 = nd_ids[iu], nd_ids[ju]
-            # no-doi x doi (cross product)
-            l2 = np.repeat(nd_ids, len(d_ids))
-            r2 = np.tile(d_ids, m)
+            total1 = m * (m - 1) // 2          # no-doi x no-doi
+            total2 = m * d                     # no-doi x doi
+            grand = total1 + total2
+            if grand > max_pairs:
+                # deterministic stride sample over the VIRTUAL pair index
+                # space (never materialize the full product)
+                flat = np.unique(np.linspace(0, grand - 1, max_pairs).astype(np.int64))
+                f1 = flat[flat < total1]
+                f2 = flat[flat >= total1] - total1
+                iu, ju = (_triu_unflatten(f1, m) if len(f1) else
+                          (np.array([], np.int64), np.array([], np.int64)))
+                l1, r1 = nd_ids[iu], nd_ids[ju]
+                l2 = nd_ids[(f2 // d).astype(np.int64)] if len(f2) else np.array([], dtype=nd_ids.dtype)
+                r2 = d_ids[(f2 % d).astype(np.int64)] if len(f2) else np.array([], dtype=nd_ids.dtype)
+                dropped = grand - len(flat)
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+                l1, r1 = nd_ids[iu], nd_ids[ju]
+                l2 = np.repeat(nd_ids, d)
+                r2 = np.tile(d_ids, m)
+                dropped = 0
             left = np.concatenate([l1, l2])
             right = np.concatenate([r1, r2])
             # canonical ordering left < right
             swap = left > right
             left[swap], right[swap] = right[swap], left[swap].copy()
-            dropped = 0
-            if len(left) > max_pairs:
-                sel = np.unique(np.linspace(0, len(left) - 1, max_pairs).astype(np.int64))
-                dropped = len(left) - len(sel)
-                left, right = left[sel], right[sel]
         outs.append(pd.DataFrame({"left_id": left, "right_id": right,
                                   "block_key": key, "dropped_pairs": dropped}))
     if not outs:

@@ -1,0 +1,99 @@
+"""Blocking-stage unit tests: key emission, hot-key refinement,
+pair-generation caps, pair index math."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import block
+
+
+def test_triu_unflatten_roundtrip():
+    for n in (2, 3, 5, 17, 100):
+        total = n * (n - 1) // 2
+        flat = np.arange(total, dtype=np.int64)
+        i, j = block._triu_unflatten(flat, n)
+        iu, ju = np.triu_indices(n, k=1)
+        assert (i == iu).all() and (j == ju).all()
+
+
+def _emit(records, hot=frozenset()):
+    tbl = pa.table({
+        "record_id": [r[0] for r in records],
+        "doi_norm": [r[1] for r in records],
+        "host_key": [r[2] for r in records],
+        "path_key": [r[3] for r in records],
+        "name_blob": [r[4] for r in records],
+        "authors_norm": [r[5] for r in records],
+    })
+    import reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.block as b
+
+    b._HOT_CACHE.clear()
+    out = block.emit_keys_batch(tbl, hot_keys_ref=None)
+    return out.to_pandas()
+
+
+def test_key_families_emitted():
+    df = _emit([
+        ("r1", "10.1/x", "https://h:443", "rev1/article/view/1", "alice b smith",
+         ["alice b smith"]),
+        ("r2", "", "", "", "bob jones", ["bob jones"]),
+    ])
+    fam = set(df.block_key.str.split(":").str[0])
+    assert {"doi", "path", "host", "an", "b0"} <= fam
+    # host key is ALWAYS refined by first author
+    host_keys = df[df.block_key.str.startswith("host:")].block_key.tolist()
+    assert host_keys == ["host:https://h:443~alice b smith"]
+    # doi-less record emits no doi key
+    assert not df[(df.record_id == "r2") & df.block_key.str.startswith("doi:")].shape[0]
+
+
+def test_hot_refinement_splits_blocks():
+    hot = frozenset(["an:wei wang"])
+    tbl = pa.table({
+        "record_id": ["a", "b"],
+        "doi_norm": ["", "10.9/z"],
+        "host_key": ["", ""],
+        "path_key": ["", ""],
+        "name_blob": ["", ""],
+        "authors_norm": [["wei wang"], ["wei wang"]],
+    })
+    import ray
+
+    block._HOT_CACHE.clear()
+    ref = None
+
+    # call _refine directly (no ray needed)
+    assert block._refine("an:wei wang", hot, ["wei wang"], "") == "an:wei wang~wei wang"
+    assert block._refine("an:wei wang", frozenset(), ["wei wang"], "") == "an:wei wang"
+
+
+def test_pair_cap_logs_dropped():
+    n = 300
+    df = pd.DataFrame({
+        "block_key": ["an:x"] * n,
+        "record_id": [f"r{i:04d}" for i in range(n)],
+        "has_doi": [False] * n,
+    })
+    out = block._pairs_for_bucket(df, max_pairs=1000)
+    total = n * (n - 1) // 2
+    assert len(out) <= 1000
+    assert out.dropped_pairs.max() == total - len(out)  # no silent cap
+
+
+def test_doi_decided_pairs_pruned():
+    df = pd.DataFrame({
+        "block_key": ["host:h~x"] * 4,
+        "record_id": ["a", "b", "c", "d"],
+        "has_doi": [True, True, False, False],
+    })
+    out = block._pairs_for_bucket(df, max_pairs=10_000)
+    pairs = set(zip(out.left_id, out.right_id))
+    # both-doi pair (a,b) must be pruned; pairs involving a no-doi side kept
+    assert ("a", "b") not in pairs
+    assert {("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")} == pairs
+    # doi-family blocks keep all pairs
+    df2 = df.assign(block_key="doi:10.1/x")
+    out2 = block._pairs_for_bucket(df2, max_pairs=10_000)
+    assert len(out2) == 6
