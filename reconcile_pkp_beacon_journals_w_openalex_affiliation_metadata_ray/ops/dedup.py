@@ -36,9 +36,9 @@ def _typed_or_empty(ds, schema_fields):
     ds = ds.materialize()
     if ds.count() > 0:
         return ds
-    import ray.data as rd
-
-    return rd.from_arrow(pa.table({name: pa.array([], typ) for name, typ in schema_fields}))
+    # NOTE: Dataset.to_pandas() on a 0-row dataset loses column names,
+    # so the empty case returns a typed pandas frame directly
+    return pa.table({name: pa.array([], typ) for name, typ in schema_fields}).to_pandas()
 
 
 def _mh(num_perm: int) -> MinHasher:

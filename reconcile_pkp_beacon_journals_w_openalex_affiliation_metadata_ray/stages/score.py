@@ -282,13 +282,26 @@ ADDED_COLUMNS = [
 
 class MentionScorer:
     """Parity port of `check...openalex.py:123-269` as an actor-pool
-    stage. State: broadcast dict doi -> authorships list (the local
-    stand-in for the per-DOI API lookup, J2/S7)."""
+    stage. State: the works authority table broadcast as ONE zero-copy
+    Arrow table (the local stand-in for the per-DOI API lookup, J2/S7);
+    each actor builds only a doi -> row-index dict in __init__ and
+    materializes a doi's authorships lazily, caching per-actor."""
 
     def __init__(self, works_by_doi_ref):
         import ray
 
-        self.works_by_doi = ray.get(works_by_doi_ref)
+        self.works_tbl = ray.get(works_by_doi_ref)  # arrow, plasma-mapped
+        dois = self.works_tbl["doi"].to_pylist()
+        self.idx = {d.strip().lower(): i for i, d in enumerate(dois) if d and d.strip()}
+        self._auth_cache: dict = {}
+
+    def _authorships(self, doi_lower: str):
+        got = self._auth_cache.get(doi_lower)
+        if got is None:
+            i = self.idx.get(doi_lower)
+            got = (self.works_tbl["authorships"][i].as_py() or []) if i is not None else []
+            self._auth_cache[doi_lower] = got
+        return got
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -298,7 +311,7 @@ class MentionScorer:
             # (`check...openalex.py:67-69`); mirrored as a status skip
             if not doi.startswith("10."):
                 continue
-            authorships = self.works_by_doi.get(doi.lower(), [])
+            authorships = self._authorships(doi.lower())
             author_raw = rec.get("author", "") or ""
             inst_raw = rec.get("institution", "") or ""
             author_norm = normalize_text(author_raw)
@@ -360,16 +373,16 @@ class MentionScorer:
 
 
 def broadcast_works_by_doi(works_ds):
-    """doi(lower) -> authorships list, broadcast once."""
+    """Broadcast the (doi, authorships) authority table as one Arrow
+    table — zero-copy mapped by every scorer actor, no per-actor
+    unpickling of nested Python structures."""
     import ray
 
-    lookup = {}
-    for batch in works_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for row in batch.select(["doi", "authorships"]).to_pylist():
-            doi = (row["doi"] or "").strip().lower()
-            if doi:
-                lookup[doi] = row["authorships"] or []
-    return ray.put(lookup)
+    tbl = pa.concat_tables(
+        [b.select(["doi", "authorships"])
+         for b in works_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ).combine_chunks()
+    return ray.put(tbl)
 
 
 def score_mentions(mentions_ds, works_by_doi_ref, concurrency=None, batch_size=1024):
