@@ -44,9 +44,14 @@ def load_tables(sf_dir: str):
 
 
 def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
-                  scorer_concurrency=None):
+                  scorer_concurrency=None, shuffle_scoring: bool = False):
     """Full pipeline over the tier's synthesized pages. Returns a dict
-    of stage outputs (lazy Datasets unless noted)."""
+    of stage outputs (lazy Datasets unless noted).
+
+    shuffle_scoring=True switches stage 3 to the big-big bucketed-join
+    path (score_pairs_shuffle) — the configuration for corpora whose
+    record table cannot be broadcast to every node; the broadcast path
+    is the single-node / small-authority default."""
     import ray
 
     fdir, pages, works = load_tables(sf_dir)
@@ -55,8 +60,11 @@ def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
     hot = block.find_hot_keys(recs, threshold=hot_threshold)
     hot_ref = ray.put(hot)
     pairs = block.candidate_pairs(recs, hot_keys_ref=hot_ref).materialize()
-    rec_ref = score.broadcast_records(recs)
-    scored = score.score_pairs(pairs, rec_ref, concurrency=scorer_concurrency)
+    if shuffle_scoring:
+        scored = score.score_pairs_shuffle(pairs, recs)
+    else:
+        rec_ref = score.broadcast_records(recs)
+        scored = score.score_pairs(pairs, rec_ref, concurrency=scorer_concurrency)
     scored = scored.materialize()  # consumed twice (edges + stats/eval)
     edges = scored.map_batches(
         lambda t: t.filter(t["is_match"]).select(["left_id", "right_id"]),

@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_FIXTURE_VERSION = "8"
+_FIXTURE_VERSION = "9"
 
 _FILLER_WORDS = (
     "research method analysis data result discussion theory model sample "
@@ -199,7 +199,14 @@ def _person(rng):
 
 
 def _institution(rng):
-    return f"{_INST_A[rng.randint(len(_INST_A))]} {_INST_B[rng.randint(len(_INST_B))]}"
+    """Department-qualified institution: lifts the effective pool from
+    200 to ~20k distinct strings (closer to the real affiliation-string
+    space), so cross-entity (same name, same institution) collisions —
+    genuinely ambiguous records — stay rare."""
+    base = f"{_INST_A[rng.randint(len(_INST_A))]} {_INST_B[rng.randint(len(_INST_B))]}"
+    if rng.rand() < 0.8:
+        return f"{base}, Departamento {rng.randint(100)}"
+    return base
 
 
 def generate(tier: str, out_dir: str) -> None:

@@ -172,6 +172,22 @@ def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD,
     return frozenset(totals.index[totals > eff_threshold])
 
 
+FAMILY_DOI = 1
+FAMILY_PATH = 2
+FAMILY_HOST = 4
+FAMILY_NAME = 8   # an: exact-name and b*: LSH bands
+
+
+def family_bit(block_key: str) -> int:
+    if block_key.startswith("doi:"):
+        return FAMILY_DOI
+    if block_key.startswith("path:"):
+        return FAMILY_PATH
+    if block_key.startswith("host:"):
+        return FAMILY_HOST
+    return FAMILY_NAME
+
+
 def _triu_unflatten(flat: "np.ndarray", n: int):
     """Flat upper-triangle pair index k (0-based, row-major over i<j)
     -> (i, j). Vectorized."""
@@ -216,11 +232,13 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
         decided = (~m["block_key"].str.startswith("doi:")) & m["has_doi_l"] & m["has_doi_r"]
         m = m[~decided]
         if len(m):
+            fam = m["block_key"].map(family_bit).astype("int64")
             outs.append(pd.DataFrame({
                 "left_id": m["record_id_l"].to_numpy(),
                 "right_id": m["record_id_r"].to_numpy(),
                 "block_key": m["block_key"].to_numpy(),
                 "dropped_pairs": 0,
+                "families": fam.to_numpy(),
             }))
 
     for key in big:
@@ -275,19 +293,25 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
             swap = left > right
             left[swap], right[swap] = right[swap], left[swap].copy()
         outs.append(pd.DataFrame({"left_id": left, "right_id": right,
-                                  "block_key": key, "dropped_pairs": dropped}))
+                                  "block_key": key, "dropped_pairs": dropped,
+                                  "families": family_bit(key)}))
     if not outs:
         return pd.DataFrame({"left_id": pd.Series(dtype=str),
                              "right_id": pd.Series(dtype=str),
                              "block_key": pd.Series(dtype=str),
-                             "dropped_pairs": pd.Series(dtype="int64")})
+                             "dropped_pairs": pd.Series(dtype="int64"),
+                             "families": pd.Series(dtype="int64")})
     return pd.concat(outs, ignore_index=True)
 
 
 def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-pair dedup inside a bucket: min block_key, max dropped."""
+    """Per-pair dedup inside a bucket: min block_key, max dropped,
+    OR of the key-family bits (the pair's evidence provenance)."""
+    import numpy as np
+
     return df.groupby(["left_id", "right_id"], as_index=False, sort=False).agg(
-        block_key=("block_key", "min"), dropped_pairs=("dropped_pairs", "max"))
+        block_key=("block_key", "min"), dropped_pairs=("dropped_pairs", "max"),
+        families=("families", lambda s: int(np.bitwise_or.reduce(s.to_numpy()))))
 
 
 def candidate_pairs(records_ds, hot_keys_ref=None,

@@ -41,6 +41,7 @@ from ..functions.similarity import indel_ratio, jaro_winkler, token_jaccard
 from ..functions.textnorm import normalize_text
 
 MATCH_THRESHOLD = 90.0
+INST_MATCH_THRESHOLD = 90.0  # name-only tier: institutions must MATCH
 AUTHOR_WEIGHT = 0.75
 INST_WEIGHT = 0.25
 
@@ -100,7 +101,8 @@ def _inst_score(a_norm: list, b_norm: list) -> float:
 
 
 def _score_tuple(doi_l, authors_l, insts_l, blob_l,
-                 doi_r, authors_r, insts_r, blob_r) -> tuple:
+                 doi_r, authors_r, insts_r, blob_r,
+                 structural: bool = True) -> tuple:
     """Scoring kernel over positional record attributes; returns the
     scored-pair value tuple in SCORED_PAIR_SCHEMA column order (after
     the three id columns)."""
@@ -133,16 +135,29 @@ def _score_tuple(doi_l, authors_l, insts_l, blob_l,
             combined = AUTHOR_WEIGHT * author + INST_WEIGHT * inst
         else:
             combined = author
-        is_match = combined >= MATCH_THRESHOLD
+        if structural:
+            is_match = combined >= MATCH_THRESHOLD
+        else:
+            # name-only evidence (the pair co-blocked solely via author
+            # name / LSH keys): author similarity alone cannot separate
+            # distinct people who share a name, and affiliation strings
+            # share so much boilerplate ("University of ...") that a
+            # 70-85 inst similarity is NOISE, not corroboration. Demand
+            # institutions on both sides that actually match. Prevents
+            # same-name bridges from avalanching clusters at scale.
+            is_match = (bool(insts_l) and bool(insts_r)
+                        and author >= MATCH_THRESHOLD
+                        and inst >= INST_MATCH_THRESHOLD)
     return (round(author, 2), round(inst, 2), round(jw, 2), round(jac, 2),
             round(combined, 2), doi_equal, doi_conflict, is_match)
 
 
-def score_pair(left: dict, right: dict) -> dict:
+def score_pair(left: dict, right: dict, structural: bool = True) -> dict:
     """Dict-interface wrapper over the kernel (used by tests/callers)."""
     vals = _score_tuple(left["doi_norm"], left["authors_norm"], left["insts_norm"],
                         left["name_blob"], right["doi_norm"], right["authors_norm"],
-                        right["insts_norm"], right["name_blob"])
+                        right["insts_norm"], right["name_blob"],
+                        structural=structural)
     names = ["author_score", "inst_score", "jw_score", "jaccard_score",
              "combined_score", "doi_equal", "doi_conflict", "is_match"]
     return dict(zip(names, vals))
@@ -175,6 +190,10 @@ def score_batch(batch: pa.Table, records_ref=None) -> pa.Table:
     lefts = batch["left_id"].to_pylist()
     rights = batch["right_id"].to_pylist()
     blocks = batch["block_key"].to_pylist()
+    if "families" in batch.column_names:
+        fams = batch["families"].to_pylist()
+    else:
+        fams = [3] * len(lefts)  # unknown provenance -> treat as structural
     li = [idx.get(x, -1) for x in lefts]
     ri = [idx.get(x, -1) for x in rights]
     attrs = tbl.select(["doi_norm", "authors_norm", "insts_norm", "name_blob"])
@@ -190,13 +209,14 @@ def score_batch(batch: pa.Table, records_ref=None) -> pa.Table:
     lrows = gather(li)
     rrows = gather(ri)
     cols = [[] for _ in range(11)]
-    for lid, rid, bk, lrow, rrow in zip(lefts, rights, blocks, lrows, rrows):
+    for lid, rid, bk, fam, lrow, rrow in zip(lefts, rights, blocks, fams, lrows, rrows):
         if lrow is None or rrow is None:
             continue
         vals = _score_tuple(lrow["doi_norm"], lrow["authors_norm"],
                             lrow["insts_norm"], lrow["name_blob"],
                             rrow["doi_norm"], rrow["authors_norm"],
-                            rrow["insts_norm"], rrow["name_blob"])
+                            rrow["insts_norm"], rrow["name_blob"],
+                            structural=bool(fam & 3))
         cols[0].append(lid)
         cols[1].append(rid)
         cols[2].append(bk)
@@ -266,6 +286,107 @@ def score_pairs(pairs_ds, records_ref, concurrency=None, batch_size=8192,
         batch_size=batch_size,
         fn_kwargs={"records_ref": records_ref},
     )
+
+
+_SEP = "\x1f"
+
+
+def _pack_records(records_ds, id_name: str):
+    """records -> compact string-packed attr rows keyed as id_name.
+    List columns are joined with an unlikely separator so every column
+    survives pandas<->arrow round trips inside the shuffle."""
+    def _pack(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_name: batch["record_id"],
+            f"{id_name}_doi": batch["doi_norm"],
+            f"{id_name}_auth": pa.array(
+                [_SEP.join(x or []) for x in batch["authors_norm"].to_pylist()]),
+            f"{id_name}_inst": pa.array(
+                [_SEP.join(x or []) for x in batch["insts_norm"].to_pylist()]),
+            f"{id_name}_blob": batch["name_blob"],
+        })
+
+    return records_ds.map_batches(_pack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _attach(pairs_ds, packed_ds, id_name: str, carry_cols, num_buckets: int):
+    """Bucketed hash join of pairs against packed record attrs on
+    id_name (the big-big path: one keyed shuffle, pandas merge per
+    bucket; no broadcast)."""
+    from ..ops.relational import bucketed_map_groups
+
+    attr_cols = [f"{id_name}_doi", f"{id_name}_auth", f"{id_name}_inst", f"{id_name}_blob"]
+    all_cols = [id_name] + carry_cols + attr_cols + ["__side"]
+
+    def _tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        for c in attr_cols:
+            b[c] = ""
+        b["__side"] = "p"
+        return b[all_cols]
+
+    def _tag_recs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        for c in carry_cols:
+            b[c] = 0 if c == "families" else ""
+        b["__side"] = "r"
+        return b[all_cols]
+
+    tagged = (pairs_ds.map_batches(_tag_pairs, batch_format="pandas")
+              .union(packed_ds.map_batches(_tag_recs, batch_format="pandas")))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.loc[g["__side"] == "p", [id_name] + carry_cols]
+        r = g.loc[g["__side"] == "r", [id_name] + attr_cols]
+        return p.merge(r, on=id_name, how="inner")
+
+    return bucketed_map_groups(tagged, id_name, _merge, num_buckets=num_buckets)
+
+
+def score_pairs_shuffle(pairs_ds, records_ds, num_buckets: int = 32,
+                        batch_size: int = 8192):
+    """The 10^12-row-corpus scoring path: when the record-attribute
+    table is too large to broadcast to every node, pairs are joined to
+    their two sides' attributes with two bucketed hash-join shuffles
+    and scored statelessly. Produces EXACTLY the same scored rows as
+    the broadcast path (asserted in tests)."""
+    def _ensure_families(b: pd.DataFrame) -> pd.DataFrame:
+        if "families" not in b.columns:
+            b = b.assign(families=3)
+        return b
+
+    pairs_ds = pairs_ds.map_batches(_ensure_families, batch_format="pandas")
+    left = _attach(pairs_ds, _pack_records(records_ds, "left_id"), "left_id",
+                   ["right_id", "block_key", "families"], num_buckets)
+    both = _attach(left, _pack_records(records_ds, "right_id"), "right_id",
+                   ["left_id", "block_key", "families",
+                    "left_id_doi", "left_id_auth", "left_id_inst", "left_id_blob"],
+                   num_buckets)
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = {name: [] for name in SCORED_PAIR_SCHEMA.names}
+        for rec in batch.itertuples(index=False):
+            vals = _score_tuple(
+                rec.left_id_doi,
+                rec.left_id_auth.split(_SEP) if rec.left_id_auth else [],
+                rec.left_id_inst.split(_SEP) if rec.left_id_inst else [],
+                rec.left_id_blob,
+                rec.right_id_doi,
+                rec.right_id_auth.split(_SEP) if rec.right_id_auth else [],
+                rec.right_id_inst.split(_SEP) if rec.right_id_inst else [],
+                rec.right_id_blob,
+                structural=bool(int(rec.families) & 3),
+            )
+            cols["left_id"].append(rec.left_id)
+            cols["right_id"].append(rec.right_id)
+            cols["block_key"].append(rec.block_key)
+            for k, name in enumerate(SCORED_PAIR_SCHEMA.names[3:]):
+                cols[name].append(vals[k])
+        import pyarrow as _pa
+
+        return _pa.Table.from_pydict(cols, schema=SCORED_PAIR_SCHEMA).to_pandas()
+
+    return both.map_batches(_score, batch_format="pandas", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

@@ -208,3 +208,35 @@ def test_mention_scorer_parity(ray_session, fdir):
         for col, val in orow.items():
             assert grow[col] == pytest.approx(val) if isinstance(val, float) else grow[col] == val, (
                 key, col, grow[col], val)
+
+
+def test_shuffle_scoring_equals_broadcast(ray_session, fdir):
+    """The big-big (shuffle-join) scoring path must produce exactly the
+    broadcast path's scored rows."""
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
+        reconcile,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+        block, records, score,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
+        extract_pages,
+    )
+
+    _, pages, works = reconcile.load_tables(SF)
+    recs = records.build_records(extract_pages(pages), works).materialize()
+    pairs = block.candidate_pairs(recs).materialize()
+
+    rec_ref = score.broadcast_records(recs)
+    via_broadcast = score.score_pairs(pairs, rec_ref).to_pandas()
+    via_shuffle = score.score_pairs_shuffle(pairs, recs).to_pandas()
+
+    key = ["left_id", "right_id"]
+    a = via_broadcast.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = via_shuffle.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
