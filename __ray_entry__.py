@@ -455,6 +455,17 @@ def q_mention_scoring(sf_dir: str):
     return _mention_scored(sf_dir)
 
 
+def q_parsing_stats(sf_dir: str):
+    """Extraction/parsing statistics (A4,
+    `parse_landing_page_html.py:250-363` statistic names)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
+
+    out = _reconcile(sf_dir)
+    d = stats.parsing_stats(out["extracted"])
+    return pd.DataFrame({"Statistic": list(d.keys()),
+                         "Value": [str(v) for v in d.values()]})
+
+
 def q_stats_overall(sf_dir: str):
     """Global match statistics (A1/A2, `get_stats.py:39-149`)."""
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
@@ -543,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scored_pairs": q_scored_pairs,
         "q_clusters": q_clusters,
         "q_mention_scoring": q_mention_scoring,
+        "q_parsing_stats": q_parsing_stats,
         "q_stats_overall": q_stats_overall,
         "q_stats_per_entity": q_stats_per_entity,
     }

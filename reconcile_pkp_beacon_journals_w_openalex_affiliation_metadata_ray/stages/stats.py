@@ -178,3 +178,92 @@ def _doi_group_stats(g: pd.DataFrame) -> pd.DataFrame:
 def per_doi_stats(scored_ds):
     """Per-entity wide stats (`get_stats.py:197-262` column contract)."""
     return scored_ds.groupby("doi").map_groups(_doi_group_stats, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# A4 — extraction/parsing statistics (`parse_landing_page_html.py:250-363`)
+# ---------------------------------------------------------------------------
+
+def _parse_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """Page-local tallies (one partial row per batch). Mention-level
+    counts are derived from the list columns without exploding."""
+    n_mentions = batch["mention_authors"].map(len)
+    n_valid = batch["mention_insts"].map(lambda xs: sum(1 for x in xs if x))
+    n_noinst = batch["mention_insts"].map(lambda xs: sum(1 for x in xs if not x))
+    srcs = batch["mention_sources"]
+    meta_only = srcs.map(lambda xs: sum(1 for s in xs if s == "meta"))
+    ul_only = srcs.map(lambda xs: sum(1 for s in xs if s == "ul.authors"))
+    both = srcs.map(lambda xs: sum(1 for s in xs if "meta" in s and "ul.authors" in s))
+    inst_tagged = batch["has_inst_tag"]
+    missing_in_tagged = [
+        int(n) if tagged else 0
+        for n, tagged in zip(n_noinst, inst_tagged)
+    ]
+    failed = batch["parse_error"].map(lambda e: bool(e))
+    return pd.DataFrame([{
+        "files_found": len(batch),
+        "files_ok": int((~failed).sum()),
+        "files_failed": int(failed.sum()),
+        "files_author_tag": int(batch["has_author_tag"].sum()),
+        "files_inst_tag": int(inst_tagged.sum()),
+        "files_both_tags": int((batch["has_author_tag"] & inst_tagged).sum()),
+        "files_ul": int(batch["has_ul_authors"].sum()),
+        "rows_total": int(n_mentions.sum()),
+        "rows_valid_pairs": int(n_valid.sum()),
+        "rows_missing_inst": int(n_noinst.sum()),
+        "rows_meta_only": int(meta_only.sum()),
+        "rows_ul_only": int(ul_only.sum()),
+        "rows_both": int(both.sum()),
+        "rows_missing_inst_in_tagged_files": int(sum(missing_in_tagged)),
+    }])
+
+
+def parsing_stats(extracted_ds) -> dict:
+    """The reference's parsing-statistics block with identical statistic
+    names (`parse_landing_page_html.py:255-351`): partial counters per
+    batch + two exact-distinct counts (authors / non-empty institutions,
+    D3)."""
+    parts = extracted_ds.map_batches(_parse_partials, batch_format="pandas").to_pandas()
+    tot = parts.sum(numeric_only=True)
+
+    def _explode_col(col):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            vals = [v for xs in b[col] for v in xs]
+            return pd.DataFrame({"v": pd.Series(vals, dtype="string").dropna().unique()})
+        return fn
+
+    uniq_authors = (extracted_ds.map_batches(_explode_col("mention_authors"),
+                                             batch_format="pandas")
+                    .groupby("v").count().count())
+    def _nonempty_inst(b: pd.DataFrame) -> pd.DataFrame:
+        vals = [v for xs in b["mention_insts"] for v in xs if v]
+        return pd.DataFrame({"v": pd.Series(vals, dtype="string").unique()})
+
+    uniq_insts = (extracted_ds.map_batches(_nonempty_inst, batch_format="pandas")
+                  .groupby("v").count().count())
+
+    ok = int(tot["files_ok"])
+    pct = lambda c: f"{(c / ok) * 100:.2f}" if ok else "N/A"
+    return {
+        "Total HTML files found": int(tot["files_found"]),
+        "Files successfully processed (content parsed)": ok,
+        "Files failed processing (content/not found)": int(tot["files_failed"]),
+        "Files containing citation_author meta tag": int(tot["files_author_tag"]),
+        "Files containing citation_author meta tag (%)": pct(int(tot["files_author_tag"])),
+        "Files containing citation_author_institution meta tag": int(tot["files_inst_tag"]),
+        "Files containing citation_author_institution meta tag (%)": pct(int(tot["files_inst_tag"])),
+        "Files containing both meta tags": int(tot["files_both_tags"]),
+        "Files containing both meta tags (%)": pct(int(tot["files_both_tags"])),
+        "Files containing ul.authors structure": int(tot["files_ul"]),
+        "Files containing ul.authors structure (%)": pct(int(tot["files_ul"])),
+        "Total unique DOI/author/institution rows extracted (merged)": int(tot["rows_total"]),
+        "Total valid author-institution pairs extracted (non-empty institution)": int(tot["rows_valid_pairs"]),
+        "Author rows with missing/empty institution": int(tot["rows_missing_inst"]),
+        "Rows sourced ONLY from meta tags": int(tot["rows_meta_only"]),
+        "Rows sourced ONLY from ul.authors": int(tot["rows_ul_only"]),
+        "Rows sourced from BOTH meta and ul.authors": int(tot["rows_both"]),
+        "Unique authors found (merged)": int(uniq_authors),
+        "Unique institutions found (non-empty, merged)": int(uniq_insts),
+        "Author rows missing institution from files with institution meta tags":
+            int(tot["rows_missing_inst_in_tagged_files"]),
+    }

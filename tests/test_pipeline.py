@@ -240,3 +240,52 @@ def test_shuffle_scoring_equals_broadcast(ray_session, fdir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_parsing_stats_vs_serial_oracle(ray_session, fdir):
+    """A4 parity: the distributed parsing statistics equal a serial
+    recomputation over the oracle extraction (reference semantics,
+    `parse_landing_page_html.py:250-363`)."""
+    import ray.data as rd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.htmlextract import (
+        extract_page,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
+
+    pages_tbl = pq.read_table(os.path.join(fdir, "pages.parquet"))
+    # serial oracle
+    counters = dict(found=0, ok=0, a=0, i=0, both=0, ul=0)
+    rows = []
+    for idx in range(pages_tbl.num_rows):
+        page = extract_page(pages_tbl["html"][idx].as_py())
+        counters["found"] += 1
+        counters["ok"] += 1
+        counters["a"] += page["has_author_tag"]
+        counters["i"] += page["has_inst_tag"]
+        counters["both"] += page["has_author_tag"] and page["has_inst_tag"]
+        counters["ul"] += page["has_ul_authors"]
+        for author, inst, src in page["mentions"]:
+            rows.append((author, inst, src, page["has_inst_tag"]))
+
+    ds = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
+        extract_pages as ep,
+    )
+
+    got = stats.parsing_stats(ep(ds))
+    assert got["Total HTML files found"] == counters["found"]
+    assert got["Files containing citation_author meta tag"] == counters["a"]
+    assert got["Files containing both meta tags"] == counters["both"]
+    assert got["Files containing ul.authors structure"] == counters["ul"]
+    assert got["Total unique DOI/author/institution rows extracted (merged)"] == len(rows)
+    assert got["Total valid author-institution pairs extracted (non-empty institution)"] == \
+        sum(1 for r in rows if r[1])
+    assert got["Rows sourced ONLY from meta tags"] == sum(1 for r in rows if r[2] == "meta")
+    assert got["Rows sourced from BOTH meta and ul.authors"] == \
+        sum(1 for r in rows if "meta" in r[2] and "ul.authors" in r[2])
+    assert got["Unique authors found (merged)"] == len({r[0] for r in rows})
+    assert got["Unique institutions found (non-empty, merged)"] == \
+        len({r[1] for r in rows if r[1]})
+    assert got["Author rows missing institution from files with institution meta tags"] == \
+        sum(1 for r in rows if not r[1] and r[3])
