@@ -246,6 +246,50 @@ def q_top_event_per_user(sf_dir: str):
     return top.to_pandas()[["user_id", "event_id", "value"]]
 
 
+def q_priority_revenue_bucket_join(sf_dir: str):
+    """BIG-BIG partitioned hash join (ops.relational.bucket_join):
+    lineitem joined to orders on orderkey with both sides shuffled into
+    hash buckets — the no-broadcast join path — then aggregated."""
+    line = _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}), batch_format="pandas")
+    joined = relational.bucket_join(line, orders, on="l_orderkey", num_buckets=32)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(rev=b.l_extendedprice * (1 - b.l_discount))
+        return b.groupby("o_orderpriority", as_index=False, sort=False).agg(
+            sum_rev=("rev", "sum"), n=("rev", "size"))
+
+    from ray.data.aggregate import Sum
+
+    out = (joined.map_batches(_partial, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("sum_rev", alias_name="sum_rev"), Sum("n", alias_name="n_items"))
+           .to_pandas())
+    out["revenue"] = out["sum_rev"].round(2)
+    return out[["o_orderpriority", "n_items", "revenue"]]
+
+
+def q_event_props_extract(sf_dir: str):
+    """Semi-structured field extraction (M6 family): parse the JSON
+    props column, pull 'k', aggregate per event_type."""
+    import json
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "props"])
+
+    def _extract(b: pd.DataFrame) -> pd.DataFrame:
+        ks = b["props"].map(lambda s: json.loads(s).get("k") if s else None)
+        return pd.DataFrame({"event_type": b["event_type"], "k": ks})
+
+    agg = relational.pre_aggregated(
+        ds.map_batches(_extract, batch_format="pandas"),
+        keys="event_type", sums=("k",), counts=True).to_pandas()
+    agg = agg.rename(columns={"sum_k": "sum_k", "n": "n"})
+    agg["sum_k"] = agg["sum_k"].astype("int64")
+    return agg[["event_type", "n", "sum_k"]]
+
+
 def q_distinct_langs(sf_dir: str):
     """Exact distinct (D3)."""
     return relational.distinct(_tbl(sf_dir, "documents", columns=["lang"]), "lang")
@@ -531,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tumbling_window": q_tumbling_window,
         "q_running_sum": q_running_sum,
         "q_distinct_langs": q_distinct_langs,
+        "q_priority_revenue_bucket_join": q_priority_revenue_bucket_join,
+        "q_event_props_extract": q_event_props_extract,
         # dedup / text / similarity (training-data ops)
         "q_docs_exact_dedup": q_docs_exact_dedup,
         "q_doc_token_counts": q_doc_token_counts,
@@ -666,6 +712,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM events) WHERE rn = 1
         """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "q_priority_revenue_bucket_join": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q_event_props_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
         "q_sessionize": """
             WITH ordered AS (
               SELECT user_id, ts,
