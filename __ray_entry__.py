@@ -510,11 +510,21 @@ def q_parsing_stats(sf_dir: str):
                          "Value": [str(v) for v in d.values()]})
 
 
+def _write_scored_mentions(sf_dir: str, scored):
+    cols = ["doi", "exact_author_match", "normalized_author_match",
+            "author_similarity_score", "exact_institution_match",
+            "normalized_institution_match", "institution_similarity_score"]
+    scored.to_pandas()[cols].to_parquet(_scored_mentions_path(sf_dir), index=False)
+
+
 def q_stats_overall(sf_dir: str):
-    """Global match statistics (A1/A2, `get_stats.py:39-149`)."""
+    """Global match statistics (A1/A2, `get_stats.py:39-149`). Persists
+    the scored mentions so the DuckDB oracle can recompute the same
+    aggregation."""
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
 
     scored = _mention_scored(sf_dir)
+    _write_scored_mentions(sf_dir, scored)
     d = stats.overall_stats(scored)
     rows = [{"Statistic_Name": k,
              "Value": round(v, 6) if isinstance(v, float) else (v if v is not None else -1)}
@@ -544,11 +554,7 @@ def q_stats_per_entity(sf_dir: str):
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
 
     scored = _mention_scored(sf_dir)
-    cols = ["doi", "exact_author_match", "normalized_author_match",
-            "author_similarity_score", "exact_institution_match",
-            "normalized_institution_match", "institution_similarity_score"]
-    pdf = scored.to_pandas()[cols]
-    pdf.to_parquet(_scored_mentions_path(sf_dir), index=False)
+    _write_scored_mentions(sf_dir, scored)
     out = stats.per_doi_stats(scored).to_pandas()
     for c in out.columns:
         if out[c].dtype == float:
@@ -606,11 +612,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _overall_stats_sql(scored_path: str) -> str:
+    counters = {
+        "exact_author_match": "exact_author_match",
+        "normalized_author_match": "normalized_author_match",
+        "exact_institution_match": "exact_institution_match",
+        "normalized_institution_match": "normalized_institution_match",
+        "exact_both_match": "exact_author_match AND exact_institution_match",
+        "normalized_both_match": "normalized_author_match AND normalized_institution_match",
+        "norm_author_not_exact": "normalized_author_match AND NOT exact_author_match",
+        "norm_inst_not_exact": "normalized_institution_match AND NOT exact_institution_match",
+        "high_author_score_no_norm_match": "author_similarity_score > 90.0 AND NOT normalized_author_match",
+        "high_inst_score_no_norm_match": "institution_similarity_score > 90.0 AND NOT normalized_institution_match",
+        "norm_author_match_no_norm_inst": "normalized_author_match AND NOT normalized_institution_match",
+        "perfect_author_score": "author_similarity_score = 100.0",
+        "perfect_inst_score": "institution_similarity_score = 100.0",
+    }
+    agg_parts = ["count(*) AS total"]
+    for name, pred in counters.items():
+        agg_parts.append(f"sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS c_{name}")
+    for pfx, col in (("a", "author_similarity_score"), ("i", "institution_similarity_score")):
+        agg_parts.append(f"sum(CAST(round({col} * 100) AS BIGINT)) AS {pfx}_sum")
+        agg_parts.append(
+            f"sum(CAST(round({col} * 100) AS BIGINT) * CAST(round({col} * 100) AS BIGINT)) AS {pfx}_ssq")
+        agg_parts.append(f"min({col}) AS {pfx}_min")
+        agg_parts.append(f"max({col}) AS {pfx}_max")
+        agg_parts.append(f"median({col}) AS {pfx}_med")
+    selects = [
+        "SELECT 'total_rows' AS Statistic_Name, CAST(total AS DOUBLE) AS Value FROM a",
+        "SELECT 'valid_rows', CAST(total AS DOUBLE) FROM a",
+        "SELECT 'skipped_rows', 0.0 FROM a",
+    ]
+    for name in counters:
+        selects.append(f"SELECT '{name}_count', CAST(c_{name} AS DOUBLE) FROM a")
+        selects.append(f"SELECT '{name}_pct', round(c_{name} / total * 100, 6) FROM a")
+    for pfx, key in (("a", "author_score"), ("i", "inst_score")):
+        selects.append(f"SELECT '{key}_mean', round({pfx}_sum / (total * 100.0), 6) FROM a")
+        selects.append(f"SELECT '{key}_median', round({pfx}_med, 6) FROM a")
+        selects.append(f"SELECT '{key}_min', round({pfx}_min, 6) FROM a")
+        selects.append(f"SELECT '{key}_max', round({pfx}_max, 6) FROM a")
+        selects.append(
+            f"SELECT '{key}_stdev', round(sqrt(greatest(0.0, ({pfx}_ssq / 10000.0"
+            f" - total * ({pfx}_sum / (total * 100.0)) * ({pfx}_sum / (total * 100.0)))"
+            f" / (total - 1))), 6) FROM a")
+    return (f"WITH a AS (SELECT {', '.join(agg_parts)}"
+            f" FROM read_parquet('{scored_path}')) "
+            + " UNION ALL ".join(selects))
+
+
 def oracle_sql() -> dict[str, str]:
     fdir = os.path.join(FIXTURE_ROOT, "sf0.01")
     oai = os.path.join(fdir, "oai_urls.parquet")
     scored_path = os.path.join(fdir, "scored_mentions.parquet")
     return {
+        "q_stats_overall": _overall_stats_sql(scored_path),
         "q_stats_per_entity": f"""
             SELECT doi AS DOI,
                    count(*) AS TotalAuthorsInput,

@@ -53,8 +53,11 @@ def _partials(batch: pd.DataFrame) -> pd.DataFrame:
     for prefix, col in (("author_score", "author_similarity_score"),
                         ("inst_score", "institution_similarity_score")):
         s = d[col].astype(float)
-        row[f"{prefix}_sum"] = float(s.sum())
-        row[f"{prefix}_sumsq"] = float((s * s).sum())
+        # integer hundredths: scores are 2-decimal by contract, so the
+        # partial sums are EXACT ints -> cross-engine reproducible
+        c = (s * 100).round().astype("int64")
+        row[f"{prefix}_sum"] = int(c.sum())
+        row[f"{prefix}_sumsq"] = int((c * c).sum())
         row[f"{prefix}_min"] = float(s.min()) if len(s) else math.inf
         row[f"{prefix}_max"] = float(s.max()) if len(s) else -math.inf
     return pd.DataFrame([row])
@@ -108,13 +111,14 @@ def overall_stats(scored_ds) -> dict:
             for stat in ("mean", "median", "min", "max", "stdev"):
                 out[f"{prefix}_{stat}"] = None
             continue
-        s, ssq = float(partials[f"{prefix}_sum"].sum()), float(partials[f"{prefix}_sumsq"].sum())
-        mean = s / total
+        c_sum = int(partials[f"{prefix}_sum"].sum())
+        c_ssq = int(partials[f"{prefix}_sumsq"].sum())
+        mean = c_sum / (total * 100.0)
         out[f"{prefix}_mean"] = mean
         out[f"{prefix}_min"] = float(partials[f"{prefix}_min"].min())
         out[f"{prefix}_max"] = float(partials[f"{prefix}_max"].max())
         if total > 1:
-            var = max(0.0, (ssq - total * mean * mean) / (total - 1))
+            var = max(0.0, (c_ssq / 10000.0 - total * mean * mean) / (total - 1))
             out[f"{prefix}_stdev"] = math.sqrt(var)
         else:
             out[f"{prefix}_stdev"] = 0.0
