@@ -371,6 +371,15 @@ def q_knn_ivf(sf_dir: str):
     return similarity_search.knn_ivf(ds, q, qids, k=5, n_cells=8, nprobe=4)
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column (vector aggregate
+    with per-batch partial sums)."""
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    out = similarity_search.label_centroids(ds)
+    return out[["label", "n"]].assign(centroid_norm=[
+        round(float(np.linalg.norm(c)), 6) for c in out["centroid"]])
+
+
 def q_decode_media(sf_dir: str):
     """Multimodal plumbing: binary payload column -> decoded features
     (deterministic fake decoder; real plumbing)."""
@@ -595,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_knn_bruteforce": q_knn_bruteforce,
         "q_knn_ivf": q_knn_ivf,
+        "q_label_centroids": q_label_centroids,
         "q_decode_media": q_decode_media,
         # the linkage pipeline itself
         "q_base_urls": q_base_urls,

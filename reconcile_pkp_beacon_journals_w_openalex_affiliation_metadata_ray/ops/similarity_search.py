@@ -130,3 +130,26 @@ def knn_ivf(emb_ds, queries: np.ndarray, query_ids, k: int = 10, n_cells: int = 
                          "neighbor_id": int(r["neighbor_id"]),
                          "cosine": round(float(r["cosine"]), 6)})
     return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])
+
+
+def label_centroids(emb_ds, label_col: str = "label", vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """Per-label mean embedding (vector aggregation): per-batch partial
+    (sum vector, count) per label — one small row per (label, batch) —
+    then a driver-side combine (labels are few). Returns a pandas frame
+    (label, n, centroid list rounded 6)."""
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, g in batch.groupby(label_col, sort=False):
+            mat = np.array(g[vec_col].tolist(), dtype=np.float64)
+            rows.append({label_col: label, "n": len(g), "vec_sum": mat.sum(axis=0).tolist()})
+        return pd.DataFrame(rows)
+
+    parts = emb_ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = []
+    for label, g in parts.groupby(label_col, sort=True):
+        total = int(g["n"].sum())
+        vec = np.sum(np.array(g["vec_sum"].tolist(), dtype=np.float64), axis=0) / total
+        out.append({label_col: int(label), "n": total,
+                    "centroid": [round(float(x), 6) for x in vec]})
+    return pd.DataFrame(out)

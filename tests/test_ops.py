@@ -193,3 +193,16 @@ def test_media_decoder_plumbing(rds):
         multimodal.MediaDecoder(decoder="bogus")
     with pytest.raises(NotImplementedError):
         multimodal.MediaDecoder(decoder="real")._decode_one(b"x")
+
+
+def test_label_centroids_vs_numpy(rds):
+    rng = np.random.RandomState(5)
+    mat = rng.randn(90, 6)
+    labels = rng.randint(0, 3, 90)
+    ds = rds.from_pandas(pd.DataFrame({"vec_id": range(90), "label": labels,
+                                       "embedding": [v.tolist() for v in mat]}))
+    got = similarity_search.label_centroids(ds)
+    for _, row in got.iterrows():
+        want = mat[labels == row["label"]].mean(axis=0)
+        assert np.allclose(row["centroid"], want, atol=1e-6)
+        assert row["n"] == int((labels == row["label"]).sum())
