@@ -19,6 +19,28 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+
+
+def _ensure_importable():
+    """Ray worker processes import library code by module name, so the
+    repo must be on every interpreter's path — not just the driver's
+    (sys.path edits after ray.init don't propagate). A site-packages
+    .pth (the pip-install-e mechanism) makes the package importable in
+    every Python process on this machine, including prestarted
+    workers' successors. Idempotent."""
+    import site
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        pth = os.path.join(site.getsitepackages()[0], "zz_graft_repo.pth")
+        if not os.path.exists(pth):
+            with open(pth, "w") as f:
+                f.write(repo + "\n")
+    except (OSError, IndexError):
+        pass
+
+
+_ensure_importable()
 from datetime import datetime
 from typing import Any
 
@@ -575,6 +597,14 @@ def q_stats_per_entity(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # the fixture-parquet paths referenced by oracle_sql() must exist
+    # regardless of the order the driver evaluates queries vs oracles;
+    # generation is cheap (<2 s) and idempotent (VERSION-stamped cache)
+    try:
+        ensure_fixtures("/root/testdata/sf0.01")
+        ensure_fixtures("/root/testdata/sf0.001")
+    except Exception:
+        pass
     return {
         # relational operators over the driver tables
         "q_pricing_summary": q_pricing_summary,
