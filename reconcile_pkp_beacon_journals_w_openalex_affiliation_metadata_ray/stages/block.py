@@ -319,9 +319,14 @@ def candidate_pairs(records_ds, hot_keys_ref=None,
                     dedup: bool = True, num_buckets: int = 32):
     """records -> candidate pairs (left_id < right_id). With dedup=True
     a pair produced by several block keys keeps the lexicographically
-    smallest key. Both shuffles use coarse hash buckets
-    (ops.relational.bucketed_map_groups) so Python-per-group overhead
-    is O(num_buckets), not O(num_keys)."""
+    smallest key and ORs its family bits. Both shuffles use coarse hash
+    buckets (ops.relational.bucketed_map_groups) so Python-per-group
+    overhead is O(num_buckets), not O(num_keys).
+
+    The dedup shuffle only carries FUZZY-family pairs: a doi-family
+    pair is provably unique (each record has one DOI; equal DOIs -> one
+    shared key) and provably absent from fuzzy families (those prune
+    both-DOI pairs), so the doi stream bypasses dedup entirely."""
     from ..ops.relational import bucketed_map_groups
 
     keys = emit_block_keys(records_ds, hot_keys_ref=hot_keys_ref)
@@ -330,5 +335,11 @@ def candidate_pairs(records_ds, hot_keys_ref=None,
         num_buckets=num_buckets)
     if not dedup:
         return pairs
-    return bucketed_map_groups(pairs, ["left_id", "right_id"], _dedup_bucket,
-                               num_buckets=num_buckets)
+    pairs = pairs.materialize()  # consumed twice by the family split
+    doi_pairs = pairs.map_batches(
+        lambda b: b[b["families"] == FAMILY_DOI], batch_format="pandas")
+    fuzzy_pairs = pairs.map_batches(
+        lambda b: b[b["families"] != FAMILY_DOI], batch_format="pandas")
+    fuzzy_deduped = bucketed_map_groups(fuzzy_pairs, ["left_id", "right_id"],
+                                        _dedup_bucket, num_buckets=num_buckets)
+    return doi_pairs.union(fuzzy_deduped)

@@ -289,3 +289,48 @@ def test_parsing_stats_vs_serial_oracle(ray_session, fdir):
         len({r[1] for r in rows if r[1]})
     assert got["Author rows missing institution from files with institution meta tags"] == \
         sum(1 for r in rows if not r[1] and r[3])
+
+
+def test_distributed_cc_equals_driver_path(ray_session, fdir):
+    """Forcing the fully-distributed CC (driver_edge_limit=0) must give
+    the same clustering as the hybrid auto path on the real pipeline
+    edges."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
+        reconcile,
+    )
+
+    out = reconcile.run_reconcile(SF)
+    edges = out["scored"].map_batches(
+        lambda t: t.filter(t["is_match"]).select(["left_id", "right_id"]),
+        batch_format="pyarrow").materialize()
+
+    def as_partition_sets(ds):
+        clusters = {}
+        for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            for r, c in zip(b["record_id"].to_pylist(), b["cluster_id"].to_pylist()):
+                clusters.setdefault(c, set()).add(r)
+        return {frozenset(v) for v in clusters.values()}
+
+    auto = cluster_mod.connected_components_auto(edges, nodes_ds=out["records"])
+    dist = cluster_mod.connected_components_auto(edges, nodes_ds=out["records"],
+                                                 driver_edge_limit=0)
+    assert as_partition_sets(auto) == as_partition_sets(dist)
+
+
+def test_actor_pool_scorer_equals_task_path(ray_session, fdir):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
+        reconcile,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import score
+
+    out = reconcile.run_reconcile(SF)
+    rec_ref = score.broadcast_records(out["records"])
+    via_tasks = score.score_pairs(out["pairs"], rec_ref).to_pandas()
+    via_actors = score.score_pairs(out["pairs"], rec_ref, use_actors=True,
+                                   concurrency=(1, 2)).to_pandas()
+    key = ["left_id", "right_id"]
+    a = via_tasks.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = via_actors.sort_values(key, kind="mergesort").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
