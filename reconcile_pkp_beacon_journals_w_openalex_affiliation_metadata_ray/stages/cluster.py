@@ -13,7 +13,9 @@ sticky. Rounds are materialized to keep lineage bounded
 (SURVEY.md §7.3). Converges in O(component diameter) rounds.
 
 A driver-side union-find (`union_find`) is the small-input oracle for
-tests; the Dataset implementation is the scale path.
+tests; the Dataset implementation is the scale path (the min-label /
+hash-to-min family of distributed CC — cf. the load-balanced
+union-find line of work surveyed in PAPERS.md, e.g. BTS, ICDE 2024).
 """
 
 from __future__ import annotations
