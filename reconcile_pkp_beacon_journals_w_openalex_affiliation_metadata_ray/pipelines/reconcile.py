@@ -138,6 +138,33 @@ def run_reconcile_checkpointed(sf_dir: str, workdir: str):
             "scored": scored, "clusters": clusters}, resumed
 
 
+def pipeline_report(out: dict) -> dict:
+    """Per-stage observability summary (A5/A6 analog of the reference's
+    atomic counters + run summaries, `main.rs:86-144,812-823`): row
+    counts, hot keys, and the total/blocked dropped-pairs accounting —
+    every cap the blocking stage applied is visible here, never silent."""
+    from ray.data.aggregate import Max, Sum
+
+    pairs = out["pairs"]
+    dropped = pairs.groupby("block_key").aggregate(
+        Max("dropped_pairs", alias_name="d"))
+    dropped_rows = [r for r in dropped.take_all() if r["d"] > 0]
+    scored = out["scored"]
+    n_matches = scored.map_batches(
+        lambda b: b.assign(m=b.is_match.astype(int))[["m"]],
+        batch_format="pandas").aggregate(Sum("m", alias_name="n"))
+    return {
+        "records": out["records"].count(),
+        "hot_keys": sorted(out["hot_keys"]),
+        "candidate_pairs": pairs.count(),
+        "scored_pairs": scored.count(),
+        "match_edges": int(n_matches["n"] or 0),
+        "clusters": out["clusters"].count(),
+        "capped_blocks": len(dropped_rows),
+        "dropped_pairs_total": int(sum(r["d"] for r in dropped_rows)),
+    }
+
+
 def pairwise_f1(clusters_ds, labeled_path: str) -> dict:
     """Pairwise precision/recall/F1 of predicted same-cluster vs the
     labeled pairs (the gate metric, BASELINE.json: F1 >= 0.99 at the

@@ -80,6 +80,7 @@ def main(argv=None) -> int:
             out["clusters"].materialize(),
             os.path.join(out["fixture_dir"], "labeled_pairs.parquet"))
         summary["f1"] = res
+        summary["report"] = reconcile.pipeline_report(out)
         result = None
 
     if args.out and result is not None:
