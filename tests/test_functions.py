@@ -314,3 +314,58 @@ def test_malformed_html_never_raises():
         page = htmlextract.extract_page(bad)
         assert isinstance(page["mentions"], list)
         assert isinstance(page["text"], str)
+
+
+# ---------- additional property coverage ----------
+
+@given(st.text(max_size=30), st.text(max_size=30))
+def test_jaro_winkler_bounds_symmetry(a, b):
+    v = similarity.jaro_winkler(a, b)
+    assert 0.0 <= v <= 1.0
+    assert similarity.jaro_winkler(b, a) == pytest.approx(v)
+    if a == b and a:
+        assert v == 1.0
+
+
+@given(st.text(alphabet="abcd ", max_size=25), st.text(alphabet="abcd ", max_size=25))
+def test_indel_triangle_inequality_via_lengths(a, b):
+    # indel distance is a metric: d(a,b) <= len(a)+len(b); d(a,a)=0
+    d = similarity.indel_distance(a, b)
+    assert 0 <= d <= len(a) + len(b)
+    assert similarity.indel_distance(a, a) == 0
+
+
+def test_path_key_variants():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.records import (
+        path_key,
+    )
+
+    assert path_key("https://h/index.php/rev1/article/view/42") == "rev1/article/view/42"
+    assert path_key("http://x/index.php/REV1/article/view/42/version/1") == "rev1/article/view/42"
+    assert path_key("https://h/index.php/misc/issue/view/9") == "misc/issue/view/9"
+    assert path_key("https://h/other/shape") == ""
+    assert path_key(None) == ""
+
+
+def test_merge_mentions_order_and_provenance_invariants():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.htmlextract import (
+        merge_mentions,
+    )
+
+    meta = [("A", ["X", "Y"], "meta"), ("B", [], "meta")]
+    ul = [("B", "Z", "ul.authors"), ("A", "X", "ul.authors")]
+    rows = merge_mentions(meta, ul)
+    # meta keys first in insertion order, new ul keys appended
+    assert [r[0] for r in rows] == ["A", "A", "B", "B"]
+    by_key = {(r[0], r[1]): r[2] for r in rows}
+    assert by_key[("A", "X")] == "meta;ul.authors"  # provenance union, sorted
+    assert by_key[("B", "Z")] == "ul.authors"
+    assert by_key[("B", "")] == "meta"
+
+
+@given(st.integers(min_value=-10**15, max_value=10**15))
+def test_timestamp_never_raises(ms):
+    out = timestamps.format_epoch_ms(ms)
+    assert isinstance(out, str)
+    if out:
+        assert len(out) == 14 and out.isdigit()
