@@ -709,13 +709,13 @@ def oracle_sql() -> dict[str, str]:
         "q_stats_per_entity": f"""
             SELECT doi AS DOI,
                    count(*) AS TotalAuthorsInput,
-                   0 AS SkippedRows,
-                   sum(CASE WHEN exact_author_match THEN 1 ELSE 0 END) AS CountExactAuthorMatch,
-                   sum(CASE WHEN normalized_author_match THEN 1 ELSE 0 END) AS CountNormAuthorMatch,
-                   sum(CASE WHEN exact_institution_match THEN 1 ELSE 0 END) AS CountExactInstMatch,
-                   sum(CASE WHEN normalized_institution_match THEN 1 ELSE 0 END) AS CountNormInstMatch,
-                   sum(CASE WHEN exact_author_match AND exact_institution_match THEN 1 ELSE 0 END) AS CountExactBothMatch,
-                   sum(CASE WHEN normalized_author_match AND normalized_institution_match THEN 1 ELSE 0 END) AS CountNormBothMatch,
+                   CAST(0 AS BIGINT) AS SkippedRows,
+                   CAST(sum(CASE WHEN exact_author_match THEN 1 ELSE 0 END) AS BIGINT) AS CountExactAuthorMatch,
+                   CAST(sum(CASE WHEN normalized_author_match THEN 1 ELSE 0 END) AS BIGINT) AS CountNormAuthorMatch,
+                   CAST(sum(CASE WHEN exact_institution_match THEN 1 ELSE 0 END) AS BIGINT) AS CountExactInstMatch,
+                   CAST(sum(CASE WHEN normalized_institution_match THEN 1 ELSE 0 END) AS BIGINT) AS CountNormInstMatch,
+                   CAST(sum(CASE WHEN exact_author_match AND exact_institution_match THEN 1 ELSE 0 END) AS BIGINT) AS CountExactBothMatch,
+                   CAST(sum(CASE WHEN normalized_author_match AND normalized_institution_match THEN 1 ELSE 0 END) AS BIGINT) AS CountNormBothMatch,
                    round(sum(CAST(round(author_similarity_score * 100) AS BIGINT)) / count(*) / 100.0, 4) AS AvgAuthorScore,
                    round(median(CAST(round(author_similarity_score * 100) AS BIGINT)) / 100.0, 4) AS MedianAuthorScore,
                    round(min(author_similarity_score), 4) AS MinAuthorScore,
@@ -815,7 +815,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_event_props_extract": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "q_sessionize": """
@@ -870,16 +870,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_knn_bruteforce": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+            -- float64 on both sides (list_cosine_similarity over FLOAT
+            -- lists computes in float32, which diverges from numpy at
+            -- the 6th decimal); rank on the ROUNDED value so ordering
+            -- is reproducible across engines
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 5),
             sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-                            list_cosine_similarity(q.qe, e.embedding) AS cos_raw
+                            round(list_cosine_similarity(q.qe,
+                                  CAST(e.embedding AS DOUBLE[])), 4) AS cos_r
                      FROM q CROSS JOIN embeddings e),
-            ranked AS (SELECT query_id, neighbor_id, cos_raw,
+            ranked AS (SELECT query_id, neighbor_id, cos_r,
                               row_number() OVER (PARTITION BY query_id
-                                                 ORDER BY cos_raw DESC, neighbor_id) AS rank
+                                                 ORDER BY cos_r DESC, neighbor_id) AS rank
                        FROM sims)
-            SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cosine
+            SELECT query_id, rank, neighbor_id, cos_r AS cosine
             FROM ranked WHERE rank <= 5
         """,
         "q_base_urls": f"""

@@ -30,6 +30,28 @@ def _perm_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+def _mulmod_p(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact (a * x) mod (2**61 - 1) for uint64 arrays (broadcasting).
+
+    A bare numpy ``a * x % p`` wraps the product mod 2**64 BEFORE the
+    prime mod, which silently degrades the universal-hash guarantee.
+    Split both operands into 32-bit limbs; reduce with 2**64 = 8 and
+    2**61 = 1 (mod p). Every intermediate stays < 2**64.
+    """
+    p = np.uint64(_MERSENNE)
+    mask32 = np.uint64(0xFFFFFFFF)
+    a_hi, a_lo = a >> np.uint64(32), a & mask32
+    x_hi, x_lo = x >> np.uint64(32), x & mask32
+    # a*x = a_hi*x_hi*2^64 + (a_hi*x_lo + a_lo*x_hi)*2^32 + a_lo*x_lo
+    t1 = ((a_hi * x_hi) % p) * np.uint64(8) % p          # *2^64 ≡ *8
+    mid = ((a_hi * x_lo) % p + (a_lo * x_hi) % p) % p
+    # mid*2^32: mid = m_hi*2^29 + m_lo; m_hi*2^61 ≡ m_hi (mod p)
+    m_hi, m_lo = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
+    t2 = (m_hi + (m_lo << np.uint64(32))) % p
+    t3 = (a_lo * x_lo) % p
+    return (t1 + t2 + t3) % p
+
+
 class MinHasher:
     """num_perm-permutation MinHash over character-shingle (or token)
     sets. Construct once per actor (holds the permutation parameters),
@@ -51,9 +73,9 @@ class MinHasher:
         sh = self.shingles(text)
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
-        # (a*x + b) mod p for every (perm, shingle) pair, vectorized
-        prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % _MERSENNE
+        base = np.array([_hash64(s) for s in sh], dtype=np.uint64) % np.uint64(_MERSENNE)
+        # (a*x + b) mod p for every (perm, shingle) pair, vectorized exactly
+        prod = (_mulmod_p(self.a[:, None], base[None, :]) + self.b[:, None]) % np.uint64(_MERSENNE)
         return prod.min(axis=1).astype(np.uint64)
 
     def signatures(self, texts) -> np.ndarray:

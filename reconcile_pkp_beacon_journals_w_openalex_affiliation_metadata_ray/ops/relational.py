@@ -109,7 +109,19 @@ def pre_aggregated(ds, keys, sums=(), counts=True):
         aggs = {f"sum_{c}": (c, "sum") for c in sums}
         if counts:
             aggs["n"] = (keys[0], "size")
-        return batch.groupby(keys, as_index=False, sort=False).agg(**aggs)
+        out = batch.groupby(keys, as_index=False, sort=False).agg(**aggs)
+        if out.empty:
+            # typed empty partial: an untyped {} frame from an empty batch
+            # drifts the stream schema (RefBundle schema-change warning)
+            # and can promote int sums to float at the reduce
+            cols = {k: batch[k] if k in batch else pd.Series(dtype=object) for k in keys}
+            for c in sums:
+                dt = batch[c].dtype if c in batch else "float64"
+                cols[f"sum_{c}"] = pd.Series(dtype="int64" if pd.api.types.is_integer_dtype(dt) else "float64")
+            if counts:
+                cols["n"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
+        return out
 
     from ray.data.aggregate import Sum
 

@@ -23,11 +23,38 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _round_half_away(x: float, ndigits: int) -> float:
+    """DuckDB-compatible rounding (half away from zero). Python's
+    built-in round() is half-to-even over the decimal expansion, which
+    disagrees with DuckDB's ``std::round(x*10^d)/10^d`` at boundaries."""
+    f = 10.0 ** ndigits
+    return float(np.sign(x) * np.floor(abs(x) * f + 0.5) / f)
+
+
+def _rank_topk(partials: pd.DataFrame, query_ids, k: int, ndigits: int) -> pd.DataFrame:
+    """Merge per-batch top-k partials into global ranks. Cosines are
+    rounded (half away, `ndigits`) BEFORE ranking and the tie-break is
+    neighbor_id, so the ordering is reproducible bit-for-bit against a
+    SQL oracle computing round(cos, ndigits) in float64."""
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        sub = partials[partials["q"] == qi].copy()
+        sub["cosine"] = sub["cosine"].map(lambda v: _round_half_away(float(v), ndigits))
+        sub = sub.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True], kind="mergesort").head(k)
+        for rank, (_, r) in enumerate(sub.iterrows(), 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "neighbor_id": int(r["neighbor_id"]),
+                         "cosine": float(r["cosine"])})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])
+
+
 def knn_bruteforce(emb_ds, queries: np.ndarray, query_ids, k: int = 10,
-                   id_col: str = "vec_id", vec_col: str = "embedding"):
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   ndigits: int = 4):
     """Exact cosine top-k. Returns a pandas DataFrame
     (query_id, rank, neighbor_id, cosine) — ranks 1..k, deterministic
-    tie-break on neighbor_id."""
+    tie-break on (rounded cosine desc, neighbor_id asc)."""
     import ray
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -51,15 +78,7 @@ def knn_bruteforce(emb_ds, queries: np.ndarray, query_ids, k: int = 10,
         return pd.DataFrame({"q": out_q, "neighbor_id": out_id, "cosine": out_s})
 
     partials = emb_ds.map_batches(_partial_topk, batch_format="pandas").to_pandas()
-    rows = []
-    for qi, qid in enumerate(query_ids):
-        sub = partials[partials["q"] == qi].sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        for rank, (_, r) in enumerate(sub.iterrows(), 1):
-            rows.append({"query_id": qid, "rank": rank,
-                         "neighbor_id": int(r["neighbor_id"]),
-                         "cosine": round(float(r["cosine"]), 6)})
-    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])
+    return _rank_topk(partials, query_ids, k, ndigits)
 
 
 def _kmeans_fit(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 42):
@@ -79,15 +98,20 @@ def _kmeans_fit(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 42
 
 
 def knn_ivf(emb_ds, queries: np.ndarray, query_ids, k: int = 10, n_cells: int = 16,
-            nprobe: int = 4, sample_limit: int = 4096,
+            nprobe: int = 4, sample_limit: int = 4096, seed: int = 42,
             id_col: str = "vec_id", vec_col: str = "embedding"):
-    """IVF cosine top-k: centroids from a deterministic head-sample,
-    cell assignment in map_batches, per-batch search restricted to the
-    nprobe closest cells per query. Approximate by construction; recall
-    vs brute force is asserted in tests."""
+    """IVF cosine top-k: centroids fitted on a seeded RANDOM sample (a
+    head sample via limit() is biased when the table is ordered — e.g.
+    clustered inserts give degenerate centroids), cell assignment in
+    map_batches, per-batch search restricted to the nprobe closest
+    cells per query. Approximate by construction; recall vs brute
+    force is asserted in tests."""
     import ray
 
-    sample = emb_ds.limit(sample_limit).to_pandas()
+    n_total = emb_ds.count()
+    frac = min(1.0, (sample_limit * 1.25) / max(n_total, 1))
+    sample = (emb_ds.random_sample(frac, seed=seed).limit(sample_limit).to_pandas()
+              if frac < 1.0 else emb_ds.to_pandas())
     smat = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
     centroids = _kmeans_fit(smat, n_cells)
     q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -121,15 +145,7 @@ def knn_ivf(emb_ds, queries: np.ndarray, query_ids, k: int = 10, n_cells: int = 
         return pd.DataFrame({"q": out_q, "neighbor_id": out_id, "cosine": out_s})
 
     partials = emb_ds.map_batches(_partial, batch_format="pandas").to_pandas()
-    rows = []
-    for qi, qid in enumerate(query_ids):
-        sub = partials[partials["q"] == qi].sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        for rank, (_, r) in enumerate(sub.iterrows(), 1):
-            rows.append({"query_id": qid, "rank": rank,
-                         "neighbor_id": int(r["neighbor_id"]),
-                         "cosine": round(float(r["cosine"]), 6)})
-    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])
+    return _rank_topk(partials, query_ids, k, ndigits=4)
 
 
 def label_centroids(emb_ds, label_col: str = "label", vec_col: str = "embedding",

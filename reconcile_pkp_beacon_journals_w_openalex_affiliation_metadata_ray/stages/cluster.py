@@ -73,16 +73,26 @@ def _min_bucket(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def _fingerprint(labels_ds) -> int:
+    """Order-independent fingerprint of the (node, label) assignment.
+
+    Per-row 56-bit blake2b digests are summed modulo 2**62 per batch
+    (keeping each partial well inside int64 — a plain sum overflows
+    pa.int64 past ~256 rows), then Sum-reduced; int64 wraparound across
+    batches is harmless because modular addition stays commutative.
+    """
     from ray.data.aggregate import Sum
 
-    parts = labels_ds.map_batches(
-        lambda t: pa.table({"fp": pa.array(
-            [sum(int.from_bytes(hashlib.blake2b(f"{n}\x00{l}".encode(), digest_size=7).digest(),
-                                "little")
-                 for n, l in zip(t["node"].to_pylist(), t["label"].to_pylist()))],
-            pa.int64())}),
-        batch_format="pyarrow")
-    out = parts.aggregate(Sum("fp", alias_name="fp"))
+    _MOD = 1 << 62
+
+    def _fp_batch(t: pa.Table) -> pa.Table:
+        total = 0
+        for n, l in zip(t["node"].to_pylist(), t["label"].to_pylist()):
+            digest = hashlib.blake2b(f"{n}\x00{l}".encode(), digest_size=7).digest()
+            total = (total + int.from_bytes(digest, "little")) % _MOD
+        return pa.table({"fp": pa.array([total], pa.int64())})
+
+    out = labels_ds.map_batches(_fp_batch, batch_format="pyarrow").aggregate(
+        Sum("fp", alias_name="fp"))
     return int(out["fp"] or 0)
 
 
@@ -115,6 +125,7 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
     ).materialize()
     prev_fp = _fingerprint(labels)
 
+    converged = False
     for _ in range(max_rounds):
         tagged_labels = labels.map_batches(
             lambda df: pd.DataFrame({"node": df["node"], "other": pd.Series([None] * len(df), dtype=object),
@@ -130,8 +141,18 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
                                      num_buckets=num_buckets).materialize()
         fp = _fingerprint(labels)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: min-label propagation did not converge "
+            "within max_rounds=%d; components with diameter > max_rounds are "
+            "split. Raise max_rounds (rounds needed = component diameter).",
+            max_rounds)
 
     return labels.map_batches(
         lambda df: pd.DataFrame({"record_id": df["node"], "cluster_id": df["label"]}),

@@ -197,7 +197,7 @@ def score_batch(batch: pa.Table, records_ref=None) -> pa.Table:
     li = [idx.get(x, -1) for x in lefts]
     ri = [idx.get(x, -1) for x in rights]
     attrs = tbl.select(["doi_norm", "authors_norm", "insts_norm", "name_blob"])
-    lrows = attrs.take(pa.array([i for i in li if i >= 0], pa.int64())).to_pylist()         if any(i >= 0 for i in li) else []
+
     # gather per-side aligned attribute lists (missing ids -> None)
     def gather(indices):
         valid = [i for i in indices if i >= 0]
@@ -438,10 +438,17 @@ class MentionScorer:
             author_norm = normalize_text(author_raw)
             inst_norm = normalize_text(inst_raw)
 
+            # reference falls back to author.display_name when
+            # raw_author_name is empty (`check...openalex.py:155-158,184-190`)
+            def _api_name(auth):
+                return (auth.get("raw_author_name")
+                        or (auth.get("author") or {}).get("display_name", "")
+                        or "")
+
             best_score, best_idx = -1.0, -1
             if author_norm and authorships:
                 for idx, auth in enumerate(authorships):
-                    api_name = auth.get("raw_author_name") or ""
+                    api_name = _api_name(auth)
                     cur = indel_ratio(author_norm, normalize_text(api_name))
                     if cur > best_score:
                         best_score, best_idx = cur, idx
@@ -456,7 +463,7 @@ class MentionScorer:
             matched_insts = ""
             if best_idx != -1:
                 best = authorships[best_idx]
-                api_name = best.get("raw_author_name") or ""
+                api_name = _api_name(best)
                 matched_name = api_name
                 author_sim = best_score
                 exact_author = author_raw == api_name

@@ -369,3 +369,20 @@ def test_timestamp_never_raises(ms):
     assert isinstance(out, str)
     if out:
         assert len(out) == 14 and out.isdigit()
+
+
+@given(st.integers(min_value=1, max_value=(1 << 61) - 2),
+       st.integers(min_value=0, max_value=(1 << 64) - 1))
+@settings(max_examples=200)
+def test_mulmod_p_exact(a, x):
+    """The numpy limb-split (a*x) mod 2^61-1 must match Python bigints
+    (a bare uint64 multiply wraps mod 2^64 first — the bug ADVICE'd)."""
+    import numpy as np
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.minhash import (
+        _MERSENNE, _mulmod_p,
+    )
+
+    x_mod = x % _MERSENNE
+    got = _mulmod_p(np.array([a], dtype=np.uint64), np.array([x_mod], dtype=np.uint64))
+    assert int(got[0]) == (a * x_mod) % _MERSENNE

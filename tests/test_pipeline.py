@@ -334,3 +334,25 @@ def test_actor_pool_scorer_equals_task_path(ray_session, fdir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_connected_components_large_batches(ray_session):
+    """Regression: _fingerprint summed per-row 56-bit digests into one
+    Python int and built a pa.int64 — OverflowError past ~256 rows per
+    batch. 1500 nodes in one block exercises large fingerprint batches
+    and checks the distributed labeling against union-find."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    nodes = [f"m{i:04d}" for i in range(1500)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(0, 1498, 2)]  # 750 pairs
+    oracle = cluster_mod.union_find(edges, nodes)
+
+    edges_ds = rd.from_arrow(pa.table({
+        "left_id": [e[0] for e in edges],
+        "right_id": [e[1] for e in edges],
+    }))
+    nodes_ds = rd.from_arrow(pa.table({"record_id": nodes}))
+    got_ds = cluster_mod.connected_components(edges_ds, nodes_ds=nodes_ds)
+    got = {r["record_id"]: r["cluster_id"] for r in got_ds.take_all()}
+    assert got == oracle
