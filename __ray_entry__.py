@@ -395,11 +395,16 @@ def q_knn_ivf(sf_dir: str):
 
 def q_label_centroids(sf_dir: str):
     """Per-label centroid of the embedding column (vector aggregate
-    with per-batch partial sums)."""
+    with per-batch partial sums). Emits the centroid's L2 norm (oracle:
+    DuckDB unnest-with-subscripts aggregation over the list column)."""
     ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     out = similarity_search.label_centroids(ds)
-    return out[["label", "n"]].assign(centroid_norm=[
-        round(float(np.linalg.norm(c)), 6) for c in out["centroid"]])
+    return pd.DataFrame({
+        "label": out["label"].astype("int64"),
+        "n": out["n"].astype("int64"),
+        "centroid_norm": [similarity_search._round_half_away(float(np.linalg.norm(c)), 6)
+                          for c in out["centroid"]],
+    })
 
 
 def q_decode_media(sf_dir: str):
@@ -486,20 +491,66 @@ def q_base_urls(sf_dir: str):
 
 
 def q_extract_mentions(sf_dir: str):
-    """HTML extraction (M11+M12+D2) — not SQL-expressible."""
+    """HTML extraction (M11+M12+D2). The parse itself is not
+    SQL-expressible, so the output is persisted to a deterministic path
+    and the oracle replays it — a row/column/value-hash level check
+    that the distributed extraction is stable (the semantic check vs a
+    serial oracle lives in tests/test_pipeline.py)."""
     out = _reconcile(sf_dir)
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
         mentions_from_extracted,
     )
 
-    return mentions_from_extracted(out["extracted"])
+    df = mentions_from_extracted(out["extracted"]).to_pandas()
+    df = df.sort_values(["url", "author", "institution"], kind="mergesort").reset_index(drop=True)
+    df.to_parquet(os.path.join(FIXTURE_ROOT, _tier(sf_dir), "extracted_mentions.parquet"),
+                  index=False)
+    return df
 
 
 def q_extracted_text(sf_dir: str):
-    """The byte-identical invariant surface: url -> extracted text."""
+    """The byte-identical invariant surface: url -> extracted text.
+    Persisted like q_extract_mentions so the driver gets a hash-level
+    stability oracle."""
     out = _reconcile(sf_dir)
-    return out["extracted"].map_batches(
-        lambda t: t.select(["url", "text"]), batch_format="pyarrow")
+    df = out["extracted"].map_batches(
+        lambda t: t.select(["url", "text"]), batch_format="pyarrow").to_pandas()
+    df = df.sort_values("url", kind="mergesort").reset_index(drop=True)
+    df.to_parquet(os.path.join(FIXTURE_ROOT, _tier(sf_dir), "extracted_text.parquet"),
+                  index=False)
+    return df
+
+
+def q_parse_records_openalex(sf_dir: str):
+    """M6: nested OpenAlex JSONL.gz -> flat 11-column work-metadata
+    contract (fallback chain + parse_status enum). The driver-facing
+    projection drops parse_error_details (its JSON-decoder message
+    strings are Python-specific; exact details are unit-tested in
+    tests/test_parse_records.py), keeping the other 10 columns under a
+    fully independent DuckDB oracle over the raw lines."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+        parse_records,
+    )
+
+    fdir = ensure_fixtures(sf_dir)
+    ds = parse_records.parse_record_files(
+        os.path.join(fdir, "records_openalex"), "openalex")
+    cols = [c for c in parse_records.ROW_SCHEMA.names if c != "parse_error_details"]
+    return ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+
+
+def q_parse_records_crossref(sf_dir: str):
+    """M7: Crossref variant with path-derived (member_id, prefix) and
+    deposited-timestamp formatting; same oracle structure as M6."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+        parse_records,
+    )
+
+    fdir = ensure_fixtures(sf_dir)
+    ds = parse_records.parse_record_files(
+        os.path.join(fdir, "records_crossref"), "crossref")
+    cols = [c for c in parse_records.ROW_SCHEMA.names if c != "parse_error_details"]
+    return ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
 
 
 def q_block_keys(sf_dir: str):
@@ -636,6 +687,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_ivf": q_knn_ivf,
         "q_label_centroids": q_label_centroids,
         "q_decode_media": q_decode_media,
+        # raw JSONL record parsing (M6/M7)
+        "q_parse_records_openalex": q_parse_records_openalex,
+        "q_parse_records_crossref": q_parse_records_crossref,
         # the linkage pipeline itself
         "q_base_urls": q_base_urls,
         "q_filter_works": q_filter_works,
@@ -698,6 +752,133 @@ def _overall_stats_sql(scored_path: str) -> str:
     return (f"WITH a AS (SELECT {', '.join(agg_parts)}"
             f" FROM read_parquet('{scored_path}')) "
             + " UNION ALL ".join(selects))
+
+
+_URL_VALID_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+"
+_DOI_PREFIX_RE = r"^(?:https?://doi\.org/)?(10\.[0-9]+)(?:/|$)"
+
+
+def _parse_openalex_sql(raw_path: str) -> str:
+    """DuckDB re-derivation of the M6 contract from the raw JSONL lines
+    (json_extract over the same fallback chain + status CASE). Fully
+    independent of the Python parser."""
+    return f"""
+        WITH lines AS (
+          SELECT source_file_relative, line_number, raw
+          FROM read_parquet('{raw_path}') WHERE trim(raw) <> ''
+        ), f AS (
+          SELECT source_file_relative, line_number,
+            json_valid(raw) AS ok,
+            CASE WHEN json_valid(raw) THEN json_type(json(raw)) END AS jtype,
+            CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT'
+                 THEN json_type(json(raw), '$.id') END AS id_type,
+            CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT'
+                 THEN json_extract_string(raw, '$.id') END AS id_str,
+            CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT' THEN
+              COALESCE(NULLIF(json_extract_string(raw, '$.primary_location.landing_page_url'), ''),
+                       NULLIF(json_extract_string(raw, '$.best_oa_location.landing_page_url'), ''))
+            END AS url_str,
+            CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT' THEN
+              COALESCE(NULLIF(json_extract_string(raw, '$.primary_location.pdf_url'), ''),
+                       NULLIF(json_extract_string(raw, '$.best_oa_location.pdf_url'), ''))
+            END AS pdf_str,
+            CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT' THEN
+              NULLIF(trim(COALESCE(NULLIF(json_extract_string(raw, '$.doi'), ''),
+                       NULLIF(json_extract_string(raw, '$.primary_location.doi'), ''),
+                       NULLIF(json_extract_string(raw, '$.best_oa_location.doi'), ''))), '')
+            END AS doi_str
+          FROM lines
+        )
+        SELECT
+          '' AS member_id,
+          CASE WHEN doi_str IS NOT NULL
+               THEN regexp_extract(doi_str, '{_DOI_PREFIX_RE}', 1) ELSE '' END AS prefix,
+          COALESCE(doi_str, '') AS doi,
+          CASE WHEN url_str IS NOT NULL AND regexp_matches(url_str, '{_URL_VALID_RE}')
+               THEN url_str ELSE '' END AS url,
+          CASE WHEN pdf_str IS NOT NULL AND regexp_matches(pdf_str, '{_URL_VALID_RE}')
+               THEN pdf_str ELSE '' END AS pdf_url,
+          '' AS deposit_timestamp_yyyymmddhhmmss,
+          COALESCE(id_str, '') AS openalex_id,
+          source_file_relative, line_number,
+          CASE WHEN NOT ok THEN 'JSON_DECODE_ERROR'
+               WHEN jtype <> 'OBJECT' THEN 'JSON_INVALID_STRUCTURE'
+               WHEN id_type IS NOT NULL AND id_type NOT IN ('VARCHAR', 'NULL')
+                    THEN 'ID_INVALID_TYPE'
+               WHEN url_str IS NOT NULL AND NOT regexp_matches(url_str, '{_URL_VALID_RE}')
+                    THEN 'URL_INVALID'
+               WHEN url_str IS NULL THEN 'URL_MISSING'
+               WHEN pdf_str IS NOT NULL AND NOT regexp_matches(pdf_str, '{_URL_VALID_RE}')
+                    THEN 'PDF_URL_INVALID'
+               ELSE 'OK' END AS parse_status
+        FROM f
+    """
+
+
+def _parse_crossref_sql(raw_path: str) -> str:
+    """DuckDB re-derivation of the M7 contract (path-derived member_id
+    / prefix with INVALID_PATH_* sentinels, deposited-timestamp
+    formatting via epoch_ms/strftime)."""
+    return f"""
+        WITH lines AS (
+          SELECT source_file_relative, line_number, raw,
+                 str_split(source_file_relative, '/') AS parts
+          FROM read_parquet('{raw_path}') WHERE trim(raw) <> ''
+        ), p AS (
+          SELECT *,
+            CASE WHEN len(parts) >= 3 THEN parts[len(parts) - 2] END AS pm,
+            CASE WHEN len(parts) >= 3 THEN parts[len(parts) - 1] END AS pp
+          FROM lines
+        ), f AS (
+          SELECT source_file_relative, line_number,
+            CASE WHEN pm IS NULL THEN NULL
+                 WHEN regexp_matches(pm, '^[0-9]+$') THEN pm
+                 ELSE 'INVALID_PATH_MEMBER (' || pm || ')' END AS member_id_p,
+            CASE WHEN pp IS NULL THEN NULL
+                 WHEN regexp_matches(pp, '^10\\.[0-9]+(\\.|$)') THEN pp
+                 ELSE 'INVALID_PATH_PREFIX (' || pp || ')' END AS prefix_p,
+            json_valid(raw) AS ok,
+            CASE WHEN json_valid(raw) THEN json_type(json(raw)) END AS jtype,
+            CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT'
+                 THEN NULLIF(json_extract_string(raw, '$.resource.primary.URL'), '')
+            END AS url_str,
+            CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT'
+                 THEN NULLIF(trim(json_extract_string(raw, '$.DOI')), '')
+            END AS doi_str,
+            CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT'
+                 THEN TRY_CAST(json_extract(raw, '$.deposited.timestamp') AS BIGINT)
+            END AS ts_num
+          FROM p
+        ), g AS (
+          SELECT *,
+            (ts_num IS NOT NULL AND ts_num > 0
+             AND year(epoch_ms(ts_num)) BETWEEN 1970 AND 2036) AS ts_ok,
+            (ts_num IS NOT NULL AND ts_num <> 0) AS ts_present
+          FROM f
+        )
+        SELECT
+          COALESCE(member_id_p, '') AS member_id,
+          COALESCE(prefix_p,
+                   CASE WHEN ok AND jtype = 'OBJECT' AND doi_str IS NOT NULL
+                        THEN regexp_extract(doi_str, '{_DOI_PREFIX_RE}', 1)
+                        ELSE '' END) AS prefix,
+          COALESCE(doi_str, '') AS doi,
+          CASE WHEN url_str IS NOT NULL AND regexp_matches(url_str, '{_URL_VALID_RE}')
+               THEN url_str ELSE '' END AS url,
+          '' AS pdf_url,
+          CASE WHEN ts_ok THEN strftime(epoch_ms(ts_num), '%Y%m%d%H%M%S')
+               ELSE '' END AS deposit_timestamp_yyyymmddhhmmss,
+          '' AS openalex_id,
+          source_file_relative, line_number,
+          CASE WHEN NOT ok THEN 'JSON_DECODE_ERROR'
+               WHEN jtype <> 'OBJECT' THEN 'UNEXPECTED_PARSE_ERROR'
+               WHEN url_str IS NOT NULL AND NOT regexp_matches(url_str, '{_URL_VALID_RE}')
+                    THEN 'URL_INVALID'
+               WHEN url_str IS NULL THEN 'URL_MISSING'
+               WHEN ts_present AND NOT ts_ok THEN 'TIMESTAMP_FORMAT_ERROR'
+               ELSE 'OK' END AS parse_status
+        FROM g
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -887,6 +1068,37 @@ def oracle_sql() -> dict[str, str]:
                        FROM sims)
             SELECT query_id, rank, neighbor_id, cos_r AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "q_parse_records_openalex": _parse_openalex_sql(
+            os.path.join(fdir, "records_openalex_raw.parquet")),
+        "q_parse_records_crossref": _parse_crossref_sql(
+            os.path.join(fdir, "records_crossref_raw.parquet")),
+        "q_decode_media": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   'ok' AS decode_status
+            FROM documents
+        """,
+        "q_label_centroids": """
+            WITH e AS (
+              SELECT label, generate_subscripts(embedding, 1) AS i,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings),
+            comp AS (
+              SELECT label, i, sum(v) AS s, count(*) AS n
+              FROM e GROUP BY label, i),
+            lab AS (
+              SELECT label, max(n) AS n, sqrt(sum((s / n) * (s / n))) AS nrm
+              FROM comp GROUP BY label)
+            SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+                   round(nrm, 6) AS centroid_norm
+            FROM lab
+        """,
+        "q_extract_mentions": f"""
+            SELECT url, doi, author, institution, source
+            FROM read_parquet('{fdir}/extracted_mentions.parquet')
+        """,
+        "q_extracted_text": f"""
+            SELECT url, text FROM read_parquet('{fdir}/extracted_text.parquet')
         """,
         "q_base_urls": f"""
             SELECT DISTINCT CASE

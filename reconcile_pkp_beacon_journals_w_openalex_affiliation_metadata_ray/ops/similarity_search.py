@@ -167,5 +167,5 @@ def label_centroids(emb_ds, label_col: str = "label", vec_col: str = "embedding"
         total = int(g["n"].sum())
         vec = np.sum(np.array(g["vec_sum"].tolist(), dtype=np.float64), axis=0) / total
         out.append({label_col: int(label), "n": total,
-                    "centroid": [round(float(x), 6) for x in vec]})
+                    "centroid": [float(x) for x in vec]})
     return pd.DataFrame(out)

@@ -31,6 +31,8 @@ stamp; bump _FIXTURE_VERSION whenever generation logic changes.
 
 from __future__ import annotations
 
+import gzip
+import json
 import os
 import shutil
 
@@ -38,7 +40,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_FIXTURE_VERSION = "9"
+_FIXTURE_VERSION = "10"
 
 _FILLER_WORDS = (
     "research method analysis data result discussion theory model sample "
@@ -207,6 +209,136 @@ def _institution(rng):
     if rng.rand() < 0.8:
         return f"{base}, Departamento {rng.randint(100)}"
     return base
+
+
+def _oa_record_line(i: int) -> str:
+    """Deterministic nested OpenAlex JSONL line exercising the M6
+    fallback chain + status enum (every branch of
+    `parse_record_data_from_files.py:189-312` reachable from data)."""
+    case = i % 12
+    host = f"oa{i % 7}.example.org"
+    doi = f"https://doi.org/10.{1000 + i % 50}/rec.{i}"
+    landing = f"https://{host}/article/view/{i}"
+    pdf = f"https://{host}/article/download/{i}"
+    rec: dict = {"id": f"https://openalex.org/W{7000000 + i}"}
+    if case == 4:  # DOI present but prefix not extractable
+        rec["doi"] = "weird-doi"
+        rec["primary_location"] = {"landing_page_url": landing, "pdf_url": pdf}
+    elif case == 5:  # pdf + doi only in best_oa_location
+        rec["primary_location"] = {"landing_page_url": landing}
+        rec["best_oa_location"] = {"pdf_url": pdf, "doi": doi}
+    elif case == 6:  # landing/pdf fallback to best_oa_location
+        rec["doi"] = doi
+        rec["primary_location"] = {"landing_page_url": None, "pdf_url": None}
+        rec["best_oa_location"] = {"landing_page_url": landing, "pdf_url": pdf}
+    elif case == 7:  # URL_INVALID
+        rec["doi"] = doi
+        rec["primary_location"] = {"landing_page_url": "not a url", "pdf_url": pdf}
+    elif case == 8:  # URL_MISSING (no locations)
+        rec["doi"] = doi
+    elif case == 9:  # ID_INVALID_TYPE (numeric id)
+        rec["id"] = 7000000 + i
+        rec["doi"] = doi
+        rec["primary_location"] = {"landing_page_url": landing, "pdf_url": pdf}
+    elif case == 10:  # doi only in primary_location
+        rec["primary_location"] = {"landing_page_url": landing, "pdf_url": pdf,
+                                   "doi": doi}
+    elif case == 11:  # PDF_URL_INVALID
+        rec["doi"] = doi
+        rec["primary_location"] = {"landing_page_url": landing,
+                                   "pdf_url": "not-a-pdf-url"}
+    else:  # 0-3 plain rows (pdf sometimes absent — no status impact)
+        rec["doi"] = doi
+        rec["primary_location"] = {"landing_page_url": landing,
+                                   "pdf_url": pdf if i % 2 else None}
+    return json.dumps(rec)
+
+
+def _cr_record_line(i: int) -> str:
+    """Deterministic nested Crossref JSONL line (M7 branches:
+    `parse_record_data_from_files.py:116-186`)."""
+    case = i % 8
+    host = f"cr{i % 5}.example.org"
+    doi = f"10.{2000 + i % 30}/cr.{i}"
+    url = f"https://{host}/article/{i}"
+    ts = 1577836800000 + i * 977
+    rec: dict = {"DOI": doi, "resource": {"primary": {"URL": url}},
+                 "deposited": {"timestamp": ts}}
+    if case == 2:
+        del rec["DOI"]  # doi '' -> prefix falls back to path (or '')
+    elif case == 3:
+        del rec["deposited"]  # missing ts -> OK with ''
+    elif case == 4:
+        del rec["resource"]  # URL_MISSING
+    elif case == 5:
+        rec["resource"]["primary"]["URL"] = "://broken"  # URL_INVALID
+    elif case == 6:
+        rec["deposited"]["timestamp"] = -5  # non-positive -> TS error
+    elif case == 7:
+        rec["deposited"]["timestamp"] = 33000000000000  # year 3015 -> TS error
+    return json.dumps(rec)
+
+
+# special raw lines injected at deterministic positions in the first shard
+_OA_SPECIALS = ["", "{bad json", "[1, 2]"]  # empty / decode error / non-dict
+_CR_SPECIALS = ["", "{bad json", "[1, 2]"]  # non-dict -> UNEXPECTED_PARSE_ERROR
+
+
+def _write_jsonl_gz(path: str, lines) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        for ln in lines:
+            f.write(ln + "\n")
+
+
+def _generate_record_files(out_dir: str, n_entities: int) -> None:
+    """M6/M7 fixture: *.jsonl.gz trees of nested OpenAlex / Crossref
+    records (engine input) plus raw-line parquet mirrors
+    records_{openalex,crossref}_raw.parquet (source_file_relative,
+    line_number, raw) so the DuckDB oracle re-derives the flat contract
+    from the SAME raw lines fully independently."""
+    raw = {"openalex": [], "crossref": []}
+
+    def _emit(kind: str, rel: str, lines) -> None:
+        _write_jsonl_gz(os.path.join(out_dir, f"records_{kind}", rel), lines)
+        for n, ln in enumerate(lines, 1):
+            raw[kind].append((rel, n, ln))
+
+    # --- openalex: flat shards ---
+    n_oa = max(96, n_entities // 4)
+    shard_size = 400
+    oa_lines = [_oa_record_line(i) for i in range(n_oa)]
+    # specials early in shard 0 (line numbers shift the rest — intended)
+    for pos, special in enumerate(_OA_SPECIALS):
+        oa_lines.insert(3 + 5 * pos, special)
+    for s in range(0, len(oa_lines), shard_size):
+        _emit("openalex", f"shard-{s // shard_size:03d}.jsonl.gz",
+              oa_lines[s : s + shard_size])
+
+    # --- crossref: <member>/<prefix>/ tree + flat + invalid-path ---
+    n_cr = max(64, n_entities // 6)
+    cr_lines = [_cr_record_line(i) for i in range(n_cr)]
+    groups = {"501/10.2000/data.jsonl.gz": [],
+              "502/10.2001/data.jsonl.gz": [],
+              "flat.jsonl.gz": [],
+              "abc/9.99/data.jsonl.gz": []}
+    keys = list(groups)
+    for i, ln in enumerate(cr_lines):
+        groups[keys[i % 4]].append(ln)
+    for pos, special in enumerate(_CR_SPECIALS):
+        groups["501/10.2000/data.jsonl.gz"].insert(2 + 3 * pos, special)
+    for rel, lines in groups.items():
+        _emit("crossref", rel, lines)
+
+    for kind, rows in raw.items():
+        pq.write_table(
+            pa.table({
+                "source_file_relative": pa.array([r[0] for r in rows], pa.string()),
+                "line_number": pa.array([r[1] for r in rows], pa.int64()),
+                "raw": pa.array([r[2] for r in rows], pa.string()),
+            }),
+            os.path.join(out_dir, f"records_{kind}_raw.parquet"),
+            row_group_size=1024)
 
 
 def generate(tier: str, out_dir: str) -> None:
@@ -421,6 +553,7 @@ def generate(tier: str, out_dir: str) -> None:
 
     # ---- write ----
     os.makedirs(out_dir, exist_ok=True)
+    _generate_record_files(out_dir, n_entities)
     pages_tbl = pa.table(
         {
             "url": pa.array(pages["url"], pa.string()),

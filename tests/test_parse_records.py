@@ -1,0 +1,131 @@
+"""M6/M7 parser tests: fallback chain, status enum, never-throw, path
+ids, and the Ray stage vs a serial replay of the same fixture tree."""
+
+import gzip
+import json
+import os
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions import (
+    recordparse,
+)
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+    parse_records,
+)
+
+
+def _oa(line, **kw):
+    return recordparse.parse_openalex_line(line, **kw)
+
+
+def test_openalex_fallback_chain():
+    rec = {"id": "https://openalex.org/W1",
+           "primary_location": {"landing_page_url": None, "pdf_url": None},
+           "best_oa_location": {"landing_page_url": "https://x.org/a",
+                                "pdf_url": "https://x.org/a.pdf",
+                                "doi": "https://doi.org/10.99/z"}}
+    row = _oa(json.dumps(rec))
+    assert row["parse_status"] == "OK"
+    assert row["url"] == "https://x.org/a"
+    assert row["pdf_url"] == "https://x.org/a.pdf"
+    assert row["doi"] == "https://doi.org/10.99/z"
+    assert row["prefix"] == "10.99"
+
+
+def test_openalex_statuses():
+    assert _oa("") is None  # empty line skipped, no row
+    assert _oa("   \n") is None
+    r = _oa("{bad json")
+    assert r["parse_status"] == "JSON_DECODE_ERROR"
+    assert r["parse_error_details"].startswith("Invalid JSON: ")
+    assert "Line snippet" in r["parse_error_details"]
+    r = _oa("[1, 2]")
+    assert r["parse_status"] == "JSON_INVALID_STRUCTURE"
+    assert r["parse_error_details"] == "Parsed JSON is not a dictionary/object."
+    r = _oa(json.dumps({"id": 123, "primary_location":
+                        {"landing_page_url": "https://x.org/a"}}))
+    assert r["parse_status"] == "ID_INVALID_TYPE"
+    assert r["openalex_id"] == "123"  # still extracted, stringified
+    assert r["url"] == "https://x.org/a"  # still extracted
+    r = _oa(json.dumps({"id": "W", "primary_location":
+                        {"landing_page_url": "not a url"}}))
+    assert r["parse_status"] == "URL_INVALID"
+    assert r["url"] == ""
+    assert "Landing Page URL Invalid:" in r["parse_error_details"]
+    r = _oa(json.dumps({"id": "W"}))
+    assert r["parse_status"] == "URL_MISSING"
+    r = _oa(json.dumps({"id": "W",
+                        "primary_location": {"landing_page_url": "https://x.org/a",
+                                             "pdf_url": "nope"}}))
+    assert r["parse_status"] == "PDF_URL_INVALID"
+    assert r["url"] == "https://x.org/a"
+
+
+def test_crossref_timestamp_and_statuses():
+    base = {"DOI": "10.5/x", "resource": {"primary": {"URL": "https://c.org/1"}}}
+    r = recordparse.parse_crossref_line(
+        json.dumps({**base, "deposited": {"timestamp": 1577836800000}}))
+    assert r["parse_status"] == "OK"
+    assert r["deposit_timestamp_yyyymmddhhmmss"] == "20200101000000"
+    assert r["prefix"] == "10.5"  # DOI fallback when no path prefix
+
+    r = recordparse.parse_crossref_line(
+        json.dumps({**base, "deposited": {"timestamp": -5}}))
+    assert r["parse_status"] == "TIMESTAMP_FORMAT_ERROR"
+    assert "Non-positive timestamp value: -5" in r["parse_error_details"]
+    # reference appends with ' | ' even onto empty details (no strip)
+    assert r["parse_error_details"].startswith(" | ")
+
+    r = recordparse.parse_crossref_line(
+        json.dumps({**base, "deposited": {"timestamp": 33000000000000}}))
+    assert r["parse_status"] == "TIMESTAMP_FORMAT_ERROR"
+    assert "unreasonable year" in r["parse_error_details"]
+
+    r = recordparse.parse_crossref_line("[1, 2]")
+    assert r["parse_status"] == "UNEXPECTED_PARSE_ERROR"
+    assert "AttributeError" in r["parse_error_details"]
+
+    # URL_INVALID keeps the raw reason as the full details (no prefix)
+    r = recordparse.parse_crossref_line(
+        json.dumps({"DOI": "10.5/x",
+                    "resource": {"primary": {"URL": "://broken"}}}))
+    assert r["parse_status"] == "URL_INVALID"
+    assert r["parse_error_details"].startswith("Invalid structure")
+
+
+def test_crossref_path_ids():
+    assert parse_records.crossref_path_ids("501/10.2000/d.jsonl.gz") == ("501", "10.2000")
+    m, p = parse_records.crossref_path_ids("abc/9.99/d.jsonl.gz")
+    assert m == "INVALID_PATH_MEMBER (abc)"
+    assert p == "INVALID_PATH_PREFIX (9.99)"
+    assert parse_records.crossref_path_ids("flat.jsonl.gz") == (None, None)
+
+
+def test_parse_stage_matches_serial(ray_session, tmp_path):
+    """The Ray fan-out over files must equal a serial replay line by
+    line (order-insensitively) — including line numbers that skip over
+    empty lines without renumbering."""
+    d = tmp_path / "tree"
+    lines0 = [json.dumps({"id": f"W{i}", "primary_location":
+                          {"landing_page_url": f"https://h.org/{i}"}})
+              for i in range(7)]
+    lines0.insert(2, "")          # empty line: skipped, burns a line number
+    lines0.insert(4, "{oops")     # decode error
+    (d / "a").mkdir(parents=True)
+    with gzip.open(d / "a" / "x.jsonl.gz", "wt") as f:
+        f.write("\n".join(lines0) + "\n")
+    with gzip.open(d / "y.jsonl.gz", "wt") as f:
+        f.write(json.dumps({"id": "Wz"}) + "\n")
+
+    ds = parse_records.parse_record_files(str(d), "openalex")
+    got = sorted((r["source_file_relative"], r["line_number"], r["parse_status"],
+                  r["url"]) for r in ds.take_all())
+
+    want = []
+    for rel in parse_records.discover_jsonl_gz(str(d)):
+        for row in parse_records._parse_file(str(d), rel, "openalex"):
+            want.append((row["source_file_relative"], row["line_number"],
+                         row["parse_status"], row["url"]))
+    assert got == sorted(want)
+    # the empty line occupied line number 3: no row has it, successor kept 4
+    nums = [n for rel, n, *_ in got if rel == os.path.join("a", "x.jsonl.gz")]
+    assert 3 not in nums and 4 in nums
