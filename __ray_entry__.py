@@ -366,8 +366,22 @@ def q_simhash_near_dups(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
+    """Embedding near-dup pairs at cosine >= 0.95. The driver's random
+    embeddings table has NO true near-dups (max pairwise cosine ~0.51),
+    so the query plants exact duplicates of vec_id < 20 (id + 1000000)
+    — deterministic and reproducible in SQL, which makes this op
+    oracle-checkable end to end (the DuckDB oracle does the exact
+    cross-join over the same union)."""
     ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup_ops.embedding_near_dup_pairs(ds, cosine_threshold=0.95)
+
+    def _plant(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["vec_id"], 20))
+        return sub.set_column(sub.schema.get_field_index("vec_id"), "vec_id",
+                              pc.add(sub["vec_id"], 1_000_000))
+
+    planted = ds.map_batches(_plant, batch_format="pyarrow")
+    return dedup_ops.embedding_near_dup_pairs(ds.union(planted),
+                                              cosine_threshold=0.95)
 
 
 def _query_vectors(sf_dir: str, n: int = 5):
@@ -1077,6 +1091,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    'ok' AS decode_status
             FROM documents
+        """,
+        "q_embedding_near_dups": """
+            WITH uni AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20),
+            pairs AS (
+              SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                     round(CAST(list_cosine_similarity(
+                               CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cosine
+              FROM uni a JOIN uni b ON a.vec_id < b.vec_id)
+            SELECT left_id, right_id, cosine FROM pairs WHERE cosine >= 0.95
         """,
         "q_label_centroids": """
             WITH e AS (

@@ -3,21 +3,34 @@
 - exact: content-hash -> hash-partitioned groupby -> keep min id (the
   canonical exact dedup; D1 generalization of `get_journal...py:40-64`).
 - MinHash-LSH near-dup: shingle -> signature -> band-key explode ->
-  groupby(band) -> candidate pairs -> verify true n-gram Jaccard.
+  candidate pair gen -> exact n-gram-Jaccard verify.
 - SimHash near-dup: 64-bit simhash, banded into 4x16-bit sub-keys
   (Hamming distance <= 3 guarantee via pigeonhole) -> verify Hamming.
-- embedding cosine near-dup: random-hyperplane LSH buckets -> verify
-  cosine within bucket.
+- embedding cosine near-dup: OR-amplified random-hyperplane LSH (several
+  independent bands) -> exact cosine verify.
 
-All candidate generation is groupby shuffles over (key, id) rows only;
-verification joins payloads back via broadcast when the candidate set
-is small (the fixture path) — the big-big path reuses
-ops.relational.bucket_join.
+Scale discipline (the reason this file looks the way it does):
+- Band/bucket shuffles carry (key, id) ONLY — never document text or
+  vectors. A band explode that ships payload multiplies the corpus by
+  the band count through the all-to-all exchange (16x at the defaults);
+  at 100 TB that is petabytes. Payloads are joined back exactly once,
+  for the (much smaller) surviving candidate set.
+- Candidate generation inside a bucket is a vectorized self-merge (one
+  C-level join per coarse bucket via bucketed_map_groups — no per-key
+  Python call), with a deterministic per-band width cap and a logged
+  drop count: a degenerate band (e.g. the empty-document signature)
+  would otherwise go quadratic.
+- Verification joins are hash-partitioned (ops.relational.bucket_join)
+  for text payloads; embeddings use the broadcast-Arrow per-worker
+  lookup (same pattern as stages/score.py) — documented assumption:
+  the embedding table fits the object store; past that, swap in
+  bucket_join keyed on id.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -25,6 +38,9 @@ import pyarrow as pa
 
 from ..functions.minhash import MinHasher, band_keys
 from ..functions.similarity import ngram_jaccard
+from .relational import bucket_join, bucketed_map_groups
+
+logger = logging.getLogger(__name__)
 
 _MH: MinHasher | None = None
 
@@ -57,66 +73,139 @@ def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
                 lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
              id_col: batch[id_col]})
 
-    from ray.data.aggregate import Count, Min
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("content_hash", as_index=False, sort=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": (id_col, "size")})
 
-    hashed = docs_ds.map_batches(_hash, batch_format="pandas")
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
-    ).select_columns([id_col, "n_copies"])
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("content_hash", as_index=False, sort=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": ("n_copies", "sum")})
+        return agg[[id_col, "n_copies"]]
+
+    # combiner inside map_batches, then ONE coarse-bucketed shuffle with
+    # vectorized per-bucket reduce: distinct-hash cardinality ~ corpus
+    # size, where Ray's per-group aggregate overhead (~0.7 ms/group)
+    # would dominate
+    partials = (docs_ds.map_batches(_hash, batch_format="pandas")
+                .map_batches(_partial, batch_format="pandas"))
+    return bucketed_map_groups(partials, "content_hash", _combine, num_buckets=64)
 
 
-def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
-                      num_perm: int = 64, num_bands: int = 16,
-                      jaccard_threshold: float = 0.7):
-    """Near-duplicate pairs (left_id < right_id, jaccard >= threshold).
+def candidate_pairs_from_keys(keyed_ds, id_col: str, key_col: str = "band_key",
+                              max_band_width: int = 5000, num_buckets: int = 64,
+                              op_name: str = "lsh"):
+    """(key, id) rows -> distinct candidate (left_id, right_id) pairs.
 
-    Pipeline: per-batch signatures -> (band_key, id, text-ref) explode
-    -> groupby(band_key) pair gen -> dedup pairs -> verify true n-gram
-    Jaccard per pair (payloads carried through the group; documents are
-    re-read per band which keeps the shuffle payload bounded by band
-    fanout)."""
+    One coarse-bucketed shuffle; inside a bucket the pair generation is
+    a single vectorized self-merge. Bands wider than ``max_band_width``
+    are deterministically truncated (smallest ids kept) with the drop
+    logged — the no-silent-caps rule."""
+    def _cand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        counts = g[key_col].value_counts()
+        wide = counts[counts > max_band_width]
+        if len(wide):
+            in_wide = g[key_col].isin(wide.index)
+            over = g[in_wide].sort_values([key_col, id_col], kind="mergesort")
+            kept = over.groupby(key_col, sort=False).head(max_band_width)
+            logger.warning(
+                "%s: %d oversized bands truncated to width %d (%d id rows dropped)",
+                op_name, len(wide), max_band_width, len(over) - len(kept))
+            g = pd.concat([g[~in_wide], kept], ignore_index=True)
+        m = g.merge(g, on=key_col)
+        lx, ly = f"{id_col}_x", f"{id_col}_y"
+        m = m[m[lx] < m[ly]]
+        out = pd.DataFrame({"left_id": m[lx], "right_id": m[ly]}).drop_duplicates()
+        if out.empty:
+            return pd.DataFrame({"left_id": pd.Series(dtype=g[id_col].dtype),
+                                 "right_id": pd.Series(dtype=g[id_col].dtype)})
+        return out
+
+    pairs = bucketed_map_groups(keyed_ds, key_col, _cand, num_buckets=num_buckets)
+    # a pair can surface from several bands/buckets -> global distinct
+    # (bucketed drop_duplicates: Ray's groupby().aggregate() pays
+    # ~0.7 ms per distinct group — minutes at 10^5 pairs)
+    from .relational import distinct
+
+    return distinct(pairs, ["left_id", "right_id"], num_buckets=num_buckets)
+
+
+def _attach_payload(pairs_ds, payload_ds, id_col: str, payload_col: str,
+                    num_buckets: int = 64):
+    """Join the payload column onto both sides of a pair table via two
+    hash-partitioned joins (payload moves at most twice, not once per
+    band)."""
+    def _ren(side):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({side: b[id_col], f"__p_{side}": b[payload_col]})
+        return fn
+
+    left_pl = payload_ds.map_batches(_ren("left_id"), batch_format="pandas")
+    right_pl = payload_ds.map_batches(_ren("right_id"), batch_format="pandas")
+    withl = bucket_join(pairs_ds, left_pl, on="left_id",
+                        num_buckets=num_buckets).materialize()
+    return bucket_join(withl, right_pl, on="right_id", num_buckets=num_buckets)
+
+
+def minhash_band_rows(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 64, num_bands: int = 16):
+    """(band_key, id) rows — the ONLY columns that enter the LSH band
+    shuffle (tested: the text payload must never ride this exchange)."""
     def _bands(batch: pd.DataFrame) -> pd.DataFrame:
         mh = _mh(num_perm)
-        ids, keys, texts = [], [], []
+        ids, keys = [], []
         for i, t in zip(batch[id_col], batch[text_col].fillna("")):
             sig = mh.signature(t)
             for bk in band_keys(sig, num_bands):
                 ids.append(i)
                 keys.append(bk)
-                texts.append(t)
-        return pd.DataFrame({"band_key": keys, id_col: ids, "text": texts})
+        return pd.DataFrame({"band_key": keys, id_col: ids})
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
-        texts = g["text"].tolist()
-        left, right, jac = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                s = ngram_jaccard(texts[i], texts[j])
-                if s >= jaccard_threshold:
-                    left.append(ids[i])
-                    right.append(ids[j])
-                    jac.append(round(s, 6))
-        return pd.DataFrame({"left_id": left, "right_id": right, "jaccard": jac})
+    return docs_ds.map_batches(_bands, batch_format="pandas")
 
-    from ray.data.aggregate import Max
 
-    pairs = (docs_ds.map_batches(_bands, batch_format="pandas")
-             .groupby("band_key").map_groups(_pairs, batch_format="pandas"))
-    # a pair can surface from several bands -> dedup
-    out = pairs.groupby(["left_id", "right_id"]).aggregate(
-        Max("jaccard", alias_name="jaccard"))
+def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 64, num_bands: int = 16,
+                      jaccard_threshold: float = 0.7, max_band_width: int = 5000):
+    """Near-duplicate pairs (left_id < right_id, true n-gram jaccard >=
+    threshold).
+
+    Pipeline: per-batch signatures -> (band_key, id) explode [ids only
+    through the shuffle] -> bucketed candidate pair gen -> distinct ->
+    join text back onto the surviving pairs (bucket_join x2) -> exact
+    n-gram Jaccard filter. Signature-estimated Jaccard would avoid the
+    text join entirely at the cost of exactness; the exact verify is
+    kept because the candidate set is orders of magnitude smaller than
+    the corpus."""
+    # materialize the (small) candidate set: the payload joins below
+    # probe its schema, and without a checkpoint every probe + the final
+    # execution would re-run the whole signature/band pipeline
+    cand = candidate_pairs_from_keys(
+        minhash_band_rows(docs_ds, id_col, text_col, num_perm, num_bands), id_col,
+        max_band_width=max_band_width, op_name="minhash_lsh").materialize()
+    joined = _attach_payload(cand, docs_ds.map_batches(
+        lambda b: pd.DataFrame({id_col: b[id_col], text_col: b[text_col].fillna("")}),
+        batch_format="pandas"), id_col, text_col)
+
+    def _verify(b: pd.DataFrame) -> pd.DataFrame:
+        jac = [ngram_jaccard(l, r) for l, r in zip(b["__p_left_id"], b["__p_right_id"])]
+        out = pd.DataFrame({"left_id": b["left_id"], "right_id": b["right_id"],
+                            "jaccard": [round(s, 6) for s in jac]})
+        return out[pd.Series(jac, index=b.index) >= jaccard_threshold]
+
+    out = joined.map_batches(_verify, batch_format="pandas")
     return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
                                  ("jaccard", pa.float64())])
 
 
 def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, max_band_width: int = 20000):
     """Near-dup pairs by SimHash: 4 x 16-bit sub-key buckets (any pair
     within Hamming <= 3 of 64 bits shares at least one exact sub-key),
-    verified by full Hamming distance."""
-    from ..functions.minhash import hamming64, simhash64
+    verified by full Hamming distance. The simhash (one int) rides the
+    shuffle; the width cap bounds in-bucket quadratics on degenerate
+    sub-keys (e.g. the all-zero hash of empty documents)."""
+    from ..functions.minhash import simhash64
 
     def _keys(batch: pd.DataFrame) -> pd.DataFrame:
         ids, keys, hashes = [], [], []
@@ -127,72 +216,117 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                 ids.append(i)
                 keys.append(f"s{band}:{sub:04x}")
                 hashes.append(h)
-        return pd.DataFrame({"band_key": keys, id_col: ids, "simhash": hashes})
+        return pd.DataFrame({"band_key": keys, id_col: ids,
+                             "simhash": np.array(hashes, dtype=np.uint64).astype("int64")})
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
-        hs = g["simhash"].tolist()
-        left, right, ham = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(hs[i]), int(hs[j]))
-                if d <= max_hamming:
-                    left.append(ids[i])
-                    right.append(ids[j])
-                    ham.append(d)
-        return pd.DataFrame({"left_id": left, "right_id": right, "hamming": ham})
+    def _pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["band_key", id_col])
+        counts = g["band_key"].value_counts()
+        wide = counts[counts > max_band_width]
+        if len(wide):
+            in_wide = g["band_key"].isin(wide.index)
+            over = g[in_wide].sort_values(["band_key", id_col], kind="mergesort")
+            kept = over.groupby("band_key", sort=False).head(max_band_width)
+            logger.warning("simhash: %d oversized sub-key buckets truncated (%d rows dropped)",
+                           len(wide), len(over) - len(kept))
+            g = pd.concat([g[~in_wide], kept], ignore_index=True)
+        m = g.merge(g, on="band_key")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if m.empty:
+            return pd.DataFrame({"left_id": pd.Series(dtype=g[id_col].dtype),
+                                 "right_id": pd.Series(dtype=g[id_col].dtype),
+                                 "hamming": pd.Series(dtype="int64")})
+        # vectorized Hamming via uint64 xor + popcount-by-bytes
+        x = m[f"simhash_x"].to_numpy().astype(np.uint64) ^ m[f"simhash_y"].to_numpy().astype(np.uint64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"left_id": m[f"{id_col}_x"].to_numpy()[keep],
+                             "right_id": m[f"{id_col}_y"].to_numpy()[keep],
+                             "hamming": ham[keep].astype("int64")})
 
-    from ray.data.aggregate import Min
-
-    pairs = (docs_ds.map_batches(_keys, batch_format="pandas")
-             .groupby("band_key").map_groups(_pairs, batch_format="pandas"))
-    out = pairs.groupby(["left_id", "right_id"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    pairs = bucketed_map_groups(
+        docs_ds.map_batches(_keys, batch_format="pandas"), "band_key",
+        _pairs_bucket, num_buckets=64)
+    out = bucketed_map_groups(
+        pairs, ["left_id", "right_id"],
+        lambda g: g.groupby(["left_id", "right_id"], as_index=False, sort=False)
+                   .agg(hamming=("hamming", "min")),
+        num_buckets=64)
     return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
                                  ("hamming", pa.int64())])
 
 
 def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "embedding",
-                             cosine_threshold: float = 0.95, num_planes: int = 12,
-                             seed: int = 42, dim: int | None = None):
-    """Near-dup pairs by embedding cosine: random-hyperplane LSH sign
-    buckets -> in-bucket exact cosine verify. Vectors are L2-normalized
-    per batch (numpy, vectorized)."""
+                             cosine_threshold: float = 0.95, num_bands: int = 6,
+                             planes_per_band: int = 6, seed: int = 42,
+                             max_band_width: int = 4000):
+    """Near-dup pairs by embedding cosine.
+
+    OR-amplified random-hyperplane LSH: ``num_bands`` INDEPENDENT
+    hyperplane bands of ``planes_per_band`` sign bits each — a pair at
+    cosine c collides in at least one band with probability
+    1-(1-(1-acos(c)/pi)^planes)^bands (~0.99 at the 0.95/6x6 defaults;
+    the old single 12-plane bucketing missed ~72% of 0.95-pairs).
+    Bucket rows carry (bucket, id) only; exact cosine verification maps
+    the id pairs against a broadcast Arrow embedding table (per-worker
+    zero-copy, same pattern as the scoring stage)."""
+    import ray
+
     def _buckets(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
         if mat.ndim != 2 or mat.shape[0] == 0:
-            return pd.DataFrame({"bucket": [], id_col: [], "vec": []})
-        planes = np.random.RandomState(seed).randn(mat.shape[1], num_planes)
+            return pd.DataFrame({"band_key": pd.Series(dtype=str),
+                                 id_col: pd.Series(dtype="int64")})
+        planes = np.random.RandomState(seed).randn(
+            mat.shape[1], num_bands * planes_per_band)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        unit = mat / norms
-        bits = (unit @ planes) > 0
-        keys = ["".join("1" if b else "0" for b in row) for row in bits]
-        return pd.DataFrame({"bucket": keys, id_col: batch[id_col].tolist(),
-                             "vec": list(unit)})
+        bits = ((mat / norms) @ planes) > 0
+        ids, keys = [], []
+        id_vals = batch[id_col].tolist()
+        for b in range(num_bands):
+            band_bits = bits[:, b * planes_per_band : (b + 1) * planes_per_band]
+            words = band_bits @ (1 << np.arange(planes_per_band))
+            for i, w in zip(id_vals, words):
+                ids.append(i)
+                keys.append(f"e{b}:{int(w):x}")
+        return pd.DataFrame({"band_key": keys, id_col: ids})
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
-        mat = np.vstack(g["vec"].to_numpy())
-        sims = mat @ mat.T
-        left, right, cos = [], [], []
-        n = len(ids)
-        iu, ju = np.triu_indices(n, k=1)
-        for i, j in zip(iu, ju):
-            s = float(sims[i, j])
-            if s >= cosine_threshold:
-                left.append(ids[i])
-                right.append(ids[j])
-                cos.append(round(s, 6))
-        return pd.DataFrame({"left_id": left, "right_id": right, "cosine": cos})
+    cand = candidate_pairs_from_keys(
+        emb_ds.map_batches(_buckets, batch_format="pandas"), id_col,
+        max_band_width=max_band_width, op_name="embedding_lsh")
 
-    from ray.data.aggregate import Max
+    # broadcast the embedding table once (Arrow in plasma, zero-copy)
+    tbl = pa.concat_tables(
+        [b.select([id_col, vec_col])
+         for b in emb_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ).combine_chunks()
+    tbl_ref = ray.put(tbl)
+    _cache: dict = {}
 
-    pairs = (emb_ds.map_batches(_buckets, batch_format="pandas")
-             .groupby("bucket").map_groups(_pairs, batch_format="pandas"))
-    out = pairs.groupby(["left_id", "right_id"]).aggregate(
-        Max("cosine", alias_name="cosine"))
+    def _verify(b: pd.DataFrame) -> pd.DataFrame:
+        if "tbl" not in _cache:
+            t = ray.get(tbl_ref)
+            mat = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            _cache["mat"] = mat / norms
+            _cache["idx"] = {v: i for i, v in enumerate(t[id_col].to_pylist())}
+            _cache["tbl"] = True
+        mat, idx = _cache["mat"], _cache["idx"]
+        li = np.array([idx.get(v, -1) for v in b["left_id"]])
+        ri = np.array([idx.get(v, -1) for v in b["right_id"]])
+        ok = (li >= 0) & (ri >= 0)
+        if not ok.any():
+            return pd.DataFrame({"left_id": pd.Series(dtype=b["left_id"].dtype),
+                                 "right_id": pd.Series(dtype=b["right_id"].dtype),
+                                 "cosine": pd.Series(dtype="float64")})
+        cos = np.einsum("ij,ij->i", mat[li[ok]], mat[ri[ok]])
+        keep = cos >= cosine_threshold
+        return pd.DataFrame({"left_id": b["left_id"].to_numpy()[ok][keep],
+                             "right_id": b["right_id"].to_numpy()[ok][keep],
+                             "cosine": np.round(cos[keep], 6)})
+
+    out = cand.map_batches(_verify, batch_format="pandas")
     return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
                                  ("cosine", pa.float64())])

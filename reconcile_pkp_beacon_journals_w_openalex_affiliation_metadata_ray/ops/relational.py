@@ -42,10 +42,28 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner",
     return big_ds.map_batches(_merge, batch_format="pandas")
 
 
+def _dtype_map(ds) -> dict:
+    """Column -> pandas dtype for a Dataset (arrow or pandas blocks)."""
+    sch = ds.schema()
+    out = {}
+    for name, typ in zip(sch.names, sch.types):
+        try:
+            out[name] = typ.to_pandas_dtype()
+        except AttributeError:
+            out[name] = typ
+    return out
+
+
 def bucket_join(left_ds, right_ds, on, num_buckets: int = 64, how: str = "inner",
                 suffixes=("_l", "_r")):
     """Partitioned hash join for two large Datasets: one shuffle keyed
-    on hash(key) % num_buckets, pandas merge per bucket."""
+    on hash(key) % num_buckets, pandas merge per bucket.
+
+    Empty or absent sides in a bucket are replaced by TYPED empty
+    frames: a reindex-style NaN fill would upcast int key columns to
+    float in empty blocks, and when Ray later concatenates such blocks
+    into a batch the promoted float keys hash differently ("1.0" vs
+    "1") and silently break any downstream bucket_join on them."""
     on = [on] if isinstance(on, str) else list(on)
     # deterministic bucket hash (python hash() is salted -> use pandas'
     # stable row hashing)
@@ -64,10 +82,35 @@ def bucket_join(left_ds, right_ds, on, num_buckets: int = 64, how: str = "inner"
     right_t = right_ds.map_batches(_tagger("r"), batch_format="pandas")
     lcols = list(left_ds.schema().names)
     rcols = list(right_ds.schema().names)
+    dtypes = {**_dtype_map(right_ds), **_dtype_map(left_ds)}
+    overlap = (set(lcols) & set(rcols)) - set(on)
+    out_cols = ([c + suffixes[0] if c in overlap else c for c in lcols]
+                + [c + suffixes[1] if c in overlap else c
+                   for c in rcols if c not in on])
+    out_dtypes = {}
+    for c in lcols:
+        out_dtypes[c + suffixes[0] if c in overlap else c] = dtypes[c]
+    for c in rcols:
+        if c not in on:
+            out_dtypes[c + suffixes[1] if c in overlap else c] = _dtype_map(right_ds)[c]
+
+    def _typed(cols, dmap):
+        return pd.DataFrame({c: pd.Series(dtype=dmap.get(c, object)) for c in cols})
+
+    rdtypes = _dtype_map(right_ds)
 
     def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g.loc[g["__side"] == "l", lcols]
-        right = g.loc[g["__side"] == "r", rcols]
+        left = g.loc[g["__side"] == "l"]
+        right = g.loc[g["__side"] == "r"]
+        if (left.empty or right.empty) and how == "inner":
+            return _typed(out_cols, out_dtypes)
+        # the shuffle NaN-pads each side with the other side's columns,
+        # promoting int columns to float — cast back to declared dtypes
+        # (values are integral within their own side, so it's lossless)
+        left = (left[lcols].astype({c: dtypes[c] for c in lcols})
+                if not left.empty else _typed(lcols, dtypes))
+        right = (right[rcols].astype({c: rdtypes[c] for c in rcols})
+                 if not right.empty else _typed(rcols, rdtypes))
         return left.merge(right, on=on, how=how, suffixes=suffixes)
 
     both = left_t.union(right_t)
@@ -145,11 +188,16 @@ def topk_per_group(ds, key, sort_col, k: int = 1, descending: bool = True,
     return ds.groupby(key).map_groups(_top, batch_format="pandas")
 
 
-def distinct(ds, cols):
-    """Exact distinct rows over cols (hash-partition + per-group first,
-    D1 pattern)."""
+def distinct(ds, cols, num_buckets: int = 64):
+    """Exact distinct rows over cols: in-batch combiner, then ONE
+    coarse-bucketed shuffle with a vectorized drop_duplicates per
+    bucket. (Both a per-key map_groups head(1) and a Ray
+    groupby().aggregate() pay ~per-distinct-value Python overhead —
+    measured ~0.7 ms/group, i.e. minutes at 10^5 keys; the bucketed
+    path is 64 Python calls total at any cardinality.)"""
     cols = [cols] if isinstance(cols, str) else list(cols)
     proj = ds.map_batches(
         lambda b: b[cols].drop_duplicates(),  # in-batch combiner
         batch_format="pandas")
-    return proj.groupby(cols).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return bucketed_map_groups(proj, cols, lambda g: g.drop_duplicates(),
+                               num_buckets=num_buckets)
