@@ -176,16 +176,22 @@ def pre_aggregated(ds, keys, sums=(), counts=True):
 
 
 def topk_per_group(ds, key, sort_col, k: int = 1, descending: bool = True,
-                   tie_break=None):
+                   tie_break=None, num_buckets: int = 64):
     """Per-group top-k (O4 argmax generalization). Deterministic:
-    secondary sort on tie_break (defaults to all remaining columns is
-    NOT used — pass an explicit column)."""
-    def _top(g: pd.DataFrame) -> pd.DataFrame:
-        cols = [sort_col] + ([tie_break] if tie_break else [])
-        asc = [not descending] + ([True] if tie_break else [])
-        return g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+    secondary sort on tie_break (pass an explicit column). In-batch
+    combiner (local top-k per key) shrinks the shuffle to <= k rows per
+    (key, batch); the bucketed reduce is one vectorized sort +
+    groupby-head per bucket — no per-key Python call."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = keys + [sort_col] + ([tie_break] if tie_break else [])
+    asc = [True] * len(keys) + [not descending] + ([True] if tie_break else [])
 
-    return ds.groupby(key).map_groups(_top, batch_format="pandas")
+    def _local_top(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(cols, ascending=asc, kind="mergesort")
+                .groupby(keys, sort=False).head(k))
+
+    combined = ds.map_batches(_local_top, batch_format="pandas")
+    return bucketed_map_groups(combined, keys, _local_top, num_buckets=num_buckets)
 
 
 def distinct(ds, cols, num_buckets: int = 64):

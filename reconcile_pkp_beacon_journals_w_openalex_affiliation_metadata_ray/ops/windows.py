@@ -21,25 +21,33 @@ from __future__ import annotations
 
 import pandas as pd
 
+from .relational import bucketed_map_groups
+
 
 def sessionize(events_ds, key: str = "user_id", ts: str = "ts",
-               gap_minutes: float = 30.0):
+               gap_minutes: float = 30.0, num_buckets: int = 64):
     """Assign session ids: a new session starts when the gap since the
     previous event of the same key exceeds ``gap_minutes``. Output: one
     row per session (key, session_start, session_end, n_events).
-    Deterministic: ties in ts are ordered by event_id."""
+    Deterministic: ties in ts are ordered by event_id.
+
+    One coarse-bucketed shuffle (all rows of a key co-bucketed), then a
+    single vectorized pass per bucket: sort by (key, ts, event_id) and
+    cumsum session breaks with the key-change positions OR'd in — no
+    per-key Python call at any key cardinality."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, "event_id"], kind="mergesort")
-        new_session = (g[ts].diff() > gap).cumsum()
-        agg = g.groupby(new_session).agg(
-            session_start=(ts, "min"), session_end=(ts, "max"),
-            n_events=(ts, "size"))
-        agg[key] = g[key].iloc[0]
-        return agg.reset_index(drop=True)[[key, "session_start", "session_end", "n_events"]]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, "event_id"], kind="mergesort")
+        key_change = g[key].ne(g[key].shift())
+        new_session = (key_change | (g[ts].diff() > gap)).cumsum()
+        agg = g.groupby(new_session, sort=False).agg(
+            **{key: (key, "first"), "session_start": (ts, "min"),
+               "session_end": (ts, "max"), "n_events": (ts, "size")})
+        return agg.reset_index(drop=True)[
+            [key, "session_start", "session_end", "n_events"]]
 
-    return events_ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return bucketed_map_groups(events_ds, key, per_bucket, num_buckets=num_buckets)
 
 
 def tumbling_window(events_ds, key: str = "event_type", ts: str = "ts",
@@ -62,15 +70,16 @@ def tumbling_window(events_ds, key: str = "event_type", ts: str = "ts",
 
 
 def running_aggregate(events_ds, key: str = "user_id", ts: str = "ts",
-                      value: str = "value"):
+                      value: str = "value", num_buckets: int = 64):
     """Per-key running (cumulative) sum in ts order; output one row per
     event with the running total. Tie-break on event_id keeps it
-    deterministic at any parallelism."""
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, "event_id"], kind="mergesort")
+    deterministic at any parallelism. Vectorized per bucket: one sort +
+    one pandas groupby-cumsum over the whole bucket."""
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, "event_id"], kind="mergesort")
         return pd.DataFrame({
             key: g[key], "event_id": g["event_id"],
-            "running_sum": g[value].cumsum().round(6),
+            "running_sum": g.groupby(key, sort=False)[value].cumsum().round(6),
         })
 
-    return events_ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return bucketed_map_groups(events_ds, key, per_bucket, num_buckets=num_buckets)

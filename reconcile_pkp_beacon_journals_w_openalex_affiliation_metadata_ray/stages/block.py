@@ -165,11 +165,32 @@ def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD,
         vc = b["block_key"].value_counts()
         return pd.DataFrame({"block_key": vc.index, "n": vc.values})
 
-    partials = keys.map_batches(_partial_counts, batch_format="pandas").to_pandas()
-    if partials.empty:
+    partials_ds = keys.map_batches(_partial_counts, batch_format="pandas")
+
+    if n <= sample_min_rows:
+        # small input: distinct-key count is bounded by the input size,
+        # a driver-side sum is cheaper than a shuffle
+        partials = partials_ds.to_pandas()
+        if partials.empty:
+            return frozenset()
+        totals = partials.groupby("block_key")["n"].sum()
+        return frozenset(totals.index[totals > eff_threshold])
+
+    from ..ops.relational import bucketed_map_groups
+
+    def _sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("block_key", as_index=False, sort=False).agg(n=("n", "sum"))
+
+    # large input: reduce + filter DISTRIBUTED, collect only the hot
+    # keys — the driver sees O(hot keys) rows, not one per distinct
+    # sampled block key
+    totals = bucketed_map_groups(partials_ds, "block_key", _sum_counts,
+                                 num_buckets=32)
+    hot = totals.map_batches(lambda b: b[b["n"] > eff_threshold],
+                             batch_format="pandas").to_pandas()
+    if hot.empty:
         return frozenset()
-    totals = partials.groupby("block_key")["n"].sum()
-    return frozenset(totals.index[totals > eff_threshold])
+    return frozenset(hot["block_key"])
 
 
 FAMILY_DOI = 1

@@ -309,59 +309,30 @@ def _pack_records(records_ds, id_name: str):
     return records_ds.map_batches(_pack, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _attach(pairs_ds, packed_ds, id_name: str, carry_cols, num_buckets: int):
-    """Bucketed hash join of pairs against packed record attrs on
-    id_name (the big-big path: one keyed shuffle, pandas merge per
-    bucket; no broadcast)."""
-    from ..ops.relational import bucketed_map_groups
-
-    attr_cols = [f"{id_name}_doi", f"{id_name}_auth", f"{id_name}_inst", f"{id_name}_blob"]
-    all_cols = [id_name] + carry_cols + attr_cols + ["__side"]
-
-    def _tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        for c in attr_cols:
-            b[c] = ""
-        b["__side"] = "p"
-        return b[all_cols]
-
-    def _tag_recs(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        for c in carry_cols:
-            b[c] = 0 if c == "families" else ""
-        b["__side"] = "r"
-        return b[all_cols]
-
-    tagged = (pairs_ds.map_batches(_tag_pairs, batch_format="pandas")
-              .union(packed_ds.map_batches(_tag_recs, batch_format="pandas")))
-
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        p = g.loc[g["__side"] == "p", [id_name] + carry_cols]
-        r = g.loc[g["__side"] == "r", [id_name] + attr_cols]
-        return p.merge(r, on=id_name, how="inner")
-
-    return bucketed_map_groups(tagged, id_name, _merge, num_buckets=num_buckets)
-
-
 def score_pairs_shuffle(pairs_ds, records_ds, num_buckets: int = 32,
                         batch_size: int = 8192):
     """The 10^12-row-corpus scoring path: when the record-attribute
     table is too large to broadcast to every node, pairs are joined to
-    their two sides' attributes with two bucketed hash-join shuffles
+    their two sides' attributes with two bucketed hash joins
+    (ops.relational.bucket_join — each side ships only its OWN columns
+    into the exchange; the old homogenized-union attach pre-padded four
+    empty attr columns onto every pair row, doubling the shuffle width)
     and scored statelessly. Produces EXACTLY the same scored rows as
     the broadcast path (asserted in tests)."""
+    from ..ops.relational import bucket_join
+
     def _ensure_families(b: pd.DataFrame) -> pd.DataFrame:
         if "families" not in b.columns:
             b = b.assign(families=3)
         return b
 
     pairs_ds = pairs_ds.map_batches(_ensure_families, batch_format="pandas")
-    left = _attach(pairs_ds, _pack_records(records_ds, "left_id"), "left_id",
-                   ["right_id", "block_key", "families"], num_buckets)
-    both = _attach(left, _pack_records(records_ds, "right_id"), "right_id",
-                   ["left_id", "block_key", "families",
-                    "left_id_doi", "left_id_auth", "left_id_inst", "left_id_blob"],
-                   num_buckets)
+    keep = ["left_id", "right_id", "block_key", "families"]
+    pairs_ds = pairs_ds.map_batches(lambda b: b[keep], batch_format="pandas")
+    left = bucket_join(pairs_ds, _pack_records(records_ds, "left_id"),
+                       on="left_id", num_buckets=num_buckets).materialize()
+    both = bucket_join(left, _pack_records(records_ds, "right_id"),
+                       on="right_id", num_buckets=num_buckets)
 
     def _score(batch: pd.DataFrame) -> pd.DataFrame:
         cols = {name: [] for name in SCORED_PAIR_SCHEMA.names}

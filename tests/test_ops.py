@@ -256,3 +256,40 @@ def test_candidate_pairs_band_width_cap(rds):
     pairs = {(int(a), int(b)) for a, b in zip(out.left_id, out.right_id)}
     want_b = {(i, j) for i in range(4) for j in range(i + 1, 4)}  # ids 0..3 kept
     assert pairs == want_b | {(100, 101)}
+
+
+def test_running_aggregate_high_cardinality(rds):
+    """20k distinct keys through the bucketed path — correctness vs a
+    pandas oracle (the per-key map_groups this replaced costs ~0.7 ms
+    per key; at this cardinality it took ~15 s, the bucketed path ~2 s)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    rng = np.random.RandomState(0)
+    n = 50_000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 20_000, n),
+        "event_id": np.arange(n),
+        "ts": pd.Timestamp("2020-01-01") + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "value": rng.rand(n),
+    })
+    got = windows.running_aggregate(rds.from_pandas(df)).to_pandas()
+    want = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    want = want.assign(running_sum=want.groupby("user_id", sort=False)["value"]
+                       .cumsum().round(6))
+    merged = got.merge(want[["event_id", "running_sum"]], on="event_id",
+                       suffixes=("", "_want"))
+    assert len(merged) == n
+    assert np.allclose(merged["running_sum"], merged["running_sum_want"])
+
+
+def test_topk_per_group_matches_pandas(rds):
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({"k": rng.randint(0, 3_000, 20_000),
+                       "v": rng.rand(20_000),
+                       "id": np.arange(20_000)})
+    got = relational.topk_per_group(rds.from_pandas(df), "k", "v", k=2,
+                                    tie_break="id").to_pandas()
+    want = (df.sort_values(["k", "v", "id"], ascending=[True, False, True],
+                           kind="mergesort").groupby("k", sort=False).head(2))
+    assert sorted(map(tuple, got[["k", "id"]].to_numpy().tolist())) == \
+           sorted(map(tuple, want[["k", "id"]].to_numpy().tolist()))
