@@ -436,6 +436,24 @@ def q_decode_media(sf_dir: str):
         batch_format="pandas")
 
 
+def q_sample_docs(sf_dir: str):
+    """Seeded exact-k uniform sample (O3, `sample_csv/sample.py:5-14`).
+    The chosen ids are persisted; the oracle re-joins them against the
+    source table, so the driver verifies the sample rows are real rows
+    with true column values and that exactly k came back."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.io import (
+        sample_exact,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = sample_exact(ds, k=100).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    ensure_fixtures(sf_dir)
+    out.to_parquet(os.path.join(FIXTURE_ROOT, _tier(sf_dir), "sampled_docs.parquet"),
+                   index=False)
+    return out
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization over the events log (stream-shaped op;
     30-minute gap)."""
@@ -551,6 +569,25 @@ def q_parse_records_openalex(sf_dir: str):
         os.path.join(fdir, "records_openalex"), "openalex")
     cols = [c for c in parse_records.ROW_SCHEMA.names if c != "parse_error_details"]
     return ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+
+
+def q_enrich_url_status(sf_dir: str):
+    """M17: the 5 derived URL-status columns over the parsed OpenAlex
+    records (deterministic fake checker standing in for HTTP HEAD; the
+    branch structure, message strings and column contract are exact —
+    `retrieve_pkp_work_url_download_pdf.py:94-163`)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+        enrich,
+        parse_records,
+    )
+
+    fdir = ensure_fixtures(sf_dir)
+    parsed = parse_records.parse_record_files(
+        os.path.join(fdir, "records_openalex"), "openalex")
+    out = enrich.enrich_url_status(parsed, checker="fake")
+    cols = ["source_file_relative", "line_number", "url_to_check",
+            "url_resolves", "url_is_pdf", "downloaded_filename", "processing_error"]
+    return out.map_batches(lambda b: b[cols], batch_format="pandas")
 
 
 def q_parse_records_crossref(sf_dir: str):
@@ -685,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tumbling_window": q_tumbling_window,
         "q_running_sum": q_running_sum,
         "q_distinct_langs": q_distinct_langs,
+        "q_sample_docs": q_sample_docs,
         "q_priority_revenue_bucket_join": q_priority_revenue_bucket_join,
         "q_event_props_extract": q_event_props_extract,
         # dedup / text / similarity (training-data ops)
@@ -704,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raw JSONL record parsing (M6/M7)
         "q_parse_records_openalex": q_parse_records_openalex,
         "q_parse_records_crossref": q_parse_records_crossref,
+        "q_enrich_url_status": q_enrich_url_status,
         # the linkage pipeline itself
         "q_base_urls": q_base_urls,
         "q_filter_works": q_filter_works,
@@ -1002,6 +1041,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events) WHERE rn = 1
         """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "q_sample_docs": f"""
+            SELECT d.doc_id, d.lang
+            FROM documents d
+            JOIN read_parquet('{fdir}/sampled_docs.parquet') s ON d.doc_id = s.doc_id
+        """,
         "q_priority_revenue_bucket_join": """
             SELECT o_orderpriority, count(*) AS n_items,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1087,6 +1131,35 @@ def oracle_sql() -> dict[str, str]:
             os.path.join(fdir, "records_openalex_raw.parquet")),
         "q_parse_records_crossref": _parse_crossref_sql(
             os.path.join(fdir, "records_crossref_raw.parquet")),
+        "q_enrich_url_status": f"""
+            WITH parsed AS ({_parse_openalex_sql(os.path.join(fdir, "records_openalex_raw.parquet"))}),
+            base AS (
+              SELECT source_file_relative, line_number,
+                CASE WHEN trim(pdf_url) <> '' THEN trim(pdf_url)
+                     ELSE trim(url) END AS u,
+                list_extract(str_split(trim(openalex_id), '/'),
+                             len(str_split(trim(openalex_id), '/'))) AS tail
+              FROM parsed),
+            flags AS (
+              SELECT *, (u <> '' AND u NOT LIKE '%dead%') AS resolves,
+                (u <> '' AND u NOT LIKE '%dead%'
+                 AND (split_part(u, '?', 1) LIKE '%/download/%'
+                      OR split_part(u, '?', 1) LIKE '%.pdf')) AS is_pdf_ct,
+                regexp_matches(tail, '^W[0-9]+$') AS fn_valid
+              FROM base)
+            SELECT source_file_relative, line_number,
+              u AS url_to_check, resolves AS url_resolves,
+              is_pdf_ct AS url_is_pdf,
+              CASE WHEN is_pdf_ct AND fn_valid THEN tail || '.pdf'
+                   ELSE '' END AS downloaded_filename,
+              CASE WHEN u = '' THEN 'No URL available in pdf_url or url fields'
+                   WHEN NOT resolves THEN 'HTTP Status: 404'
+                   WHEN is_pdf_ct AND NOT fn_valid
+                        THEN 'Cannot generate filename from OpenAlex ID'
+                   WHEN NOT is_pdf_ct THEN 'Content-Type: text/html; Not PDF based on Content-Type (Content-Type: text/html)'
+                   ELSE '' END AS processing_error
+            FROM flags
+        """,
         "q_decode_media": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    'ok' AS decode_status

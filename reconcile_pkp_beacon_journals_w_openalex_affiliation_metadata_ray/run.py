@@ -23,13 +23,21 @@ import sys
 def parse_arguments(argv=None):
     p = argparse.ArgumentParser(description="Ray-Data record-linkage engine")
     p.add_argument("pipeline",
-                   choices=["reconcile", "extract", "mentions", "stats", "evaluate"])
+                   choices=["reconcile", "extract", "mentions", "stats", "evaluate",
+                            "parse-records"])
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                    help="testdata tier dir controlling fixture scale")
     p.add_argument("--out", default=None, help="output parquet dir (default: print summary only)")
     p.add_argument("--workdir", default=None,
                    help="checkpoint root; enables lineage manifests + resume")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    # parse-records options (M7 `--source-type` dispatch parity,
+    # `parse_record_data_from_files.py:38-56,396-410`)
+    p.add_argument("--input-dir", default=None,
+                   help="parse-records: base dir of *.jsonl.gz files "
+                        "(default: the tier fixture's records_<source-type>/ tree)")
+    p.add_argument("--source-type", choices=["crossref", "openalex"],
+                   default="openalex", help="parse-records: source variant")
     return p.parse_args(argv)
 
 
@@ -74,6 +82,16 @@ def main(argv=None) -> int:
         summary["overall"] = {k: v for k, v in stats.overall_stats(scored).items()
                               if not isinstance(v, float) or v == v}
         result = None
+    elif args.pipeline == "parse-records":
+        from .sources.fixtures import ensure_fixtures
+        from .stages import parse_records
+
+        input_dir = args.input_dir or os.path.join(
+            ensure_fixtures(args.sf_dir), f"records_{args.source_type}")
+        result = parse_records.parse_record_files(input_dir, args.source_type)
+        summary["input_dir"] = input_dir
+        summary["source_type"] = args.source_type
+        summary["rows"] = result.count()
     elif args.pipeline == "evaluate":
         out = reconcile.run_reconcile(args.sf_dir)
         res = reconcile.pairwise_f1(

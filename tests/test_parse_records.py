@@ -129,3 +129,53 @@ def test_parse_stage_matches_serial(ray_session, tmp_path):
     # the empty line occupied line number 3: no row has it, successor kept 4
     nums = [n for rel, n, *_ in got if rel == os.path.join("a", "x.jsonl.gz")]
     assert 3 not in nums and 4 in nums
+
+
+def test_enrich_url_status_branches(ray_session):
+    """M17 columns follow the reference's exact branch/message flow
+    (`retrieve_pkp_work_url_download_pdf.py:105-163`) under the fake
+    checker."""
+    import pandas as pd
+    import ray.data as rds
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+        enrich,
+    )
+
+    df = pd.DataFrame({
+        "pdf_url": ["https://h.org/article/download/1", "", "", "https://dead.org/x.pdf", ""],
+        "url": ["", "https://h.org/article/view/2", "", "", "https://h.org/a/download/5"],
+        "openalex_id": ["https://openalex.org/W11", "https://openalex.org/W22", "W33",
+                        "https://openalex.org/W44", "12345"],
+    })
+    out = enrich.enrich_url_status(rds.from_pandas(df)).to_pandas()
+    # pdf_url wins; valid id -> downloaded
+    assert out.loc[0, "url_to_check"] == "https://h.org/article/download/1"
+    assert bool(out.loc[0, "url_resolves"]) and bool(out.loc[0, "url_is_pdf"])
+    assert out.loc[0, "downloaded_filename"] == "W11.pdf"
+    assert out.loc[0, "processing_error"] == ""
+    # landing page: resolves, not a pdf, double-message accumulation
+    assert bool(out.loc[1, "url_resolves"]) and not bool(out.loc[1, "url_is_pdf"])
+    assert out.loc[1, "processing_error"] == (
+        "Content-Type: text/html; Not PDF based on Content-Type (Content-Type: text/html)")
+    # no url at all
+    assert out.loc[2, "processing_error"] == "No URL available in pdf_url or url fields"
+    # dead host: does not resolve
+    assert not bool(out.loc[3, "url_resolves"])
+    assert out.loc[3, "processing_error"] == "HTTP Status: 404"
+    # pdf but id not W+digits -> filename error (M16 shape validation)
+    assert bool(out.loc[4, "url_is_pdf"])
+    assert out.loc[4, "downloaded_filename"] == ""
+    assert out.loc[4, "processing_error"] == "Cannot generate filename from OpenAlex ID"
+
+
+def test_extract_filename_from_openalex_id():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.enrich import (
+        extract_filename_from_openalex_id as f,
+    )
+
+    assert f("https://openalex.org/W123") == "W123.pdf"
+    assert f("W9") == "W9.pdf"
+    assert f("https://openalex.org/A123") is None
+    assert f("") is None and f(None) is None and f(123) is None
+    assert f("https://openalex.org/Wabc") is None
