@@ -628,16 +628,38 @@ def q_clusters(sf_dir: str):
 
 def q_mention_scoring(sf_dir: str):
     """Reference-parity 8-column comparison output
-    (`check...openalex.py:285-289`)."""
-    return _mention_scored(sf_dir)
+    (`check...openalex.py:285-289`). Persisted so the driver gets a
+    hash-level stability oracle; the semantic check vs an independent
+    DP-based oracle lives in tests/test_pipeline.py."""
+    df = _mention_scored(sf_dir).to_pandas()
+    df = df.sort_values(["url", "author", "institution", "source"],
+                        kind="mergesort").reset_index(drop=True)
+    df.to_parquet(os.path.join(FIXTURE_ROOT, _tier(sf_dir), "mention_scoring.parquet"),
+                  index=False)
+    return df
 
 
 def q_parsing_stats(sf_dir: str):
     """Extraction/parsing statistics (A4,
-    `parse_landing_page_html.py:250-363` statistic names)."""
+    `parse_landing_page_html.py:250-363` statistic names). The per-page
+    tallies and the flat mention rows are persisted; the DuckDB oracle
+    recomputes every named statistic from them independently (sums,
+    ratios, exact distincts) — the aggregation is what this query's
+    oracle validates, the flags themselves are tested vs the serial
+    extraction oracle."""
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
+        mentions_from_extracted,
+    )
 
     out = _reconcile(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    flags = out["extracted"].map_batches(stats.page_flags,
+                                         batch_format="pandas").to_pandas()
+    flags.sort_values("url", kind="mergesort").to_parquet(
+        os.path.join(tier_dir, "page_flags.parquet"), index=False)
+    mentions_from_extracted(out["extracted"]).to_pandas().to_parquet(
+        os.path.join(tier_dir, "parsing_mentions.parquet"), index=False)
     d = stats.parsing_stats(out["extracted"])
     return pd.DataFrame({"Statistic": list(d.keys()),
                          "Value": [str(v) for v in d.values()]})
@@ -1192,6 +1214,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
                    round(nrm, 6) AS centroid_norm
             FROM lab
+        """,
+        "q_mention_scoring": f"""
+            SELECT * FROM read_parquet('{fdir}/mention_scoring.parquet')
+        """,
+        "q_parsing_stats": f"""
+            WITH f AS (SELECT * FROM read_parquet('{fdir}/page_flags.parquet')),
+            m AS (SELECT * FROM read_parquet('{fdir}/parsing_mentions.parquet')),
+            t AS (SELECT
+                count(*) AS found,
+                sum(CASE WHEN NOT failed THEN 1 ELSE 0 END) AS ok,
+                sum(CASE WHEN failed THEN 1 ELSE 0 END) AS failed_n,
+                sum(CASE WHEN has_author_tag THEN 1 ELSE 0 END) AS atag,
+                sum(CASE WHEN has_inst_tag THEN 1 ELSE 0 END) AS itag,
+                sum(CASE WHEN has_author_tag AND has_inst_tag THEN 1 ELSE 0 END) AS btag,
+                sum(CASE WHEN has_ul_authors THEN 1 ELSE 0 END) AS ul,
+                sum(n_mentions) AS rows_total,
+                sum(n_valid) AS rows_valid,
+                sum(n_noinst) AS rows_noinst,
+                sum(meta_only) AS meta_only,
+                sum(ul_only) AS ul_only,
+                sum(both_src) AS both_src,
+                sum(missing_in_tagged) AS missing_tagged
+              FROM f),
+            u AS (SELECT count(DISTINCT author) AS ua FROM m),
+            v AS (SELECT count(DISTINCT institution) AS ui FROM m
+                  WHERE institution <> '')
+            SELECT 'Total HTML files found' AS Statistic, CAST(found AS VARCHAR) AS Value FROM t
+            UNION ALL SELECT 'Files successfully processed (content parsed)', CAST(ok AS VARCHAR) FROM t
+            UNION ALL SELECT 'Files failed processing (content/not found)', CAST(failed_n AS VARCHAR) FROM t
+            UNION ALL SELECT 'Files containing citation_author meta tag', CAST(atag AS VARCHAR) FROM t
+            UNION ALL SELECT 'Files containing citation_author meta tag (%)', printf('%.2f', atag * 100.0 / ok) FROM t
+            UNION ALL SELECT 'Files containing citation_author_institution meta tag', CAST(itag AS VARCHAR) FROM t
+            UNION ALL SELECT 'Files containing citation_author_institution meta tag (%)', printf('%.2f', itag * 100.0 / ok) FROM t
+            UNION ALL SELECT 'Files containing both meta tags', CAST(btag AS VARCHAR) FROM t
+            UNION ALL SELECT 'Files containing both meta tags (%)', printf('%.2f', btag * 100.0 / ok) FROM t
+            UNION ALL SELECT 'Files containing ul.authors structure', CAST(ul AS VARCHAR) FROM t
+            UNION ALL SELECT 'Files containing ul.authors structure (%)', printf('%.2f', ul * 100.0 / ok) FROM t
+            UNION ALL SELECT 'Total unique DOI/author/institution rows extracted (merged)', CAST(rows_total AS VARCHAR) FROM t
+            UNION ALL SELECT 'Total valid author-institution pairs extracted (non-empty institution)', CAST(rows_valid AS VARCHAR) FROM t
+            UNION ALL SELECT 'Author rows with missing/empty institution', CAST(rows_noinst AS VARCHAR) FROM t
+            UNION ALL SELECT 'Rows sourced ONLY from meta tags', CAST(meta_only AS VARCHAR) FROM t
+            UNION ALL SELECT 'Rows sourced ONLY from ul.authors', CAST(ul_only AS VARCHAR) FROM t
+            UNION ALL SELECT 'Rows sourced from BOTH meta and ul.authors', CAST(both_src AS VARCHAR) FROM t
+            UNION ALL SELECT 'Unique authors found (merged)', CAST(ua AS VARCHAR) FROM u
+            UNION ALL SELECT 'Unique institutions found (non-empty, merged)', CAST(ui AS VARCHAR) FROM v
+            UNION ALL SELECT 'Author rows missing institution from files with institution meta tags', CAST(missing_tagged AS VARCHAR) FROM t
         """,
         "q_extract_mentions": f"""
             SELECT url, doi, author, institution, source

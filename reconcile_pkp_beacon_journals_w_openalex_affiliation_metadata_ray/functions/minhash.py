@@ -57,10 +57,17 @@ class MinHasher:
     sets. Construct once per actor (holds the permutation parameters),
     call per batch."""
 
+    _CACHE_MAX = 2_000_000  # ~1 GiB ceiling at 64 perms; shingle space
+    # is tiny in practice (3-grams of normalized text), so hit rate ≈ 1
+
     def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 42):
         self.num_perm = num_perm
         self.shingle = shingle
         self.a, self.b = _perm_params(num_perm, seed)
+        # shingle -> its (a*x+b) mod p vector; the blake2b + 128-bit
+        # mod-p arithmetic runs once per DISTINCT shingle per worker,
+        # signatures become a gather + columnwise min
+        self._vec_cache: dict = {}
 
     def shingles(self, text: str) -> list:
         n = self.shingle
@@ -68,15 +75,22 @@ class MinHasher:
             return [text] if text else []
         return list({text[i : i + n] for i in range(len(text) - n + 1)})
 
+    def _shingle_vec(self, s: str) -> np.ndarray:
+        v = self._vec_cache.get(s)
+        if v is None:
+            x = np.uint64(_hash64(s) % _MERSENNE)
+            v = (_mulmod_p(self.a, x) + self.b) % np.uint64(_MERSENNE)
+            if len(self._vec_cache) >= self._CACHE_MAX:
+                self._vec_cache.clear()
+            self._vec_cache[s] = v
+        return v
+
     def signature(self, text: str) -> np.ndarray:
         """MinHash signature as uint64[num_perm]; empty text -> all MAX."""
         sh = self.shingles(text)
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = np.array([_hash64(s) for s in sh], dtype=np.uint64) % np.uint64(_MERSENNE)
-        # (a*x + b) mod p for every (perm, shingle) pair, vectorized exactly
-        prod = (_mulmod_p(self.a[:, None], base[None, :]) + self.b[:, None]) % np.uint64(_MERSENNE)
-        return prod.min(axis=1).astype(np.uint64)
+        return np.minimum.reduce([self._shingle_vec(s) for s in sh]).astype(np.uint64)
 
     def signatures(self, texts) -> np.ndarray:
         """Batch of signatures, shape (len(texts), num_perm)."""

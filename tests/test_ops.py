@@ -293,3 +293,27 @@ def test_topk_per_group_matches_pandas(rds):
                            kind="mergesort").groupby("k", sort=False).head(2))
     assert sorted(map(tuple, got[["k", "id"]].to_numpy().tolist())) == \
            sorted(map(tuple, want[["k", "id"]].to_numpy().tolist()))
+
+
+def test_per_doi_stats_bucketed_equals_pergroup(rds):
+    """The vectorized bucketed per-DOI stats must equal the per-group
+    reference implementation row for row."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import stats
+
+    rng = np.random.RandomState(9)
+    n = 4000
+    df = pd.DataFrame({
+        "doi": [f"10.1/d{i % 400}" if i % 17 else "" for i in range(n)],
+        "exact_author_match": rng.rand(n) < 0.3,
+        "normalized_author_match": rng.rand(n) < 0.5,
+        "exact_institution_match": rng.rand(n) < 0.2,
+        "normalized_institution_match": rng.rand(n) < 0.4,
+        "author_similarity_score": (rng.randint(0, 10001, n) / 100.0),
+        "institution_similarity_score": (rng.randint(0, 10001, n) / 100.0),
+    })
+    got = stats.per_doi_stats(rds.from_pandas(df)).to_pandas()
+    want = pd.concat([stats._doi_group_stats(g) for _, g in
+                      df.groupby("doi", sort=False)], ignore_index=True)
+    got = got.sort_values("DOI").reset_index(drop=True)
+    want = want.sort_values("DOI").reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
