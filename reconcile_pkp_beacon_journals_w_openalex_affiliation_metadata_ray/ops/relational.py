@@ -141,10 +141,12 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64):
             .groupby("__bucket").map_groups(_per_bucket, batch_format="pandas"))
 
 
-def pre_aggregated(ds, keys, sums=(), counts=True):
+def pre_aggregated(ds, keys, sums=(), counts=True, num_buckets: int = 64):
     """Combiner + reduce: per-batch partial sums/counts per key, then a
-    small groupby-sum over the partials. Returns columns
-    ``sum_{col}`` for each col in sums and ``n`` when counts."""
+    bucketed vectorized sum over the partials (key cardinality is
+    unbounded in general — see the per-group cost note on
+    :func:`distinct`). Returns columns ``sum_{col}`` for each col in
+    sums and ``n`` when counts."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     sums = list(sums)
 
@@ -166,13 +168,15 @@ def pre_aggregated(ds, keys, sums=(), counts=True):
             return pd.DataFrame(cols)
         return out
 
-    from ray.data.aggregate import Sum
+    agg_cols = {f"sum_{c}": (f"sum_{c}", "sum") for c in sums}
+    if counts:
+        agg_cols["n"] = ("n", "sum")
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False).agg(**agg_cols)
 
     partials = ds.map_batches(_partial, batch_format="pandas")
-    agg_objs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sums]
-    if counts:
-        agg_objs.append(Sum("n", alias_name="n"))
-    return partials.groupby(keys).aggregate(*agg_objs)
+    return bucketed_map_groups(partials, keys, _reduce, num_buckets=num_buckets)
 
 
 def topk_per_group(ds, key, sort_col, k: int = 1, descending: bool = True,

@@ -51,22 +51,26 @@ def sessionize(events_ds, key: str = "user_id", ts: str = "ts",
 
 
 def tumbling_window(events_ds, key: str = "event_type", ts: str = "ts",
-                    value: str = "value", width: str = "1h"):
+                    value: str = "value", width: str = "1h",
+                    num_buckets: int = 64):
     """Fixed event-time windows: (key, window_start) -> count + sum.
     Per-batch partial aggregation before the keyed shuffle (combiner
-    pattern) — the shuffle moves one row per (key, window, batch)."""
+    pattern) — the shuffle moves one row per (key, window, batch); the
+    reduce is bucketed + vectorized ((key, window) cardinality grows
+    with the log horizon, so a per-group aggregate doesn't scale)."""
     def _partial(b: pd.DataFrame) -> pd.DataFrame:
         w = b[ts].dt.floor(width)
         g = b.assign(window_start=w).groupby([key, "window_start"],
                                              as_index=False, sort=False)
         return g.agg(n=(value, "size"), sum_value=(value, "sum"))
 
-    from ray.data.aggregate import Sum
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([key, "window_start"], as_index=False, sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum"))
 
     partials = events_ds.map_batches(_partial, batch_format="pandas")
-    out = partials.groupby([key, "window_start"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
-    return out
+    return bucketed_map_groups(partials, [key, "window_start"], _reduce,
+                               num_buckets=num_buckets)
 
 
 def running_aggregate(events_ds, key: str = "user_id", ts: str = "ts",

@@ -143,12 +143,24 @@ def pipeline_report(out: dict) -> dict:
     atomic counters + run summaries, `main.rs:86-144,812-823`): row
     counts, hot keys, and the total/blocked dropped-pairs accounting —
     every cap the blocking stage applied is visible here, never silent."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
+
+    from ..ops.relational import bucketed_map_groups
 
     pairs = out["pairs"]
-    dropped = pairs.groupby("block_key").aggregate(
-        Max("dropped_pairs", alias_name="d"))
-    dropped_rows = [r for r in dropped.take_all() if r["d"] > 0]
+    # filter to capped blocks FIRST (rare), then a bucketed max — the
+    # old groupby(block_key) aggregate paid per-distinct-key overhead
+    # and take_all()'d one row per block key to the driver
+    pos = pairs.map_batches(
+        lambda b: b.loc[b["dropped_pairs"] > 0,
+                        ["block_key", "dropped_pairs"]].drop_duplicates(),
+        batch_format="pandas")
+    dropped = bucketed_map_groups(
+        pos, "block_key",
+        lambda g: g.groupby("block_key", as_index=False, sort=False)
+                   .agg(d=("dropped_pairs", "max")),
+        num_buckets=16)
+    dropped_rows = dropped.take_all()
     scored = out["scored"]
     n_matches = scored.map_batches(
         lambda b: b.assign(m=b.is_match.astype(int))[["m"]],

@@ -314,15 +314,22 @@ def parsing_stats(extracted_ds) -> dict:
             return pd.DataFrame({"v": pd.Series(vals, dtype="string").dropna().unique()})
         return fn
 
-    uniq_authors = (extracted_ds.map_batches(_explode_col("mention_authors"),
-                                             batch_format="pandas")
-                    .groupby("v").count().count())
+    from ..ops.relational import distinct
+
+    # exact distinct via the bucketed path: a Ray groupby().count()
+    # pays per-distinct-value Python overhead (unique authors ~ corpus
+    # scale); distinct() is 64 vectorized bucket calls
+    uniq_authors = distinct(
+        extracted_ds.map_batches(_explode_col("mention_authors"),
+                                 batch_format="pandas"), "v").count()
+
     def _nonempty_inst(b: pd.DataFrame) -> pd.DataFrame:
         vals = [v for xs in b["mention_insts"] for v in xs if v]
         return pd.DataFrame({"v": pd.Series(vals, dtype="string").unique()})
 
-    uniq_insts = (extracted_ds.map_batches(_nonempty_inst, batch_format="pandas")
-                  .groupby("v").count().count())
+    uniq_insts = distinct(
+        extracted_ds.map_batches(_nonempty_inst, batch_format="pandas"),
+        "v").count()
 
     ok = int(tot["files_ok"])
     pct = lambda c: f"{(c / ok) * 100:.2f}" if ok else "N/A"
