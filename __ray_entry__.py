@@ -473,6 +473,17 @@ def q_tumbling_window(sf_dir: str):
     return out
 
 
+def q_hopping_window(sf_dir: str):
+    """1-hour windows hopping every 30 minutes (overlapping windows —
+    each event counted in exactly 2 windows)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = windows.hopping_window(ds, width="1h", hop="30min").to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
 def q_running_sum(sf_dir: str):
     """Per-user running sum in event-time order."""
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
@@ -742,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_event_per_user": q_top_event_per_user,
         "q_sessionize": q_sessionize,
         "q_tumbling_window": q_tumbling_window,
+        "q_hopping_window": q_hopping_window,
         "q_running_sum": q_running_sum,
         "q_distinct_langs": q_distinct_langs,
         "q_sample_docs": q_sample_docs,
@@ -1098,6 +1110,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "q_hopping_window": """
+            SELECT event_type, window_start, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM (SELECT event_type, value,
+                         time_bucket(INTERVAL '30 minutes', ts)
+                           - to_minutes(30 * j) AS window_start
+                  FROM events
+                  CROSS JOIN (SELECT unnest(range(0, 2)) AS j) hops)
+            GROUP BY 1, 2
         """,
         "q_running_sum": """
             SELECT user_id, event_id,

@@ -73,6 +73,38 @@ def tumbling_window(events_ds, key: str = "event_type", ts: str = "ts",
                                num_buckets=num_buckets)
 
 
+def hopping_window(events_ds, key: str = "event_type", ts: str = "ts",
+                   value: str = "value", width: str = "1h", hop: str = "30min",
+                   num_buckets: int = 64):
+    """Overlapping (hopping/sliding) event-time windows: hop-aligned
+    ``width``-long windows every ``hop``; each event lands in exactly
+    width/hop windows. The explode happens INSIDE the per-batch
+    combiner (each batch emits one partial row per (key, window) it
+    touches), so the shuffle moves aggregates, not width/hop copies of
+    the event log; the reduce is the same bucketed vectorized sum as
+    :func:`tumbling_window`."""
+    w = pd.Timedelta(width)
+    h = pd.Timedelta(hop)
+    k = int(w / h)
+    if w != k * h:
+        raise ValueError("width must be an integer multiple of hop")
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        base = b[ts].dt.floor(hop)
+        frames = [b.assign(window_start=base - j * h) for j in range(k)]
+        x = pd.concat(frames, ignore_index=True)
+        g = x.groupby([key, "window_start"], as_index=False, sort=False)
+        return g.agg(n=(value, "size"), sum_value=(value, "sum"))
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([key, "window_start"], as_index=False, sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum"))
+
+    partials = events_ds.map_batches(_partial, batch_format="pandas")
+    return bucketed_map_groups(partials, [key, "window_start"], _reduce,
+                               num_buckets=num_buckets)
+
+
 def running_aggregate(events_ds, key: str = "user_id", ts: str = "ts",
                       value: str = "value", num_buckets: int = 64):
     """Per-key running (cumulative) sum in ts order; output one row per

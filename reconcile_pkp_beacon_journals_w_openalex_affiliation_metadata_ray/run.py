@@ -88,7 +88,13 @@ def main(argv=None) -> int:
 
         input_dir = args.input_dir or os.path.join(
             ensure_fixtures(args.sf_dir), f"records_{args.source_type}")
-        result = parse_records.parse_record_files(input_dir, args.source_type)
+        if args.workdir:
+            result, n_parsed, n_skipped = parse_records.parse_record_files_checkpointed(
+                input_dir, args.source_type, args.workdir)
+            summary["files_parsed"] = n_parsed
+            summary["files_skipped"] = n_skipped
+        else:
+            result = parse_records.parse_record_files(input_dir, args.source_type)
         summary["input_dir"] = input_dir
         summary["source_type"] = args.source_type
         summary["rows"] = result.count()

@@ -90,6 +90,80 @@ def _parse_file(input_dir: str, rel_path: str, source_type: str) -> list:
     return rows
 
 
+def parse_record_files_checkpointed(input_dir: str, source_type: str,
+                                    workdir: str):
+    """Per-FILE resumable variant (S10: the gzip shard is the resume
+    unit). Each input file's parsed rows land in their own parquet
+    under ``workdir`` keyed by a content fingerprint (path+size+mtime);
+    a rerun parses only new/changed files and re-reads the rest.
+    Returns (dataset, n_parsed, n_skipped)."""
+    import hashlib
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ..state.manifest import fingerprint_inputs
+
+    out_dir = os.path.join(workdir, f"parse_records_{source_type}")
+    files_dir = os.path.join(out_dir, "files")
+    os.makedirs(files_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "FILES.json")
+    manifest: dict = {}
+    if os.path.exists(mpath):
+        try:
+            with open(mpath) as f:
+                manifest = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            manifest = {}
+
+    rels = discover_jsonl_gz(input_dir)
+    todo, done = [], []
+    for rel in rels:
+        fp = fingerprint_inputs(os.path.join(input_dir, rel), source_type)
+        slug = hashlib.blake2b(rel.encode(), digest_size=12).hexdigest()
+        fpath = os.path.join(files_dir, f"{slug}.parquet")
+        if manifest.get(rel, {}).get("fingerprint") == fp and os.path.exists(fpath):
+            done.append(fpath)
+        else:
+            todo.append((rel, fp, fpath))
+
+    if todo:
+        todo_ds = rd.from_items(
+            [{"rel": r, "fpath": p} for r, _, p in todo])
+
+        def _parse_write(batch: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rows_out = []
+            for rel, fpath in zip(batch["rel"], batch["fpath"]):
+                rows = _parse_file(input_dir, rel, source_type)
+                tbl = (pa.Table.from_pylist(rows, schema=ROW_SCHEMA)
+                       if rows else ROW_SCHEMA.empty_table())
+                tmp = fpath + ".tmp"
+                pq.write_table(tbl, tmp, row_group_size=4096)
+                os.replace(tmp, fpath)  # atomic per-file publish
+                rows_out.append({"rel": rel, "rows": len(rows)})
+            return pd.DataFrame(rows_out)
+
+        results = todo_ds.map_batches(_parse_write, batch_size=1,
+                                      batch_format="pandas").to_pandas()
+        counts = dict(zip(results["rel"], results["rows"]))
+        for rel, fp, fpath in todo:
+            manifest[rel] = {"fingerprint": fp, "rows": int(counts.get(rel, 0)),
+                             "file": os.path.basename(fpath)}
+            done.append(fpath)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, mpath)
+
+    ds = (rd.read_parquet(sorted(done)) if done
+          else rd.from_arrow(ROW_SCHEMA.empty_table()))
+    return ds, len(todo), len(rels) - len(todo)
+
+
 def parse_record_files(input_dir: str, source_type: str,
                        files=None, concurrency=None):
     """Dataset of parsed work-metadata rows for every *.jsonl.gz under

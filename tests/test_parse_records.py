@@ -179,3 +179,39 @@ def test_extract_filename_from_openalex_id():
     assert f("https://openalex.org/A123") is None
     assert f("") is None and f(None) is None and f(123) is None
     assert f("https://openalex.org/Wabc") is None
+
+
+def test_parse_records_per_file_resume(ray_session, tmp_path):
+    """S10: the gzip shard is the resume unit — a rerun parses nothing,
+    touching one file reparses only that file."""
+    d = tmp_path / "in"
+    (d / "sub").mkdir(parents=True)
+    for i, rel in enumerate(["a.jsonl.gz", "sub/b.jsonl.gz"]):
+        with gzip.open(d / rel, "wt") as f:
+            for j in range(3):
+                f.write(json.dumps({"id": f"W{i}{j}", "primary_location":
+                                    {"landing_page_url": f"https://h.org/{i}{j}"}}) + "\n")
+    wd = str(tmp_path / "ckpt")
+
+    ds1, parsed1, skipped1 = parse_records.parse_record_files_checkpointed(
+        str(d), "openalex", wd)
+    assert (parsed1, skipped1) == (2, 0)
+    assert ds1.count() == 6
+
+    ds2, parsed2, skipped2 = parse_records.parse_record_files_checkpointed(
+        str(d), "openalex", wd)
+    assert (parsed2, skipped2) == (0, 2)
+    assert sorted(r["openalex_id"] for r in ds2.take_all()) == \
+           sorted(r["openalex_id"] for r in ds1.take_all())
+
+    # modify one file -> only it is reparsed
+    import time
+    time.sleep(1.1)  # mtime granularity
+    with gzip.open(d / "a.jsonl.gz", "wt") as f:
+        f.write(json.dumps({"id": "Wnew", "primary_location":
+                            {"landing_page_url": "https://h.org/new"}}) + "\n")
+    ds3, parsed3, skipped3 = parse_records.parse_record_files_checkpointed(
+        str(d), "openalex", wd)
+    assert (parsed3, skipped3) == (1, 1)
+    ids = sorted(r["openalex_id"] for r in ds3.take_all())
+    assert ids == ["W10", "W11", "W12", "Wnew"]
