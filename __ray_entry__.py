@@ -355,14 +355,45 @@ def q_doc_simhash(sf_dir: str):
 
 
 def q_minhash_near_dups(sf_dir: str):
-    """MinHash-LSH near-duplicate pairs at Jaccard >= 0.6 (D4)."""
+    """MinHash-LSH near-duplicate pairs at Jaccard >= 0.6 (D4). The
+    emitted pair ids are persisted; the DuckDB oracle recomputes each
+    pair's true 3-gram Jaccard from the raw documents and re-applies
+    the threshold — an independent cross-engine check of the
+    verification stage (the banding itself is honestly approximate and
+    covered by the recall tests)."""
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_ops.minhash_lsh_pairs(ds, jaccard_threshold=0.6)
+    out = dedup_ops.minhash_lsh_pairs(ds, jaccard_threshold=0.6)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    df = df.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    ensure_fixtures(sf_dir)
+    df[["left_id", "right_id"]].to_parquet(
+        os.path.join(FIXTURE_ROOT, _tier(sf_dir), "minhash_pairs.parquet"), index=False)
+    return df
 
 
 def q_simhash_near_dups(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3). Per-doc simhashes and the
+    emitted pair ids are persisted; the oracle recomputes Hamming =
+    bit_count(xor(simhash_l, simhash_r)) in DuckDB and re-applies the
+    threshold."""
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_ops.simhash_pairs(ds, max_hamming=3)
+    out = dedup_ops.simhash_pairs(ds, max_hamming=3)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    df = df.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    ensure_fixtures(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    df[["left_id", "right_id"]].to_parquet(
+        os.path.join(tier_dir, "simhash_pairs.parquet"), index=False)
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.minhash import (
+        simhash64,
+    )
+
+    docs = ds.to_pandas()
+    pd.DataFrame({"doc_id": docs["doc_id"],
+                  "simhash": docs["text"].fillna("").map(
+                      lambda t: np.int64(np.uint64(simhash64(t))))}).to_parquet(
+        os.path.join(tier_dir, "doc_simhashes.parquet"), index=False)
+    return df
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -633,7 +664,19 @@ def q_scored_pairs(sf_dir: str):
 
 
 def q_clusters(sf_dir: str):
+    """Transitive clustering (min-id labeling). The record universe and
+    the matched edge set are persisted; the DuckDB oracle recomputes
+    the connected components INDEPENDENTLY via a recursive-CTE
+    reachability closure and min-reduces the component ids — a genuine
+    cross-engine check of the distributed CC, not a replay."""
     out = _reconcile(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    scored = out["scored"].to_pandas()
+    scored.loc[scored["is_match"], ["left_id", "right_id"]].to_parquet(
+        os.path.join(tier_dir, "match_edges.parquet"), index=False)
+    out["records"].map_batches(lambda t: t.select(["record_id"]),
+                               batch_format="pyarrow").to_pandas().to_parquet(
+        os.path.join(tier_dir, "cluster_nodes.parquet"), index=False)
     return out["clusters"]
 
 
@@ -968,6 +1011,37 @@ def _parse_crossref_sql(raw_path: str) -> str:
     """
 
 
+def _lang_id_sql() -> str:
+    """Stopword-overlap language-ID as SQL: per-language distinct-token
+    intersection counts, argmax with alphabetical tie-break ('und' when
+    all zero) — the same decision rule as ops.text.lang_id, computed by
+    DuckDB from the same stopword table."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.text import (
+        _STOPWORDS,
+    )
+
+    langs = sorted(_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        score_cols.append(f"len(list_intersect(toks, [{words}])) AS s_{lang}")
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    winner = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                     string_split_regex(lower(text), '\s+'),
+                     x -> x <> '')) AS toks
+          FROM documents),
+        s AS (SELECT doc_id, {', '.join(score_cols)} FROM t),
+        m AS (SELECT doc_id, *, {mx} AS m FROM s)
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'und' {winner} END AS lang_pred
+        FROM m
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     fdir = os.path.join(FIXTURE_ROOT, "sf0.01")
     oai = os.path.join(fdir, "oai_urls.parquet")
@@ -1139,6 +1213,56 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_doc_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "q_doc_lang_id": _lang_id_sql(),
+        "q_minhash_near_dups": f"""
+            WITH p AS (SELECT left_id, right_id
+                       FROM read_parquet('{fdir}/minhash_pairs.parquet')),
+            g AS (SELECT doc_id,
+                    CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+                         WHEN len(text) <= 3 THEN [text]
+                         ELSE list_distinct(list_transform(
+                                range(0, len(text) - 2),
+                                i -> substr(text, CAST(i + 1 AS INT), 3)))
+                    END AS grams
+                  FROM documents),
+            j AS (SELECT p.left_id, p.right_id,
+                    CASE WHEN len(gl.grams) = 0 AND len(gr.grams) = 0 THEN 1.0
+                         ELSE len(list_intersect(gl.grams, gr.grams)) * 1.0
+                              / len(list_distinct(gl.grams || gr.grams))
+                    END AS jac
+                  FROM p
+                  JOIN g gl ON gl.doc_id = p.left_id
+                  JOIN g gr ON gr.doc_id = p.right_id)
+            SELECT left_id, right_id, round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.6
+        """,
+        "q_simhash_near_dups": f"""
+            WITH p AS (SELECT left_id, right_id
+                       FROM read_parquet('{fdir}/simhash_pairs.parquet')),
+            h AS (SELECT doc_id, simhash
+                  FROM read_parquet('{fdir}/doc_simhashes.parquet'))
+            SELECT p.left_id, p.right_id,
+                   CAST(bit_count(xor(hl.simhash, hr.simhash)) AS BIGINT) AS hamming
+            FROM p
+            JOIN h hl ON hl.doc_id = p.left_id
+            JOIN h hr ON hr.doc_id = p.right_id
+            WHERE bit_count(xor(hl.simhash, hr.simhash)) <= 3
+        """,
+        "q_clusters": f"""
+            WITH RECURSIVE
+            e0 AS (SELECT left_id AS a, right_id AS b
+                   FROM read_parquet('{fdir}/match_edges.parquet')),
+            edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+            walk (node, reach) AS (
+              SELECT record_id, record_id
+              FROM read_parquet('{fdir}/cluster_nodes.parquet')
+              UNION
+              SELECT w.node, e.b
+              FROM walk w JOIN edges e ON e.a = w.reach
+            )
+            SELECT node AS record_id, min(reach) AS cluster_id
+            FROM walk GROUP BY node
+        """,
         "q_doc_quality": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

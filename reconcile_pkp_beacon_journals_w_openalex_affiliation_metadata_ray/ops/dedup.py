@@ -188,9 +188,13 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pandas"), id_col, text_col)
 
     def _verify(b: pd.DataFrame) -> pd.DataFrame:
+        from .similarity_search import _round_half_away
+
         jac = [ngram_jaccard(l, r) for l, r in zip(b["__p_left_id"], b["__p_right_id"])]
+        # half-away rounding (not Python's half-even) so the value is
+        # bit-reproducible by a SQL engine computing the same ratio
         out = pd.DataFrame({"left_id": b["left_id"], "right_id": b["right_id"],
-                            "jaccard": [round(s, 6) for s in jac]})
+                            "jaccard": [_round_half_away(s, 6) for s in jac]})
         return out[pd.Series(jac, index=b.index) >= jaccard_threshold]
 
     out = joined.map_batches(_verify, batch_format="pandas")
