@@ -467,6 +467,28 @@ def q_decode_media(sf_dir: str):
         batch_format="pandas")
 
 
+def q_doc_splits(sf_dir: str):
+    """Deterministic leakage-safe train/val/test split by md5 id hash
+    (stable under resharding; SQL-reproducible)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(text_ops.hash_split, batch_format="pandas")
+
+
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame sampling plumbing: binary payload -> every 4th
+    1 KiB frame + metadata (codec-free stand-in; chunk arithmetic is
+    SQL-oracled)."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    media = docs.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b.doc_id,
+                                "payload": b.text.map(lambda t: t.encode("utf-8"))}),
+        batch_format="pandas")
+    out = multimodal.frame_sample(media, frame_bytes=1024, stride=4)
+    return out.map_batches(
+        lambda b: b[["doc_id", "n_frames", "n_sampled", "sampled_bytes"]],
+        batch_format="pandas")
+
+
 def q_sample_docs(sf_dir: str):
     """Seeded exact-k uniform sample (O3, `sample_csv/sample.py:5-14`).
     The chosen ids are persisted; the oracle re-joins them against the
@@ -816,6 +838,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_ivf": q_knn_ivf,
         "q_label_centroids": q_label_centroids,
         "q_decode_media": q_decode_media,
+        "q_frame_sample": q_frame_sample,
+        "q_doc_splits": q_doc_splits,
         # raw JSONL record parsing (M6/M7)
         "q_parse_records_openalex": q_parse_records_openalex,
         "q_parse_records_crossref": q_parse_records_crossref,
@@ -1214,6 +1238,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_doc_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "q_doc_lang_id": _lang_id_sql(),
+        "q_doc_splits": """
+            SELECT doc_id,
+                   CASE WHEN b < 229 THEN 'train'
+                        WHEN b < 242 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(concat('0x', substr(md5(concat('split:',
+                              CAST(doc_id AS VARCHAR))), 1, 2)) AS UBIGINT) AS b
+                  FROM documents)
+        """,
+        "q_frame_sample": """
+            WITH m AS (
+              SELECT doc_id, octet_length(encode(text)) AS L,
+                     CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS nf
+              FROM documents),
+            s AS (
+              SELECT doc_id, L, nf,
+                     CAST(ceil(nf / 4.0) AS BIGINT) AS ns,
+                     (nf > 0 AND (nf - 1) % 4 = 0) AS last_sampled
+              FROM m)
+            SELECT doc_id, nf AS n_frames, ns AS n_sampled,
+                   CAST(CASE WHEN nf = 0 THEN 0
+                        WHEN last_sampled THEN (ns - 1) * 1024 + (L - (nf - 1) * 1024)
+                        ELSE ns * 1024 END AS BIGINT) AS sampled_bytes
+            FROM s
+        """,
         "q_minhash_near_dups": f"""
             WITH p AS (SELECT left_id, right_id
                        FROM read_parquet('{fdir}/minhash_pairs.parquet')),

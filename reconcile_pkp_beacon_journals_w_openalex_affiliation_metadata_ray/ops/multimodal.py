@@ -77,3 +77,51 @@ def decode_media(ds, decoder: str = "fake", batch_size: int = 64, concurrency=(1
         fn_constructor_kwargs={"decoder": decoder},
         concurrency=concurrency,
     )
+
+
+class FrameSampler:
+    """Actor-pool stage: treat an opaque binary payload as a sequence of
+    fixed-size frames and keep every ``stride``-th one — the plumbing
+    shape of video frame sampling (codec-free stand-in: real ffmpeg
+    frame extraction slots into ``_frames`` on a networked deployment;
+    schema, batch sizing and actor signature are the real parts)."""
+
+    def __init__(self, frame_bytes: int = 1024, stride: int = 4):
+        if frame_bytes <= 0 or stride <= 0:
+            raise ValueError("frame_bytes and stride must be positive")
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def _frames(self, payload: bytes):
+        fb = self.frame_bytes
+        return [payload[i : i + fb] for i in range(0, len(payload), fb)]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_frames, n_sampled, sampled_bytes, frames_out = [], [], [], []
+        for payload in batch["payload"]:
+            payload = payload or b""
+            frames = self._frames(payload)
+            sampled = frames[:: self.stride]
+            n_frames.append(len(frames))
+            n_sampled.append(len(sampled))
+            sampled_bytes.append(sum(len(f) for f in sampled))
+            frames_out.append(sampled)
+        out = batch[[c for c in batch.columns if c != "payload"]].copy()
+        out["n_frames"] = pd.Series(n_frames, index=batch.index, dtype="int64")
+        out["n_sampled"] = pd.Series(n_sampled, index=batch.index, dtype="int64")
+        out["sampled_bytes"] = pd.Series(sampled_bytes, index=batch.index, dtype="int64")
+        out["frames"] = pd.Series(frames_out, index=batch.index)
+        return out
+
+
+def frame_sample(ds, frame_bytes: int = 1024, stride: int = 4,
+                 batch_size: int = 32, concurrency=(1, 4)):
+    """Run the frame-sampling actor pool (small batches: payload rows
+    are large; batch x concurrency must fit the worker heap)."""
+    return ds.map_batches(
+        FrameSampler,
+        batch_format="pandas",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "stride": stride},
+        concurrency=concurrency,
+    )

@@ -99,3 +99,27 @@ def fingerprints(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
             "simhash": texts.map(lambda t: f"{simhash64(t):016x}"),
         }
     )
+
+
+def hash_split(batch: pd.DataFrame, id_col: str = "doc_id",
+               boundaries: tuple = (229, 242), salt: str = "split") -> pd.DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash — the standard leakage-safe dataset split for training
+    pipelines: stable under re-partitioning, resharding and reruns
+    (no RNG state to coordinate across workers).
+
+    bucket = first byte pair of md5(salt:id) as an int in [0, 256);
+    bucket < boundaries[0] -> 'train', < boundaries[1] -> 'val', else
+    'test' (defaults ~89.5/5/5). md5 keeps the rule reproducible in any
+    SQL engine (`substr(md5(...), 1, 2)` hex -> int)."""
+    def assign(v) -> str:
+        h = hashlib.md5(f"{salt}:{v}".encode("utf-8")).hexdigest()
+        bucket = int(h[:2], 16)
+        if bucket < boundaries[0]:
+            return "train"
+        if bucket < boundaries[1]:
+            return "val"
+        return "test"
+
+    return pd.DataFrame({id_col: batch[id_col],
+                         "split": batch[id_col].map(assign)})

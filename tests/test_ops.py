@@ -317,3 +317,33 @@ def test_per_doi_stats_bucketed_equals_pergroup(rds):
     got = got.sort_values("DOI").reset_index(drop=True)
     want = want.sort_values("DOI").reset_index(drop=True)[got.columns]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hash_split_deterministic_and_ratioed(rds):
+    import hashlib
+
+    df = pd.DataFrame({"doc_id": range(20_000)})
+    out = text_ops.hash_split(df)
+    again = text_ops.hash_split(df.sample(frac=1.0, random_state=1))  # reshuffled
+    merged = out.merge(again, on="doc_id", suffixes=("", "_b"))
+    assert (merged["split"] == merged["split_b"]).all()  # order-independent
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 229 / 256) < 0.01
+    assert abs(frac["val"] - 13 / 256) < 0.005
+    # rule spot-check vs direct md5
+    h = int(hashlib.md5(b"split:7").hexdigest()[:2], 16)
+    want = "train" if h < 229 else ("val" if h < 242 else "test")
+    assert out.loc[out.doc_id == 7, "split"].iloc[0] == want
+
+
+def test_frame_sampler_chunk_math():
+    fs = multimodal.FrameSampler(frame_bytes=4, stride=2)
+    out = fs(pd.DataFrame({"doc_id": [0, 1, 2],
+                           "payload": [b"abcdefghij", b"", b"abcd"]}))
+    # 10 bytes -> frames [abcd, efgh, ij]; stride 2 -> [abcd, ij]
+    assert out.loc[0, "n_frames"] == 3
+    assert out.loc[0, "n_sampled"] == 2
+    assert out.loc[0, "sampled_bytes"] == 6
+    assert out.loc[0, "frames"] == [b"abcd", b"ij"]
+    assert out.loc[1, ["n_frames", "n_sampled", "sampled_bytes"]].tolist() == [0, 0, 0]
+    assert out.loc[2, ["n_frames", "n_sampled", "sampled_bytes"]].tolist() == [1, 1, 4]
