@@ -77,11 +77,10 @@ def _fingerprint(labels_ds) -> int:
 
     Per-row 56-bit blake2b digests are summed modulo 2**62 per batch
     (keeping each partial well inside int64 — a plain sum overflows
-    pa.int64 past ~256 rows), then Sum-reduced; int64 wraparound across
-    batches is harmless because modular addition stays commutative.
+    pa.int64 past ~256 rows). The partials (one tiny row per batch) are
+    reduced on the driver: an ``aggregate`` here would cost a full
+    AllToAll barrier PER CC ROUND just to add a handful of ints.
     """
-    from ray.data.aggregate import Sum
-
     _MOD = 1 << 62
 
     def _fp_batch(t: pa.Table) -> pa.Table:
@@ -91,9 +90,8 @@ def _fingerprint(labels_ds) -> int:
             total = (total + int.from_bytes(digest, "little")) % _MOD
         return pa.table({"fp": pa.array([total], pa.int64())})
 
-    out = labels_ds.map_batches(_fp_batch, batch_format="pyarrow").aggregate(
-        Sum("fp", alias_name="fp"))
-    return int(out["fp"] or 0)
+    parts = labels_ds.map_batches(_fp_batch, batch_format="pyarrow").take_all()
+    return sum(int(r["fp"]) for r in parts) % _MOD
 
 
 def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
@@ -126,11 +124,26 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
     prev_fp = _fingerprint(labels)
 
     converged = False
+
+    def _tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        # label rows PLUS label-shortcut edges (pointer jumping): treat
+        # each node's CURRENT label as an extra bidirectional edge. A
+        # label is always a node of the same component (it arrived over
+        # real edges), so components never merge wrongly, and
+        # path-shaped components converge in O(log diameter) rounds
+        # instead of O(diameter).
+        none = lambda k: pd.Series([None] * k, dtype=object)
+        label_rows = pd.DataFrame({"node": df["node"], "other": none(len(df)),
+                                   "label": df["label"]})
+        jump = df.loc[df["label"] != df["node"]]
+        jump_edges = pd.DataFrame(
+            {"node": pd.concat([jump["node"], jump["label"]], ignore_index=True),
+             "other": pd.concat([jump["label"], jump["node"]], ignore_index=True),
+             "label": none(2 * len(jump))})
+        return pd.concat([label_rows, jump_edges], ignore_index=True)
+
     for _ in range(max_rounds):
-        tagged_labels = labels.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"], "other": pd.Series([None] * len(df), dtype=object),
-                                     "label": df["label"]}),
-            batch_format="pandas")
+        tagged_labels = labels.map_batches(_tag_labels, batch_format="pandas")
         tagged_edges = edges_bidir.map_batches(
             lambda df: pd.DataFrame({"node": df["node"], "other": df["other"],
                                      "label": pd.Series([None] * len(df), dtype=object)}),

@@ -356,3 +356,22 @@ def test_connected_components_large_batches(ray_session):
     got_ds = cluster_mod.connected_components(edges_ds, nodes_ds=nodes_ds)
     got = {r["record_id"]: r["cluster_id"] for r in got_ds.take_all()}
     assert got == oracle
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    """A 100-hop path needs ~100 rounds under plain neighborhood-min;
+    with label shortcutting it must finish inside a 10-round budget
+    (O(log diameter))."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    nodes = [f"c{i:04d}" for i in range(100)]
+    edges = list(zip(nodes, nodes[1:]))  # one long chain
+    edges_ds = rd.from_arrow(pa.table({
+        "left_id": [e[0] for e in edges],
+        "right_id": [e[1] for e in edges],
+    }))
+    got_ds = cluster_mod.connected_components(edges_ds, max_rounds=10)
+    got = {r["record_id"]: r["cluster_id"] for r in got_ds.take_all()}
+    assert set(got.values()) == {nodes[0]}
+    assert len(got) == 100
