@@ -26,3 +26,19 @@ def format_epoch_ms(ms) -> str:
     if not (_MIN_YEAR <= dt.year <= _MAX_YEAR):
         return ""
     return dt.strftime("%Y%m%d%H%M%S")
+
+
+def format_elapsed(seconds: float) -> str:
+    """Human elapsed-time formatter with the reference's exact tiering
+    (`get-openalex.../src/main.rs:545-559`): 'Xh Ym Zs' / 'Ym Zs' /
+    'Z.mmms'."""
+    total = int(seconds)
+    hours, minutes, secs = total // 3600, (total % 3600) // 60, total % 60
+    if hours > 0:
+        return f"{hours}h {minutes}m {secs}s"
+    if minutes > 0:
+        return f"{minutes}m {secs}s"
+    millis = int(round((seconds - total) * 1000))
+    if millis >= 1000:  # float rounding at the boundary
+        secs, millis = secs + 1, 0
+    return f"{secs}.{millis:03d}s"

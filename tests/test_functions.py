@@ -386,3 +386,11 @@ def test_mulmod_p_exact(a, x):
     x_mod = x % _MERSENNE
     got = _mulmod_p(np.array([a], dtype=np.uint64), np.array([x_mod], dtype=np.uint64))
     assert int(got[0]) == (a * x_mod) % _MERSENNE
+
+
+def test_format_elapsed_tiers():
+    assert timestamps.format_elapsed(3723.5) == "1h 2m 3s"
+    assert timestamps.format_elapsed(62.9) == "1m 2s"
+    assert timestamps.format_elapsed(1.234) == "1.234s"
+    assert timestamps.format_elapsed(0.0) == "0.000s"
+    assert timestamps.format_elapsed(0.9996) == "1.000s"
