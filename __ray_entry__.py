@@ -365,9 +365,7 @@ def q_minhash_near_dups(sf_dir: str):
     out = dedup_ops.minhash_lsh_pairs(ds, jaccard_threshold=0.6)
     df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
     df = df.sort_values(["left_id", "right_id"]).reset_index(drop=True)
-    ensure_fixtures(sf_dir)
-    df[["left_id", "right_id"]].to_parquet(
-        os.path.join(FIXTURE_ROOT, _tier(sf_dir), "minhash_pairs.parquet"), index=False)
+    _persist_oracle_input(df[["left_id", "right_id"]], sf_dir, "minhash_pairs")
     return df
 
 
@@ -380,19 +378,22 @@ def q_simhash_near_dups(sf_dir: str):
     out = dedup_ops.simhash_pairs(ds, max_hamming=3)
     df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
     df = df.sort_values(["left_id", "right_id"]).reset_index(drop=True)
-    ensure_fixtures(sf_dir)
-    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
-    df[["left_id", "right_id"]].to_parquet(
-        os.path.join(tier_dir, "simhash_pairs.parquet"), index=False)
-    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.minhash import (
-        simhash64,
-    )
+    _persist_oracle_input(df[["left_id", "right_id"]], sf_dir, "simhash_pairs")
 
-    docs = ds.to_pandas()
-    pd.DataFrame({"doc_id": docs["doc_id"],
-                  "simhash": docs["text"].fillna("").map(
-                      lambda t: np.int64(np.uint64(simhash64(t))))}).to_parquet(
-        os.path.join(tier_dir, "doc_simhashes.parquet"), index=False)
+    def _doc_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.minhash import (
+            simhash64,
+        )
+
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "simhash": [np.int64(np.uint64(simhash64(t)))
+                                         for t in b["text"].fillna("")]})
+
+    # distributed recompute of just (doc_id, simhash) — only the two
+    # small columns reach the driver, never the text corpus
+    _persist_oracle_input(
+        ds.map_batches(_doc_hashes, batch_format="pandas").to_pandas(),
+        sf_dir, "doc_simhashes")
     return df
 
 
@@ -500,11 +501,7 @@ def q_sample_docs(sf_dir: str):
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
     out = sample_exact(ds, k=100).to_pandas()
-    out = out.sort_values("doc_id").reset_index(drop=True)
-    ensure_fixtures(sf_dir)
-    out.to_parquet(os.path.join(FIXTURE_ROOT, _tier(sf_dir), "sampled_docs.parquet"),
-                   index=False)
-    return out
+    return _persist_oracle_input(out, sf_dir, "sampled_docs", sort_cols=["doc_id"])
 
 
 def q_sessionize(sf_dir: str):
@@ -598,10 +595,8 @@ def q_extract_mentions(sf_dir: str):
     )
 
     df = mentions_from_extracted(out["extracted"]).to_pandas()
-    df = df.sort_values(["url", "author", "institution"], kind="mergesort").reset_index(drop=True)
-    df.to_parquet(os.path.join(FIXTURE_ROOT, _tier(sf_dir), "extracted_mentions.parquet"),
-                  index=False)
-    return df
+    return _persist_oracle_input(df, sf_dir, "extracted_mentions",
+                                 sort_cols=["url", "author", "institution"])
 
 
 def q_extracted_text(sf_dir: str):
@@ -611,10 +606,7 @@ def q_extracted_text(sf_dir: str):
     out = _reconcile(sf_dir)
     df = out["extracted"].map_batches(
         lambda t: t.select(["url", "text"]), batch_format="pyarrow").to_pandas()
-    df = df.sort_values("url", kind="mergesort").reset_index(drop=True)
-    df.to_parquet(os.path.join(FIXTURE_ROOT, _tier(sf_dir), "extracted_text.parquet"),
-                  index=False)
-    return df
+    return _persist_oracle_input(df, sf_dir, "extracted_text", sort_cols=["url"])
 
 
 def q_parse_records_openalex(sf_dir: str):
@@ -708,11 +700,8 @@ def q_mention_scoring(sf_dir: str):
     hash-level stability oracle; the semantic check vs an independent
     DP-based oracle lives in tests/test_pipeline.py."""
     df = _mention_scored(sf_dir).to_pandas()
-    df = df.sort_values(["url", "author", "institution", "source"],
-                        kind="mergesort").reset_index(drop=True)
-    df.to_parquet(os.path.join(FIXTURE_ROOT, _tier(sf_dir), "mention_scoring.parquet"),
-                  index=False)
-    return df
+    return _persist_oracle_input(df, sf_dir, "mention_scoring",
+                                 sort_cols=["url", "author", "institution", "source"])
 
 
 def q_parsing_stats(sf_dir: str):
@@ -762,6 +751,18 @@ def q_stats_overall(sf_dir: str):
             for k, v in d.items()]
     df = pd.DataFrame(rows)
     df["Value"] = df["Value"].astype(float)
+    return df
+
+
+def _persist_oracle_input(df: "pd.DataFrame", sf_dir: str, name: str,
+                          sort_cols=None) -> "pd.DataFrame":
+    """Persist a query artifact under the tier's fixture dir for its
+    DuckDB oracle (deterministic order; dir guaranteed)."""
+    if sort_cols:
+        df = df.sort_values(list(sort_cols), kind="mergesort").reset_index(drop=True)
+    ensure_fixtures(sf_dir)
+    df.to_parquet(os.path.join(FIXTURE_ROOT, _tier(sf_dir), f"{name}.parquet"),
+                  index=False)
     return df
 
 
@@ -1067,7 +1068,11 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    fdir = os.path.join(FIXTURE_ROOT, "sf0.01")
+    # the driver compares at sf0.01 (its contract); tools/check_contract.py
+    # sets GRAFT_ORACLE_TIER so the persisted-artifact oracles read the
+    # SAME tier the queries just wrote instead of silently comparing
+    # against another tier's files
+    fdir = os.path.join(FIXTURE_ROOT, os.environ.get("GRAFT_ORACLE_TIER", "sf0.01"))
     oai = os.path.join(fdir, "oai_urls.parquet")
     scored_path = os.path.join(fdir, "scored_mentions.parquet")
     return {

@@ -33,12 +33,12 @@ def format_elapsed(seconds: float) -> str:
     (`get-openalex.../src/main.rs:545-559`): 'Xh Ym Zs' / 'Ym Zs' /
     'Z.mmms'."""
     total = int(seconds)
+    millis = int(round((seconds - total) * 1000))
+    if millis >= 1000:  # carry BEFORE tier selection: 59.9996 -> '1m 0s'
+        total, millis = total + 1, 0
     hours, minutes, secs = total // 3600, (total % 3600) // 60, total % 60
     if hours > 0:
         return f"{hours}h {minutes}m {secs}s"
     if minutes > 0:
         return f"{minutes}m {secs}s"
-    millis = int(round((seconds - total) * 1000))
-    if millis >= 1000:  # float rounding at the boundary
-        secs, millis = secs + 1, 0
     return f"{secs}.{millis:03d}s"

@@ -326,10 +326,14 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
                                  "right_id": pd.Series(dtype=b["right_id"].dtype),
                                  "cosine": pd.Series(dtype="float64")})
         cos = np.einsum("ij,ij->i", mat[li[ok]], mat[ri[ok]])
-        keep = cos >= cosine_threshold
+        # round half-away FIRST and filter on the ROUNDED value — the
+        # SQL oracle does round(...) then WHERE, and np.round's
+        # half-to-even diverges from SQL round at decimal boundaries
+        cos_r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        keep = cos_r >= cosine_threshold
         return pd.DataFrame({"left_id": b["left_id"].to_numpy()[ok][keep],
                              "right_id": b["right_id"].to_numpy()[ok][keep],
-                             "cosine": np.round(cos[keep], 6)})
+                             "cosine": cos_r[keep]})
 
     out = cand.map_batches(_verify, batch_format="pandas")
     return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),

@@ -44,6 +44,9 @@ def main():
 
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, "/root/repo")
+    import os
+
+    os.environ["GRAFT_ORACLE_TIER"] = os.path.basename(os.path.normpath(sf_dir))
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
