@@ -79,7 +79,8 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
 
     for name in ("q_pricing_summary", "q_docs_exact_dedup", "q_knn_bruteforce",
-                 "q_doc_quality"):
+                 "q_doc_quality", "q_minhash_near_dups", "q_sessionize",
+                 "q_parse_records_openalex"):
         t0 = time.time()
         res = entrymod.queries()[name](sf_dir)
         if hasattr(res, "count"):

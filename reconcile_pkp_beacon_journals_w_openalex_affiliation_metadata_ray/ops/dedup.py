@@ -263,7 +263,7 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "embedding",
                              cosine_threshold: float = 0.95, num_bands: int = 6,
                              planes_per_band: int = 6, seed: int = 42,
-                             max_band_width: int = 4000):
+                             max_band_width: int = 4000, verify: str = "broadcast"):
     """Near-dup pairs by embedding cosine.
 
     OR-amplified random-hyperplane LSH: ``num_bands`` INDEPENDENT
@@ -271,9 +271,15 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
     cosine c collides in at least one band with probability
     1-(1-(1-acos(c)/pi)^planes)^bands (~0.99 at the 0.95/6x6 defaults;
     the old single 12-plane bucketing missed ~72% of 0.95-pairs).
-    Bucket rows carry (bucket, id) only; exact cosine verification maps
-    the id pairs against a broadcast Arrow embedding table (per-worker
-    zero-copy, same pattern as the scoring stage)."""
+    Bucket rows carry (bucket, id) only. Exact cosine verification:
+    ``verify="broadcast"`` (default) maps the id pairs against a
+    broadcast Arrow embedding table (per-worker zero-copy, same pattern
+    as the scoring stage — assumes the table fits the object store);
+    ``verify="join"`` is the 100-TB path: vectors are packed to bytes
+    (raw float64 — bytes survive pandas merges where list columns
+    don't) and hash-joined onto the pairs, so the embedding table moves
+    at most twice and nothing broadcasts. Both paths produce identical
+    pairs (equivalence-tested)."""
     import ray
 
     def _buckets(batch: pd.DataFrame) -> pd.DataFrame:
@@ -300,6 +306,41 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
         emb_ds.map_batches(_buckets, batch_format="pandas"), id_col,
         max_band_width=max_band_width, op_name="embedding_lsh")
 
+    def _cos_filter(cos: np.ndarray) -> np.ndarray:
+        # round half-away FIRST and filter on the ROUNDED value — the
+        # SQL oracle does round(...) then WHERE, and np.round's
+        # half-to-even diverges from SQL round at decimal boundaries
+        return np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+
+    if verify == "join":
+        def _pack(b: pd.DataFrame) -> pd.DataFrame:
+            vecs = []
+            for v in b[vec_col]:
+                a = np.asarray(v, dtype=np.float64)
+                n = np.linalg.norm(a)
+                vecs.append((a / n if n > 0 else a).tobytes())
+            return pd.DataFrame({id_col: b[id_col], "vec_bytes": vecs})
+
+        packed = emb_ds.map_batches(_pack, batch_format="pandas")
+        joined = _attach_payload(cand.materialize(), packed, id_col, "vec_bytes")
+
+        def _verify_join(b: pd.DataFrame) -> pd.DataFrame:
+            if b.empty:
+                return pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                                     "right_id": pd.Series(dtype="int64"),
+                                     "cosine": pd.Series(dtype="float64")})
+            lm = np.vstack([np.frombuffer(x, dtype=np.float64) for x in b["__p_left_id"]])
+            rm = np.vstack([np.frombuffer(x, dtype=np.float64) for x in b["__p_right_id"]])
+            cos_r = _cos_filter(np.einsum("ij,ij->i", lm, rm))
+            keep = cos_r >= cosine_threshold
+            return pd.DataFrame({"left_id": b["left_id"].to_numpy()[keep],
+                                 "right_id": b["right_id"].to_numpy()[keep],
+                                 "cosine": cos_r[keep]})
+
+        out = joined.map_batches(_verify_join, batch_format="pandas")
+        return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
+                                     ("cosine", pa.float64())])
+
     # broadcast the embedding table once (Arrow in plasma, zero-copy)
     tbl = pa.concat_tables(
         [b.select([id_col, vec_col])
@@ -325,11 +366,7 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
             return pd.DataFrame({"left_id": pd.Series(dtype=b["left_id"].dtype),
                                  "right_id": pd.Series(dtype=b["right_id"].dtype),
                                  "cosine": pd.Series(dtype="float64")})
-        cos = np.einsum("ij,ij->i", mat[li[ok]], mat[ri[ok]])
-        # round half-away FIRST and filter on the ROUNDED value — the
-        # SQL oracle does round(...) then WHERE, and np.round's
-        # half-to-even diverges from SQL round at decimal boundaries
-        cos_r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        cos_r = _cos_filter(np.einsum("ij,ij->i", mat[li[ok]], mat[ri[ok]]))
         keep = cos_r >= cosine_threshold
         return pd.DataFrame({"left_id": b["left_id"].to_numpy()[ok][keep],
                              "right_id": b["right_id"].to_numpy()[ok][keep],

@@ -347,3 +347,26 @@ def test_frame_sampler_chunk_math():
     assert out.loc[0, "frames"] == [b"abcd", b"ij"]
     assert out.loc[1, ["n_frames", "n_sampled", "sampled_bytes"]].tolist() == [0, 0, 0]
     assert out.loc[2, ["n_frames", "n_sampled", "sampled_bytes"]].tolist() == [1, 1, 4]
+
+
+def test_embedding_near_dup_verify_paths_equivalent(rds):
+    """broadcast and join verification must emit identical pairs and
+    cosines (the join path is the no-broadcast 100-TB fallback)."""
+    rng = np.random.RandomState(21)
+    base = rng.randn(30, 12)
+    vecs = []
+    ids = []
+    for i, v in enumerate(base):
+        vecs.append(v); ids.append(2 * i)
+        vecs.append(v + rng.randn(12) * 0.02); ids.append(2 * i + 1)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+
+    a = dedup_ops.embedding_near_dup_pairs(rds.from_pandas(df),
+                                           cosine_threshold=0.95)
+    b = dedup_ops.embedding_near_dup_pairs(rds.from_pandas(df),
+                                           cosine_threshold=0.95, verify="join")
+    to_df = lambda x: (x if isinstance(x, pd.DataFrame) else x.to_pandas())
+    a = to_df(a).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    b = to_df(b).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) >= 25
