@@ -43,6 +43,7 @@ from .relational import bucket_join, bucketed_map_groups
 logger = logging.getLogger(__name__)
 
 _MH: MinHasher | None = None
+_GRAM_CACHE: dict = {}  # per-worker text -> ngram_set (verify amortization)
 
 
 def _typed_or_empty(ds, schema_fields):
@@ -188,9 +189,32 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pandas"), id_col, text_col)
 
     def _verify(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.similarity import ngram_set
         from .similarity_search import _round_half_away
 
-        jac = [ngram_jaccard(l, r) for l, r in zip(b["__p_left_id"], b["__p_right_id"])]
+        # a document appears in MANY candidate pairs (near-dup clusters
+        # are quadratic in pairs, linear in docs): cache each text's
+        # gram set per worker so set construction amortizes per doc —
+        # per-pair work drops to one C-level intersection (~10x)
+        cache = _GRAM_CACHE
+        def grams(t):
+            g = cache.get(t)
+            if g is None:
+                if len(cache) > 200_000:
+                    cache.clear()
+                g = ngram_set(t, 3)
+                cache[t] = g
+            return g
+
+        jac = []
+        for l, r in zip(b["__p_left_id"], b["__p_right_id"]):
+            ga, gb = grams(l), grams(r)
+            if not ga and not gb:
+                jac.append(1.0)
+                continue
+            inter = len(ga & gb)
+            union = len(ga) + len(gb) - inter
+            jac.append(inter / union if union else 1.0)
         # half-away rounding (not Python's half-even) so the value is
         # bit-reproducible by a SQL engine computing the same ratio
         out = pd.DataFrame({"left_id": b["left_id"], "right_id": b["right_id"],
