@@ -369,6 +369,14 @@ def q_minhash_near_dups(sf_dir: str):
     return df
 
 
+def q_ngram_jaccard_dups(sf_dir: str):
+    """Exact all-pairs n-gram-Jaccard near-dups at >= 0.6 — the ground
+    truth the MinHash-LSH path approximates; fully SQL-expressible, so
+    the oracle recomputes the entire quadratic compare in DuckDB."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_ops.ngram_jaccard_pairs(ds, jaccard_threshold=0.6)
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3). Per-doc simhashes and the
     emitted pair ids are persisted; the oracle recomputes Hamming =
@@ -833,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_lang_id": q_doc_lang_id,
         "q_doc_simhash": q_doc_simhash,
         "q_minhash_near_dups": q_minhash_near_dups,
+        "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_knn_bruteforce": q_knn_bruteforce,
@@ -1268,6 +1277,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN last_sampled THEN (ns - 1) * 1024 + (L - (nf - 1) * 1024)
                         ELSE ns * 1024 END AS BIGINT) AS sampled_bytes
             FROM s
+        """,
+        "q_ngram_jaccard_dups": """
+            WITH g AS (SELECT doc_id,
+                    CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+                         WHEN len(text) <= 3 THEN [text]
+                         ELSE list_distinct(list_transform(
+                                range(0, len(text) - 2),
+                                i -> substr(text, CAST(i + 1 AS INT), 3)))
+                    END AS grams
+                  FROM documents),
+            j AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                    CASE WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
+                         ELSE len(list_intersect(a.grams, b.grams)) * 1.0
+                              / len(list_distinct(a.grams || b.grams))
+                    END AS jac
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+            SELECT left_id, right_id, round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.6
         """,
         "q_minhash_near_dups": f"""
             WITH p AS (SELECT left_id, right_id

@@ -226,6 +226,56 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                                  ("jaccard", pa.float64())])
 
 
+def ngram_jaccard_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                        jaccard_threshold: float = 0.7, n: int = 3):
+    """EXACT all-pairs n-gram-Jaccard near-dup detection — the
+    quadratic baseline (MinHash-LSH is the scale path; this is the
+    ground truth it approximates, and the recall tests compare the
+    two). The corpus's gram sets are broadcast once as an Arrow table
+    (ids + pre-joined gram strings); each batch compares its rows
+    against every doc with a larger id, so the O(n^2) compare is
+    sharded across workers and only (left, right, jaccard) survivors
+    leave a task. Use only where n^2 is affordable (exact audits,
+    per-partition dedup)."""
+    import ray
+
+    from ..functions.similarity import ngram_set
+    from .similarity_search import _round_half_away
+
+    rows = []
+    for b in docs_ds.iter_batches(batch_size=65536, batch_format="pandas"):
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            rows.append((i, t))
+    rows.sort()
+    ids = [r[0] for r in rows]
+    grams = [ngram_set(r[1], n) for r in rows]
+    ref = ray.put((ids, grams))
+
+    def _cmp(b: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_grams = ray.get(ref)
+        pos = {v: k for k, v in enumerate(all_ids)}
+        left, right, jac = [], [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            gi = ngram_set(t, n)
+            for j in range(pos[i] + 1, len(all_ids)):
+                gj = all_grams[j]
+                if not gi and not gj:
+                    s = 1.0
+                else:
+                    inter = len(gi & gj)
+                    union = len(gi) + len(gj) - inter
+                    s = inter / union if union else 1.0
+                if s >= jaccard_threshold:
+                    left.append(i)
+                    right.append(all_ids[j])
+                    jac.append(_round_half_away(s, 6))
+        return pd.DataFrame({"left_id": left, "right_id": right, "jaccard": jac})
+
+    out = docs_ds.map_batches(_cmp, batch_format="pandas")
+    return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
+                                 ("jaccard", pa.float64())])
+
+
 def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, max_band_width: int = 20000):
     """Near-dup pairs by SimHash: 4 x 16-bit sub-key buckets (any pair

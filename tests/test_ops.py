@@ -370,3 +370,38 @@ def test_embedding_near_dup_verify_paths_equivalent(rds):
     b = to_df(b).sort_values(["left_id", "right_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(a) >= 25
+
+
+def test_ngram_jaccard_pairs_exact_vs_python(rds):
+    """The distributed exact all-pairs op must equal a serial
+    brute-force reference, and the MinHash-LSH path must recover >=90%
+    of its pairs (LSH is the approximation of exactly this truth)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.similarity import (
+        ngram_jaccard,
+    )
+
+    rng = np.random.RandomState(13)
+    base_words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+                  "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    texts = []
+    for i in range(30):
+        t = " ".join(base_words[j] for j in rng.randint(0, 12, 12))
+        texts.append(t)
+        texts.append(t + " omega")  # planted near-dup
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    got = dedup_ops.ngram_jaccard_pairs(rds.from_pandas(docs),
+                                        jaccard_threshold=0.7)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.left_id, got.right_id)}
+
+    want = {(i, j) for i in range(len(texts)) for j in range(i + 1, len(texts))
+            if ngram_jaccard(texts[i], texts[j]) >= 0.7}
+    assert got_pairs == want
+    assert len(want) >= 30
+
+    mh = dedup_ops.minhash_lsh_pairs(rds.from_pandas(docs), jaccard_threshold=0.7)
+    mh = mh if isinstance(mh, pd.DataFrame) else mh.to_pandas()
+    mh_pairs = {(int(a), int(b)) for a, b in zip(mh.left_id, mh.right_id)}
+    assert not mh_pairs - want          # LSH emits no false positives
+    assert len(mh_pairs & want) / len(want) >= 0.9
