@@ -328,8 +328,7 @@ def q_docs_exact_dedup(sf_dir: str):
 
 def q_doc_token_counts(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(text_ops.token_counts, batch_format="pandas")
-    return out.select_columns(["doc_id", "n_tokens"])
+    return ds.map_batches(text_ops.token_counts, batch_format="pandas")
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -1247,7 +1246,8 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS n_words
             FROM documents
         """,
         "q_doc_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
