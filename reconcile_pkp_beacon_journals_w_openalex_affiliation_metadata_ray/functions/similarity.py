@@ -16,6 +16,9 @@ O(n*m) DP.
 from __future__ import annotations
 
 
+_PM_CACHE: dict = {}  # per-worker pattern-bitmap memo for lcs_length
+
+
 def lcs_length(a: str, b: str) -> int:
     """Length of the longest common subsequence (bit-parallel, Hyyrö).
 
@@ -25,15 +28,26 @@ def lcs_length(a: str, b: str) -> int:
     """
     if not a or not b:
         return 0
+    if a == b:
+        return len(a)
     if len(a) > len(b):
         a, b = b, a
     m = len(a)
     mask = (1 << m) - 1
-    pm: dict[str, int] = {}
-    bit = 1
-    for ch in a:
-        pm[ch] = pm.get(ch, 0) | bit
-        bit <<= 1
+    # memoize the pattern bitmap of the shorter string: in pairwise
+    # scoring a record's names recur across its ~20 candidate pairs
+    cached = _PM_CACHE.get(a)
+    if cached is None:
+        pm: dict[str, int] = {}
+        bit = 1
+        for ch in a:
+            pm[ch] = pm.get(ch, 0) | bit
+            bit <<= 1
+        if len(_PM_CACHE) >= 500_000:
+            _PM_CACHE.clear()
+        _PM_CACHE[a] = pm
+    else:
+        pm = cached
     v = mask
     for ch in b:
         p = pm.get(ch, 0)
@@ -52,6 +66,8 @@ def indel_ratio(a: str, b: str) -> float:
     """Normalized InDel similarity x100 — parity with rapidfuzz
     ``fuzz.ratio``. Two empty strings score 100.0; empty vs non-empty
     scores 0.0."""
+    if a == b:
+        return 100.0  # covers the both-empty case too
     total = len(a) + len(b)
     if total == 0:
         return 100.0
