@@ -1064,7 +1064,7 @@ def _lang_id_sql() -> str:
         WITH t AS (
           SELECT doc_id,
                  list_distinct(list_filter(
-                     string_split_regex(lower(text), '\s+'),
+                     string_split_regex(lower(coalesce(text, '')), '\s+'),
                      x -> x <> '')) AS toks
           FROM documents),
         s AS (SELECT doc_id, {', '.join(score_cols)} FROM t),
@@ -1247,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS n_words
+                   len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS n_words
             FROM documents
         """,
         "q_doc_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
@@ -1280,7 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_ngram_jaccard_dups": """
             WITH g AS (SELECT doc_id,
-                    CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+                    CASE WHEN coalesce(text, '') = '' THEN CAST([] AS VARCHAR[])
                          WHEN len(text) <= 3 THEN [text]
                          ELSE list_distinct(list_transform(
                                 range(0, len(text) - 2),
@@ -1300,7 +1300,7 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (SELECT left_id, right_id
                        FROM read_parquet('{fdir}/minhash_pairs.parquet')),
             g AS (SELECT doc_id,
-                    CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+                    CASE WHEN coalesce(text, '') = '' THEN CAST([] AS VARCHAR[])
                          WHEN len(text) <= 3 THEN [text]
                          ELSE list_distinct(list_transform(
                                 range(0, len(text) - 2),

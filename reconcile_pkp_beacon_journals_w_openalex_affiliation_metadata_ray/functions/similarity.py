@@ -16,7 +16,40 @@ O(n*m) DP.
 from __future__ import annotations
 
 
-_PM_CACHE: dict = {}  # per-worker pattern-bitmap memo for lcs_length
+class BoundedCache(dict):
+    """Per-worker memo with an item cap AND a byte-ish cost cap (an
+    item count alone doesn't bound memory when keys are whole document
+    texts). Cleared wholesale at either cap — recurrence windows in
+    batch workloads are short, so wholesale reset beats LRU churn."""
+
+    def __init__(self, max_items: int = 500_000, max_cost: int = 256 << 20):
+        super().__init__()
+        self.max_items = max_items
+        self.max_cost = max_cost
+        self.cost = 0
+
+    def get_or_build(self, key, builder, cost: int = 0):
+        v = super().get(key)
+        if v is None and key not in self:
+            if len(self) >= self.max_items or self.cost >= self.max_cost:
+                self.clear()
+                self.cost = 0
+            v = builder()
+            self[key] = v
+            self.cost += cost
+        return v
+
+
+def set_jaccard(sa, sb) -> float:
+    """Jaccard over two prebuilt sets; both-empty -> 1.0."""
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
+
+
+_PM_CACHE = BoundedCache(max_items=500_000, max_cost=64 << 20)
 
 
 def lcs_length(a: str, b: str) -> int:
@@ -36,18 +69,15 @@ def lcs_length(a: str, b: str) -> int:
     mask = (1 << m) - 1
     # memoize the pattern bitmap of the shorter string: in pairwise
     # scoring a record's names recur across its ~20 candidate pairs
-    cached = _PM_CACHE.get(a)
-    if cached is None:
-        pm: dict[str, int] = {}
+    def _build():
+        pm_: dict[str, int] = {}
         bit = 1
         for ch in a:
-            pm[ch] = pm.get(ch, 0) | bit
+            pm_[ch] = pm_.get(ch, 0) | bit
             bit <<= 1
-        if len(_PM_CACHE) >= 500_000:
-            _PM_CACHE.clear()
-        _PM_CACHE[a] = pm
-    else:
-        pm = cached
+        return pm_
+
+    pm = _PM_CACHE.get_or_build(a, _build, cost=len(a) * 80)
     v = mask
     for ch in b:
         p = pm.get(ch, 0)
@@ -154,11 +184,7 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1, max_prefix: int = 4
 def token_jaccard(a: str, b: str) -> float:
     """Jaccard similarity of whitespace token sets, in [0, 1].
     Two empty token sets score 1.0."""
-    sa, sb = set(a.split()), set(b.split())
-    if not sa and not sb:
-        return 1.0
-    union = len(sa | sb)
-    return len(sa & sb) / union if union else 1.0
+    return set_jaccard(set(a.split()), set(b.split()))
 
 
 def ngram_set(text: str, n: int = 3) -> set:
@@ -171,8 +197,4 @@ def ngram_set(text: str, n: int = 3) -> set:
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Jaccard similarity of character n-gram sets, in [0, 1]."""
-    sa, sb = ngram_set(a, n), ngram_set(b, n)
-    if not sa and not sb:
-        return 1.0
-    union = len(sa | sb)
-    return len(sa & sb) / union if union else 1.0
+    return set_jaccard(ngram_set(a, n), ngram_set(b, n))

@@ -33,9 +33,9 @@ def format_elapsed(seconds: float) -> str:
     (`get-openalex.../src/main.rs:545-559`): 'Xh Ym Zs' / 'Ym Zs' /
     'Z.mmms'."""
     total = int(seconds)
-    millis = int(round((seconds - total) * 1000))
-    if millis >= 1000:  # carry BEFORE tier selection: 59.9996 -> '1m 0s'
-        total, millis = total + 1, 0
+    # truncate like the reference's as_secs()/subsec_millis() — no
+    # rounding, no carry: 59.9996 -> '59.999s', 60.9996 -> '1m 0s'
+    millis = int((seconds - total) * 1000)
     hours, minutes, secs = total // 3600, (total % 3600) // 60, total % 60
     if hours > 0:
         return f"{hours}h {minutes}m {secs}s"

@@ -37,13 +37,15 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.minhash import MinHasher, band_keys
-from ..functions.similarity import ngram_jaccard
+from ..functions.similarity import BoundedCache, ngram_set, set_jaccard
 from .relational import bucket_join, bucketed_map_groups
 
 logger = logging.getLogger(__name__)
 
 _MH: MinHasher | None = None
-_GRAM_CACHE: dict = {}  # per-worker text -> ngram_set (verify amortization)
+# per-worker text -> ngram_set memo (verify amortization); byte-aware
+# cap — an item count alone would not bound memory for large documents
+_GRAM_CACHE = BoundedCache(max_items=200_000, max_cost=512 << 20)
 
 
 def _typed_or_empty(ds, schema_fields):
@@ -189,32 +191,18 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pandas"), id_col, text_col)
 
     def _verify(b: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.similarity import ngram_set
         from .similarity_search import _round_half_away
 
         # a document appears in MANY candidate pairs (near-dup clusters
         # are quadratic in pairs, linear in docs): cache each text's
         # gram set per worker so set construction amortizes per doc —
         # per-pair work drops to one C-level intersection (~10x)
-        cache = _GRAM_CACHE
         def grams(t):
-            g = cache.get(t)
-            if g is None:
-                if len(cache) > 200_000:
-                    cache.clear()
-                g = ngram_set(t, 3)
-                cache[t] = g
-            return g
+            return _GRAM_CACHE.get_or_build(
+                t, lambda: ngram_set(t, 3), cost=len(t) * 60)
 
-        jac = []
-        for l, r in zip(b["__p_left_id"], b["__p_right_id"]):
-            ga, gb = grams(l), grams(r)
-            if not ga and not gb:
-                jac.append(1.0)
-                continue
-            inter = len(ga & gb)
-            union = len(ga) + len(gb) - inter
-            jac.append(inter / union if union else 1.0)
+        jac = [set_jaccard(grams(l), grams(r))
+               for l, r in zip(b["__p_left_id"], b["__p_right_id"])]
         # half-away rounding (not Python's half-even) so the value is
         # bit-reproducible by a SQL engine computing the same ratio
         out = pd.DataFrame({"left_id": b["left_id"], "right_id": b["right_id"],
@@ -239,32 +227,35 @@ def ngram_jaccard_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     per-partition dedup)."""
     import ray
 
-    from ..functions.similarity import ngram_set
     from .similarity_search import _round_half_away
 
+    # broadcast ONE Arrow table (plasma zero-copy per the repo's
+    # broadcast rule — a pickled Python (ids, sets) tuple deserializes
+    # per worker); each worker decodes it into gram sets ONCE and
+    # caches, instead of per batch
     rows = []
     for b in docs_ds.iter_batches(batch_size=65536, batch_format="pandas"):
         for i, t in zip(b[id_col], b[text_col].fillna("")):
             rows.append((i, t))
     rows.sort()
-    ids = [r[0] for r in rows]
-    grams = [ngram_set(r[1], n) for r in rows]
-    ref = ray.put((ids, grams))
+    tbl = pa.table({"id": pa.array([r[0] for r in rows]),
+                    "text": pa.array([r[1] for r in rows], pa.string())})
+    ref = ray.put(tbl)
+    _state: dict = {}
 
     def _cmp(b: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_grams = ray.get(ref)
-        pos = {v: k for k, v in enumerate(all_ids)}
+        if "ids" not in _state:
+            t = ray.get(ref)
+            _state["ids"] = t["id"].to_pylist()
+            _state["grams"] = [ngram_set(x, n) for x in t["text"].to_pylist()]
+            _state["pos"] = {v: k for k, v in enumerate(_state["ids"])}
+        all_ids, all_grams, pos = _state["ids"], _state["grams"], _state["pos"]
         left, right, jac = [], [], []
-        for i, t in zip(b[id_col], b[text_col].fillna("")):
-            gi = ngram_set(t, n)
-            for j in range(pos[i] + 1, len(all_ids)):
-                gj = all_grams[j]
-                if not gi and not gj:
-                    s = 1.0
-                else:
-                    inter = len(gi & gj)
-                    union = len(gi) + len(gj) - inter
-                    s = inter / union if union else 1.0
+        for i in b[id_col]:
+            k = pos[i]
+            gi = all_grams[k]
+            for j in range(k + 1, len(all_ids)):
+                s = set_jaccard(gi, all_grams[j])
                 if s >= jaccard_threshold:
                     left.append(i)
                     right.append(all_ids[j])

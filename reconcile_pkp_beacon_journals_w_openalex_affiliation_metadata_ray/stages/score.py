@@ -37,7 +37,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.similarity import indel_ratio, jaro_winkler, token_jaccard
+from ..functions.similarity import BoundedCache, indel_ratio, jaro_winkler, set_jaccard
 from ..functions.textnorm import normalize_text
 
 MATCH_THRESHOLD = 90.0
@@ -100,17 +100,13 @@ def _inst_score(a_norm: list, b_norm: list) -> float:
     return best
 
 
-_TOK_CACHE: dict = {}  # per-worker blob -> token set (blobs recur ~20x)
+# per-worker blob -> token set (blobs recur ~20x); byte-aware cap
+_TOK_CACHE = BoundedCache(max_items=500_000, max_cost=256 << 20)
 
 
 def _blob_tokens(s: str) -> frozenset:
-    t = _TOK_CACHE.get(s)
-    if t is None:
-        if len(_TOK_CACHE) >= 500_000:
-            _TOK_CACHE.clear()
-        t = frozenset(s.split())
-        _TOK_CACHE[s] = t
-    return t
+    return _TOK_CACHE.get_or_build(s, lambda: frozenset(s.split()),
+                                   cost=len(s) * 3)
 
 
 def _score_tuple(doi_l, authors_l, insts_l, blob_l,
@@ -134,15 +130,8 @@ def _score_tuple(doi_l, authors_l, insts_l, blob_l,
         a0 = authors_l[0] if authors_l else ""
         b0 = authors_r[0] if authors_r else ""
         jw = jaro_winkler(a0, b0) * 100.0
-        # inline token jaccard over per-worker memoized token sets
-        # (identical semantics to functions.similarity.token_jaccard)
-        sa, sb = _blob_tokens(blob_l), _blob_tokens(blob_r)
-        if not sa and not sb:
-            jac = 100.0
-        else:
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            jac = (inter / union if union else 1.0) * 100.0
+        # token jaccard over per-worker memoized token sets
+        jac = set_jaccard(_blob_tokens(blob_l), _blob_tokens(blob_r)) * 100.0
     if doi_equal:
         combined, is_match = 100.0, True
     elif doi_conflict:

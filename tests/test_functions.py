@@ -393,6 +393,7 @@ def test_format_elapsed_tiers():
     assert timestamps.format_elapsed(62.9) == "1m 2s"
     assert timestamps.format_elapsed(1.234) == "1.234s"
     assert timestamps.format_elapsed(0.0) == "0.000s"
-    assert timestamps.format_elapsed(0.9996) == "1.000s"
-    assert timestamps.format_elapsed(59.9996) == "1m 0s"   # carry crosses tier
-    assert timestamps.format_elapsed(3599.9996) == "1h 0m 0s"
+    assert timestamps.format_elapsed(0.9996) == "0.999s"   # truncation parity
+    assert timestamps.format_elapsed(59.9996) == "59.999s"
+    assert timestamps.format_elapsed(60.9996) == "1m 0s"
+    assert timestamps.format_elapsed(3600.9996) == "1h 0m 0s"

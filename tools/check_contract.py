@@ -59,7 +59,8 @@ def main():
     import os
 
     # align the persisted-artifact oracles with the tier under test
-    os.environ["GRAFT_ORACLE_TIER"] = os.path.basename(os.path.normpath(sf_dir))
+    _t = os.path.basename(os.path.normpath(sf_dir))
+    os.environ["GRAFT_ORACLE_TIER"] = _t if _t.startswith("sf") else "sf0.01"
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
