@@ -497,6 +497,37 @@ def q_frame_sample(sf_dir: str):
         batch_format="pandas")
 
 
+def q_split_leakage(sf_dir: str):
+    """Train/test contamination audit — the composition the split and
+    fingerprint ops exist for: exact-duplicate content (same md5)
+    appearing in MORE than one split is leakage. Returns one row per
+    leaking content hash with the number of distinct splits and total
+    copies. (The synthetic documents table has unique texts, so an
+    empty result is the CORRECT answer here — the oracle asserts that
+    equivalence rather than a happy-path row count.)"""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    fps = ds.map_batches(text_ops.fingerprints, batch_format="pandas").map_batches(
+        lambda b: b[["doc_id", "md5"]], batch_format="pandas")
+    splits = ds.map_batches(text_ops.hash_split, batch_format="pandas")
+    joined = relational.bucket_join(fps, splits, on="doc_id", num_buckets=16)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("md5").agg(n_splits=("split", "nunique"),
+                                   n_copies=("split", "size")).reset_index()
+        out = agg[agg["n_splits"] > 1]
+        return out.astype({"n_splits": "int64", "n_copies": "int64"}) if len(out) else             pd.DataFrame({"md5": pd.Series(dtype=object),
+                          "n_splits": pd.Series(dtype="int64"),
+                          "n_copies": pd.Series(dtype="int64")})
+
+    out = relational.bucketed_map_groups(joined, "md5", _reduce, num_buckets=16)
+    out = out.materialize()
+    if out.count() == 0:
+        return pd.DataFrame({"md5": pd.Series(dtype=object),
+                             "n_splits": pd.Series(dtype="int64"),
+                             "n_copies": pd.Series(dtype="int64")})
+    return out
+
+
 def q_sample_docs(sf_dir: str):
     """Seeded exact-k uniform sample (O3, `sample_csv/sample.py:5-14`).
     The chosen ids are persisted; the oracle re-joins them against the
@@ -849,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_media": q_decode_media,
         "q_frame_sample": q_frame_sample,
         "q_doc_splits": q_doc_splits,
+        "q_split_leakage": q_split_leakage,
         # raw JSONL record parsing (M6/M7)
         "q_parse_records_openalex": q_parse_records_openalex,
         "q_parse_records_crossref": q_parse_records_crossref,
@@ -1261,6 +1293,20 @@ def oracle_sql() -> dict[str, str]:
                          CAST(concat('0x', substr(md5(concat('split:',
                               CAST(doc_id AS VARCHAR))), 1, 2)) AS UBIGINT) AS b
                   FROM documents)
+        """,
+        "q_split_leakage": """
+            WITH j AS (
+              SELECT md5(text) AS md5,
+                     CASE WHEN b < 229 THEN 'train'
+                          WHEN b < 242 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT text,
+                           CAST(concat('0x', substr(md5(concat('split:',
+                                CAST(doc_id AS VARCHAR))), 1, 2)) AS UBIGINT) AS b
+                    FROM documents))
+            SELECT md5, count(DISTINCT split) AS n_splits,
+                   count(*) AS n_copies
+            FROM j GROUP BY md5 HAVING count(DISTINCT split) > 1
         """,
         "q_frame_sample": """
             WITH m AS (

@@ -397,3 +397,23 @@ def test_format_elapsed_tiers():
     assert timestamps.format_elapsed(59.9996) == "59.999s"
     assert timestamps.format_elapsed(60.9996) == "1m 0s"
     assert timestamps.format_elapsed(3600.9996) == "1h 0m 0s"
+
+
+def test_bounded_cache_caps():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.similarity import (
+        BoundedCache,
+    )
+
+    c = BoundedCache(max_items=3, max_cost=100)
+    for i in range(3):
+        assert c.get_or_build(f"k{i}", lambda i=i: i, cost=10) == i
+    assert len(c) == 3
+    c.get_or_build("k3", lambda: 3, cost=10)  # item cap -> wholesale clear
+    assert len(c) == 1 and c["k3"] == 3
+    c.get_or_build("big", lambda: "x", cost=95)
+    c.get_or_build("next", lambda: "y", cost=1)  # cost cap tripped
+    assert "big" not in c and c["next"] == "y"
+    # cached value is returned without rebuilding
+    calls = []
+    c.get_or_build("next", lambda: calls.append(1), cost=1)
+    assert not calls

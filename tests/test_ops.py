@@ -405,3 +405,40 @@ def test_ngram_jaccard_pairs_exact_vs_python(rds):
     mh_pairs = {(int(a), int(b)) for a, b in zip(mh.left_id, mh.right_id)}
     assert not mh_pairs - want          # LSH emits no false positives
     assert len(mh_pairs & want) / len(want) >= 0.9
+
+
+def test_split_leakage_detects_planted_duplicates(rds):
+    """Duplicate content spread across splits must surface in the
+    leakage audit (driver tables have unique texts, so the live query's
+    correct answer is empty; this plants real leaks)."""
+    import __ray_entry__ as entry
+
+    # 40 ids sharing one text: with ~89.5/5/5 split odds some land in
+    # different splits with overwhelming probability (deterministic
+    # given the md5 rule — verified below, not assumed)
+    df = pd.DataFrame({"doc_id": range(40), "text": ["same text body"] * 40})
+    splits = text_ops.hash_split(df)
+    assert splits["split"].nunique() > 1  # the plant is real
+
+    import pandas as _pd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        relational as rel,
+        text as t_ops,
+    )
+
+    ds = rds.from_pandas(df)
+    fps = ds.map_batches(t_ops.fingerprints, batch_format="pandas").map_batches(
+        lambda b: b[["doc_id", "md5"]], batch_format="pandas")
+    sp = ds.map_batches(t_ops.hash_split, batch_format="pandas")
+    joined = rel.bucket_join(fps, sp, on="doc_id", num_buckets=8)
+
+    def _reduce(g):
+        agg = g.groupby("md5").agg(n_splits=("split", "nunique"),
+                                   n_copies=("split", "size")).reset_index()
+        return agg[agg["n_splits"] > 1]
+
+    out = rel.bucketed_map_groups(joined, "md5", _reduce, num_buckets=8).to_pandas()
+    assert len(out) == 1
+    assert int(out.iloc[0]["n_copies"]) == 40
+    assert int(out.iloc[0]["n_splits"]) == splits["split"].nunique()
