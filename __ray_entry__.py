@@ -538,7 +538,7 @@ def q_sample_docs(sf_dir: str):
     )
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
-    out = sample_exact(ds, k=100).to_pandas()
+    out = sample_exact(ds, k=100, id_col="doc_id").to_pandas()
     return _persist_oracle_input(out, sf_dir, "sampled_docs", sort_cols=["doc_id"])
 
 
@@ -956,7 +956,21 @@ _DOI_PREFIX_RE = r"^(?:https?://doi\.org/)?(10\.[0-9]+)(?:/|$)"
 def _parse_openalex_sql(raw_path: str) -> str:
     """DuckDB re-derivation of the M6 contract from the raw JSONL lines
     (json_extract over the same fallback chain + status CASE). Fully
-    independent of the Python parser."""
+    independent of the Python parser.
+
+    Parity notes (mirroring reference truthiness semantics,
+    `parse_record_data_from_files.py:210-217`):
+    - a FALSY non-string id (0, 0.0, false, "", []) is NOT flagged
+      ID_INVALID_TYPE — the reference checks `if not id ... elif not
+      isinstance(id, str)`; the truthy CASE below reproduces that per
+      JSON type (boolean True renders as Python's 'True').
+    - the DOI prefix is extracted AFTER percent-decoding
+      (urllib.unquote, `:105-113`); DuckDB 1.0 has no url_decode, so
+      the decode replicates the code points a DOI head can carry
+      (%2F slash, %3A colon — enough for '10.x%2Fy' and encoded
+      'https%3A%2F%2Fdoi.org' forms; the doi COLUMN itself stays raw
+      on both sides)."""
+    dec = "replace(replace(replace(replace(doi_str, '%2F', '/'), '%2f', '/'), '%3A', ':'), '%3a', ':')"
     return f"""
         WITH lines AS (
           SELECT source_file_relative, line_number, raw
@@ -969,6 +983,17 @@ def _parse_openalex_sql(raw_path: str) -> str:
                  THEN json_type(json(raw), '$.id') END AS id_type,
             CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT'
                  THEN json_extract_string(raw, '$.id') END AS id_str,
+            CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT' THEN
+              CASE json_type(json(raw), '$.id')
+                WHEN 'VARCHAR' THEN json_extract_string(raw, '$.id') <> ''
+                WHEN 'BOOLEAN' THEN json_extract_string(raw, '$.id') = 'true'
+                WHEN 'BIGINT' THEN TRY_CAST(json_extract_string(raw, '$.id') AS DOUBLE) <> 0
+                WHEN 'UBIGINT' THEN TRY_CAST(json_extract_string(raw, '$.id') AS DOUBLE) <> 0
+                WHEN 'DOUBLE' THEN TRY_CAST(json_extract_string(raw, '$.id') AS DOUBLE) <> 0
+                WHEN 'ARRAY' THEN json_array_length(json(raw), '$.id') > 0
+                WHEN 'OBJECT' THEN len(json_keys(json(raw), '$.id')) > 0
+                ELSE FALSE END
+            ELSE FALSE END AS id_truthy,
             CASE WHEN json_valid(raw) AND json_type(json(raw)) = 'OBJECT' THEN
               COALESCE(NULLIF(json_extract_string(raw, '$.primary_location.landing_page_url'), ''),
                        NULLIF(json_extract_string(raw, '$.best_oa_location.landing_page_url'), ''))
@@ -987,19 +1012,20 @@ def _parse_openalex_sql(raw_path: str) -> str:
         SELECT
           '' AS member_id,
           CASE WHEN doi_str IS NOT NULL
-               THEN regexp_extract(doi_str, '{_DOI_PREFIX_RE}', 1) ELSE '' END AS prefix,
+               THEN regexp_extract({dec}, '{_DOI_PREFIX_RE}', 1) ELSE '' END AS prefix,
           COALESCE(doi_str, '') AS doi,
           CASE WHEN url_str IS NOT NULL AND regexp_matches(url_str, '{_URL_VALID_RE}')
                THEN url_str ELSE '' END AS url,
           CASE WHEN pdf_str IS NOT NULL AND regexp_matches(pdf_str, '{_URL_VALID_RE}')
                THEN pdf_str ELSE '' END AS pdf_url,
           '' AS deposit_timestamp_yyyymmddhhmmss,
-          COALESCE(id_str, '') AS openalex_id,
+          CASE WHEN NOT id_truthy THEN ''
+               WHEN id_type = 'BOOLEAN' THEN 'True'
+               ELSE COALESCE(id_str, '') END AS openalex_id,
           source_file_relative, line_number,
           CASE WHEN NOT ok THEN 'JSON_DECODE_ERROR'
                WHEN jtype <> 'OBJECT' THEN 'JSON_INVALID_STRUCTURE'
-               WHEN id_type IS NOT NULL AND id_type NOT IN ('VARCHAR', 'NULL')
-                    THEN 'ID_INVALID_TYPE'
+               WHEN id_truthy AND id_type <> 'VARCHAR' THEN 'ID_INVALID_TYPE'
                WHEN url_str IS NOT NULL AND NOT regexp_matches(url_str, '{_URL_VALID_RE}')
                     THEN 'URL_INVALID'
                WHEN url_str IS NULL THEN 'URL_MISSING'
@@ -1055,7 +1081,10 @@ def _parse_crossref_sql(raw_path: str) -> str:
           COALESCE(member_id_p, '') AS member_id,
           COALESCE(prefix_p,
                    CASE WHEN ok AND jtype = 'OBJECT' AND doi_str IS NOT NULL
-                        THEN regexp_extract(doi_str, '{_DOI_PREFIX_RE}', 1)
+                        THEN regexp_extract(
+                          replace(replace(replace(replace(doi_str, '%2F', '/'),
+                            '%2f', '/'), '%3A', ':'), '%3a', ':'),
+                          '{_DOI_PREFIX_RE}', 1)
                         ELSE '' END) AS prefix,
           COALESCE(doi_str, '') AS doi,
           CASE WHEN url_str IS NOT NULL AND regexp_matches(url_str, '{_URL_VALID_RE}')

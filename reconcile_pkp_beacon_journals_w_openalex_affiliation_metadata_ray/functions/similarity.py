@@ -104,6 +104,32 @@ def indel_ratio(a: str, b: str) -> float:
     return 100.0 * (1.0 - indel_distance(a, b) / total)
 
 
+# per-worker (a, b) -> ratio memo. Pairwise scoring re-compares the
+# same string combos constantly: a block of k same-name records scores
+# O(k^2) pairs over nearly the same handful of author/institution
+# strings, and institution strings draw from a bounded global pool.
+_RATIO_CACHE = BoundedCache(max_items=2_000_000, max_cost=256 << 20)
+
+
+def indel_ratio_cached(a: str, b: str) -> float:
+    """Memoized symmetric :func:`indel_ratio` (per-worker bounded cache)."""
+    if a == b:
+        return 100.0
+    if a > b:
+        a, b = b, a
+    key = a + "\x00" + b
+    v = _RATIO_CACHE.get(key)
+    if v is None:
+        v = indel_ratio(a, b)
+        if len(_RATIO_CACHE) >= _RATIO_CACHE.max_items \
+                or _RATIO_CACHE.cost >= _RATIO_CACHE.max_cost:
+            _RATIO_CACHE.clear()
+            _RATIO_CACHE.cost = 0
+        _RATIO_CACHE[key] = v
+        _RATIO_CACHE.cost += len(key) + 32
+    return v
+
+
 def levenshtein(a: str, b: str) -> int:
     """Classic Levenshtein distance (substitutions allowed), two-row DP."""
     if a == b:

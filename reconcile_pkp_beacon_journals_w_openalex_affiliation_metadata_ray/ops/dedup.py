@@ -232,14 +232,18 @@ def ngram_jaccard_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     # broadcast ONE Arrow table (plasma zero-copy per the repo's
     # broadcast rule — a pickled Python (ids, sets) tuple deserializes
     # per worker); each worker decodes it into gram sets ONCE and
-    # caches, instead of per batch
-    rows = []
-    for b in docs_ds.iter_batches(batch_size=65536, batch_format="pandas"):
-        for i, t in zip(b[id_col], b[text_col].fillna("")):
-            rows.append((i, t))
-    rows.sort()
-    tbl = pa.table({"id": pa.array([r[0] for r in rows]),
-                    "text": pa.array([r[1] for r in rows], pa.string())})
+    # caches, instead of per batch. Built by concatenating Arrow
+    # batches + an Arrow sort — no per-row Python list on the driver
+    # (the corpus must fit driver/object-store memory either way: this
+    # is the documented quadratic audit baseline, not the scale path).
+    import pyarrow.compute as pc
+
+    tbl = pa.concat_tables(
+        [b.select([id_col, text_col])
+         for b in docs_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ).combine_chunks()
+    tbl = pa.table({"id": tbl[id_col],
+                    "text": pc.fill_null(tbl[text_col], "")}).sort_by("id")
     ref = ray.put(tbl)
     _state: dict = {}
 

@@ -42,6 +42,21 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner",
     return big_ds.map_batches(_merge, batch_format="pandas")
 
 
+def _bucket_of(frame: pd.DataFrame, key_cols, num_buckets: int) -> pd.Series:
+    """Stable bucket assignment for key columns. Keys are normalized to
+    string dtype BEFORE hashing so that e.g. int64 and float64 blocks of
+    the same logical key (a NaN-pad promotion artifact) land in the same
+    bucket — but columns that are already strings (the common case: ids,
+    block keys, hashes) hash as-is, skipping a full-column copy."""
+    from pandas.util import hash_pandas_object
+
+    cast = {c: "string" for c in key_cols
+            if not (frame[c].dtype == object
+                    or pd.api.types.is_string_dtype(frame[c]))}
+    keyed = frame[key_cols].astype(cast) if cast else frame[key_cols]
+    return (hash_pandas_object(keyed, index=False) % num_buckets).astype("int64")
+
+
 def _dtype_map(ds) -> dict:
     """Column -> pandas dtype for a Dataset (arrow or pandas blocks)."""
     sch = ds.schema()
@@ -65,15 +80,13 @@ def bucket_join(left_ds, right_ds, on, num_buckets: int = 64, how: str = "inner"
     into a batch the promoted float keys hash differently ("1.0" vs
     "1") and silently break any downstream bucket_join on them."""
     on = [on] if isinstance(on, str) else list(on)
+
     # deterministic bucket hash (python hash() is salted -> use pandas'
     # stable row hashing)
-    from pandas.util import hash_pandas_object
-
     def _tagger(side_name):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             b = batch.copy()
-            b["__bucket"] = (hash_pandas_object(b[on].astype("string"), index=False)
-                             % num_buckets).astype("int64")
+            b["__bucket"] = _bucket_of(b, on, num_buckets)
             b["__side"] = side_name
             return b
         return fn
@@ -126,12 +139,10 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64):
     bucket. This is the antidote to per-tiny-group map_groups overhead
     at high key cardinality."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    from pandas.util import hash_pandas_object
 
     def _tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["__bucket"] = (hash_pandas_object(b[key_cols].astype("string"), index=False)
-                         % num_buckets).astype("int64")
+        b["__bucket"] = _bucket_of(b, key_cols, num_buckets)
         return b
 
     def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:

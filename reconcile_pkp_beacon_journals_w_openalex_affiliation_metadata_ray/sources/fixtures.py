@@ -40,7 +40,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_FIXTURE_VERSION = "10"
+_FIXTURE_VERSION = "11"
 
 _FILLER_WORDS = (
     "research method analysis data result discussion theory model sample "
@@ -215,7 +215,7 @@ def _oa_record_line(i: int) -> str:
     """Deterministic nested OpenAlex JSONL line exercising the M6
     fallback chain + status enum (every branch of
     `parse_record_data_from_files.py:189-312` reachable from data)."""
-    case = i % 12
+    case = i % 14
     host = f"oa{i % 7}.example.org"
     doi = f"https://doi.org/10.{1000 + i % 50}/rec.{i}"
     landing = f"https://{host}/article/view/{i}"
@@ -247,6 +247,14 @@ def _oa_record_line(i: int) -> str:
         rec["doi"] = doi
         rec["primary_location"] = {"landing_page_url": landing,
                                    "pdf_url": "not-a-pdf-url"}
+    elif case == 12:  # ID_INVALID_TYPE (boolean id — Python str() is 'True')
+        rec["id"] = True
+        rec["doi"] = doi
+        rec["primary_location"] = {"landing_page_url": landing, "pdf_url": pdf}
+    elif case == 13:  # percent-encoded DOI (prefix extracted AFTER unquote,
+        # `parse_record_data_from_files.py:105-113`)
+        rec["doi"] = f"10.{1000 + i % 50}%2Fenc.{i}"
+        rec["primary_location"] = {"landing_page_url": landing, "pdf_url": pdf}
     else:  # 0-3 plain rows (pdf sometimes absent — no status impact)
         rec["doi"] = doi
         rec["primary_location"] = {"landing_page_url": landing,

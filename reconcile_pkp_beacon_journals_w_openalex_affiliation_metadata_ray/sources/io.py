@@ -45,13 +45,48 @@ def read_jsonl(path: str, required=(), **kwargs):
     return require_columns(ds, required, source=path)
 
 
-def sample_exact(ds, k: int, seed: int = 42):
+def sample_exact(ds, k: int, seed: int = 42, id_col: str | None = None):
     """Uniform random sample WITHOUT replacement of exactly
     min(k, n) rows (O3 parity: `sample_csv/sample.py:5-14` clamps k to
-    the population). Seeded shuffle then limit."""
-    n = ds.count()
-    k = min(k, n)
-    return ds.random_shuffle(seed=seed).limit(k)
+    the population).
+
+    Scale shape: every row is ranked by a seeded deterministic hash
+    (md5 of ``seed:id`` when ``id_col`` is given — SQL-reproducible —
+    else pandas' stable row hash of all columns) and the global k
+    smallest ranks win. Each batch keeps only its local top-k, so the
+    driver merges at most k rows per block — the same partial-top-k +
+    tiny-merge shape as the KNN operator. The previous
+    ``random_shuffle(seed).limit(k)`` was an ALL-TO-ALL exchange of the
+    entire corpus to pick k rows; at 100 TB that is the whole dataset
+    through the object store. A test asserts random_shuffle is never
+    called."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    def _rank(b: pd.DataFrame) -> pd.Series:
+        if id_col is not None:
+            return b[id_col].map(lambda v: int(
+                hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:16], 16))
+        from pandas.util import hash_pandas_object
+
+        return hash_pandas_object(b.astype("string"), index=False,
+                                  hash_key=f"{seed & 0xFFFF:016d}").astype("uint64")
+
+    def _partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return b.assign(__rank=pd.Series(dtype="uint64"))
+        out = b.assign(__rank=_rank(b).to_numpy())
+        return out.nsmallest(min(k, len(out)), "__rank", keep="first")
+
+    parts = ds.map_batches(_partial_topk, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return rd.from_pandas(parts.drop(columns="__rank", errors="ignore"))
+    sort_cols = ["__rank"] + ([id_col] if id_col else [])
+    top = (parts.sort_values(sort_cols, kind="mergesort").head(k)
+           .drop(columns="__rank").reset_index(drop=True))
+    return rd.from_pandas(top)
 
 
 def sample_fraction(ds, frac: float, seed: int = 42):

@@ -327,12 +327,45 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
 
 def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Per-pair dedup inside a bucket: min block_key, max dropped,
-    OR of the key-family bits (the pair's evidence provenance)."""
+    OR of the key-family bits (the pair's evidence provenance).
+
+    Everything runs on integer codes: ids are factorized, block keys go
+    through a Categorical (whose categories are LEXICOGRAPHICALLY
+    sorted, so min-code == min-string), and the bit-OR decomposes into
+    per-bit maxima. A direct pandas groupby over the two string id
+    columns with a string-min aggregation measured ~40x slower on
+    multi-million-row buckets (and a per-group Python lambda for the OR
+    was the round-2 pair-dedup regression)."""
     import numpy as np
 
-    return df.groupby(["left_id", "right_id"], as_index=False, sort=False).agg(
-        block_key=("block_key", "min"), dropped_pairs=("dropped_pairs", "max"),
-        families=("families", lambda s: int(np.bitwise_or.reduce(s.to_numpy()))))
+    if df.empty:
+        return df[["left_id", "right_id", "block_key", "dropped_pairs",
+                   "families"]]
+    lcodes, luniq = pd.factorize(df["left_id"], sort=False)
+    rcodes, runiq = pd.factorize(df["right_id"], sort=False)
+    cat = pd.Categorical(df["block_key"])
+    pair = lcodes.astype(np.int64) * len(runiq) + rcodes
+    fam = df["families"].to_numpy()
+    g = pd.DataFrame({
+        "pair": pair,
+        "bkc": np.asarray(cat.codes, dtype=np.int64),
+        "dropped_pairs": df["dropped_pairs"].to_numpy(),
+        "__b1": (fam & 1) != 0, "__b2": (fam & 2) != 0,
+        "__b4": (fam & 4) != 0, "__b8": (fam & 8) != 0,
+    }).groupby("pair", as_index=False, sort=False).agg(
+        bkc=("bkc", "min"), dropped_pairs=("dropped_pairs", "max"),
+        __b1=("__b1", "max"), __b2=("__b2", "max"),
+        __b4=("__b4", "max"), __b8=("__b8", "max"))
+    pairs = g["pair"].to_numpy()
+    return pd.DataFrame({
+        "left_id": luniq.take(pairs // len(runiq)),
+        "right_id": runiq.take(pairs % len(runiq)),
+        "block_key": cat.categories.take(g["bkc"].to_numpy()),
+        "dropped_pairs": g["dropped_pairs"].to_numpy(),
+        "families": (g["__b1"].astype("int64") + 2 * g["__b2"].astype("int64")
+                     + 4 * g["__b4"].astype("int64")
+                     + 8 * g["__b8"].astype("int64")),
+    })
 
 
 def candidate_pairs(records_ds, hot_keys_ref=None,

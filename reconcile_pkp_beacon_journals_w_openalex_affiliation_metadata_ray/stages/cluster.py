@@ -20,10 +20,7 @@ union-find line of work surveyed in PAPERS.md, e.g. BTS, ICDE 2024).
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
-import pyarrow as pa
 
 
 def union_find(edges, nodes=()):
@@ -75,22 +72,30 @@ def _min_bucket(g: pd.DataFrame) -> pd.DataFrame:
 def _fingerprint(labels_ds) -> int:
     """Order-independent fingerprint of the (node, label) assignment.
 
-    Per-row 56-bit blake2b digests are summed modulo 2**62 per batch
-    (keeping each partial well inside int64 — a plain sum overflows
-    pa.int64 past ~256 rows). The partials (one tiny row per batch) are
-    reduced on the driver: an ``aggregate`` here would cost a full
-    AllToAll barrier PER CC ROUND just to add a handful of ints.
+    Per-row uint64 hashes (pandas' vectorized stable row hashing over
+    the joined "node\\x00label" string — no per-row Python call; the
+    old blake2b loop was the slowest per-round driver cost at scale)
+    are summed EXACTLY per batch by splitting each hash into 32-bit
+    halves (a raw uint64 sum would overflow and wrap
+    nondeterministically vs the modular driver combine), then reduced
+    modulo 2**62. The partials (one tiny row per batch) are combined on
+    the driver: an ``aggregate`` here would cost a full AllToAll
+    barrier PER CC ROUND just to add a handful of ints.
     """
     _MOD = 1 << 62
 
-    def _fp_batch(t: pa.Table) -> pa.Table:
-        total = 0
-        for n, l in zip(t["node"].to_pylist(), t["label"].to_pylist()):
-            digest = hashlib.blake2b(f"{n}\x00{l}".encode(), digest_size=7).digest()
-            total = (total + int.from_bytes(digest, "little")) % _MOD
-        return pa.table({"fp": pa.array([total], pa.int64())})
+    def _fp_batch(b: pd.DataFrame) -> pd.DataFrame:
+        from pandas.util import hash_pandas_object
 
-    parts = labels_ds.map_batches(_fp_batch, batch_format="pyarrow").take_all()
+        h = hash_pandas_object(
+            b["node"].astype(str).str.cat(b["label"].astype(str), sep="\x00"),
+            index=False).to_numpy()
+        lo = int((h & 0xFFFFFFFF).sum())   # <= n * 2^32: exact in uint64
+        hi = int((h >> 32).sum())
+        total = (lo + (hi << 32)) % _MOD
+        return pd.DataFrame({"fp": pd.Series([total], dtype="int64")})
+
+    parts = labels_ds.map_batches(_fp_batch, batch_format="pandas").take_all()
     return sum(int(r["fp"]) for r in parts) % _MOD
 
 

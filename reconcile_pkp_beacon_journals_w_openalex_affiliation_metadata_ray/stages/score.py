@@ -37,7 +37,13 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.similarity import BoundedCache, indel_ratio, jaro_winkler, set_jaccard
+from ..functions.similarity import (
+    BoundedCache,
+    indel_ratio,
+    indel_ratio_cached,
+    jaro_winkler,
+    set_jaccard,
+)
 from ..functions.textnorm import normalize_text
 
 MATCH_THRESHOLD = 90.0
@@ -45,7 +51,29 @@ INST_MATCH_THRESHOLD = 90.0  # name-only tier: institutions must MATCH
 AUTHOR_WEIGHT = 0.75
 INST_WEIGHT = 0.25
 
+# Default scored-pair contract. DOI-decided pairs carry decision-implied
+# scores (100/0) rather than fuzzy-kernel outputs: their is_match is
+# determined by the DOI alone, so running the O(n^2) author/institution
+# kernels on them spends the scoring stage's dominant share of CPU on
+# columns that cannot change any decision. This also makes every column
+# of a DOI-decided row SQL-derivable (the q_scored_pairs oracle exploits
+# that). Pass aux_metrics=True for the diagnostic variant that runs the
+# fuzzy kernels on every pair and adds jw/jaccard columns.
 SCORED_PAIR_SCHEMA = pa.schema(
+    [
+        ("left_id", pa.string()),
+        ("right_id", pa.string()),
+        ("block_key", pa.string()),
+        ("author_score", pa.float64()),
+        ("inst_score", pa.float64()),
+        ("combined_score", pa.float64()),
+        ("doi_equal", pa.bool_()),
+        ("doi_conflict", pa.bool_()),
+        ("is_match", pa.bool_()),
+    ]
+)
+
+SCORED_PAIR_SCHEMA_AUX = pa.schema(
     [
         ("left_id", pa.string()),
         ("right_id", pa.string()),
@@ -62,6 +90,10 @@ SCORED_PAIR_SCHEMA = pa.schema(
 )
 
 
+def pair_schema(aux_metrics: bool) -> pa.Schema:
+    return SCORED_PAIR_SCHEMA_AUX if aux_metrics else SCORED_PAIR_SCHEMA
+
+
 def _best_author_score(a_norm: list, b_norm: list) -> float:
     """Average over the smaller side of best InDel ratio vs the other
     side (argmax with early exit at 100.0, O4 semantics)."""
@@ -72,7 +104,7 @@ def _best_author_score(a_norm: list, b_norm: list) -> float:
     for name in small:
         best = 0.0
         for other in large:
-            score = indel_ratio(name, other)
+            score = indel_ratio_cached(name, other)
             if score > best:
                 best = score
                 if best == 100.0:
@@ -92,7 +124,7 @@ def _inst_score(a_norm: list, b_norm: list) -> float:
     best = 0.0
     for x in a_norm:
         for y in b_norm:
-            s = indel_ratio(x, y)
+            s = indel_ratio_cached(x, y)
             if s > best:
                 best = s
                 if best == 100.0:
@@ -111,65 +143,68 @@ def _blob_tokens(s: str) -> frozenset:
 
 def _score_tuple(doi_l, authors_l, insts_l, blob_l,
                  doi_r, authors_r, insts_r, blob_r,
-                 structural: bool = True) -> tuple:
+                 structural: bool = True, aux_metrics: bool = False) -> tuple:
     """Scoring kernel over positional record attributes; returns the
-    scored-pair value tuple in SCORED_PAIR_SCHEMA column order (after
-    the three id columns)."""
+    scored-pair value tuple in pair_schema(aux_metrics) column order
+    (after the three id columns).
+
+    DOI-decided pairs (equal or conflicting DOIs) short-circuit: every
+    score is decision-implied (100/0) and NO fuzzy kernel runs — the
+    decision cannot change, and at corpus scale DOI blocks contribute a
+    large pair share, so this is the scoring stage's main perf lever.
+    """
     doi_equal = bool(doi_l) and doi_l == doi_r
     doi_conflict = bool(doi_l) and bool(doi_r) and doi_l != doi_r
+    if doi_equal or doi_conflict:
+        v = 100.0 if doi_equal else 0.0
+        if aux_metrics:
+            return (v, v, v, v, v, doi_equal, doi_conflict, doi_equal)
+        return (v, v, v, doi_equal, doi_conflict, doi_equal)
     author = _best_author_score(authors_l, authors_r)
     inst = _inst_score(insts_l, insts_r)
-    if doi_equal or doi_conflict:
-        # decision is DOI-determined; skip the auxiliary O(n^2) blob
-        # metrics on the (dominant) exact-key pairs
-        jw = 100.0 if doi_equal else 0.0
-        jac = 100.0 if doi_equal else 0.0
+    # institutions only discriminate when BOTH sides carry them;
+    # a missing-inst side must not cap the score (the record-level
+    # analog of the reference's empty-inst edge case,
+    # `check...openalex.py:215-228`)
+    if insts_l and insts_r:
+        combined = AUTHOR_WEIGHT * author + INST_WEIGHT * inst
     else:
+        combined = author
+    if structural:
+        is_match = combined >= MATCH_THRESHOLD
+    else:
+        # name-only evidence (the pair co-blocked solely via author
+        # name / LSH keys): author similarity alone cannot separate
+        # distinct people who share a name, and affiliation strings
+        # share so much boilerplate ("University of ...") that a
+        # 70-85 inst similarity is NOISE, not corroboration. Demand
+        # institutions on both sides that actually match. Prevents
+        # same-name bridges from avalanching clusters at scale.
+        is_match = (bool(insts_l) and bool(insts_r)
+                    and author >= MATCH_THRESHOLD
+                    and inst >= INST_MATCH_THRESHOLD)
+    if aux_metrics:
         # JW over the primary author names (bounded-length strings);
-        # token Jaccard over the full name blobs (linear set op)
+        # token Jaccard over the full name blobs (linear set op).
+        # Diagnostic-only: neither feeds is_match.
         a0 = authors_l[0] if authors_l else ""
         b0 = authors_r[0] if authors_r else ""
         jw = jaro_winkler(a0, b0) * 100.0
-        # token jaccard over per-worker memoized token sets
         jac = set_jaccard(_blob_tokens(blob_l), _blob_tokens(blob_r)) * 100.0
-    if doi_equal:
-        combined, is_match = 100.0, True
-    elif doi_conflict:
-        combined, is_match = 0.0, False
-    else:
-        # institutions only discriminate when BOTH sides carry them;
-        # a missing-inst side must not cap the score (the record-level
-        # analog of the reference's empty-inst edge case,
-        # `check...openalex.py:215-228`)
-        if insts_l and insts_r:
-            combined = AUTHOR_WEIGHT * author + INST_WEIGHT * inst
-        else:
-            combined = author
-        if structural:
-            is_match = combined >= MATCH_THRESHOLD
-        else:
-            # name-only evidence (the pair co-blocked solely via author
-            # name / LSH keys): author similarity alone cannot separate
-            # distinct people who share a name, and affiliation strings
-            # share so much boilerplate ("University of ...") that a
-            # 70-85 inst similarity is NOISE, not corroboration. Demand
-            # institutions on both sides that actually match. Prevents
-            # same-name bridges from avalanching clusters at scale.
-            is_match = (bool(insts_l) and bool(insts_r)
-                        and author >= MATCH_THRESHOLD
-                        and inst >= INST_MATCH_THRESHOLD)
-    return (round(author, 2), round(inst, 2), round(jw, 2), round(jac, 2),
+        return (round(author, 2), round(inst, 2), round(jw, 2), round(jac, 2),
+                round(combined, 2), doi_equal, doi_conflict, is_match)
+    return (round(author, 2), round(inst, 2),
             round(combined, 2), doi_equal, doi_conflict, is_match)
 
 
-def score_pair(left: dict, right: dict, structural: bool = True) -> dict:
+def score_pair(left: dict, right: dict, structural: bool = True,
+               aux_metrics: bool = False) -> dict:
     """Dict-interface wrapper over the kernel (used by tests/callers)."""
     vals = _score_tuple(left["doi_norm"], left["authors_norm"], left["insts_norm"],
                         left["name_blob"], right["doi_norm"], right["authors_norm"],
                         right["insts_norm"], right["name_blob"],
-                        structural=structural)
-    names = ["author_score", "inst_score", "jw_score", "jaccard_score",
-             "combined_score", "doi_equal", "doi_conflict", "is_match"]
+                        structural=structural, aux_metrics=aux_metrics)
+    names = list(pair_schema(aux_metrics).names)[3:]
     return dict(zip(names, vals))
 
 
@@ -177,10 +212,16 @@ _RECORDS_CACHE: dict = {}
 
 
 def _get_records(records_ref):
-    """Per-worker cache: (arrow table mapped zero-copy from plasma,
-    record_id -> row index dict). Tasks reuse warm Ray workers, so this
+    """Per-worker cache: scoring-attribute columns decoded ONCE from the
+    plasma-mapped Arrow broadcast into plain Python lists, plus a
+    record_id -> row index dict. Tasks reuse warm Ray workers, so this
     builds once per worker — actor-pool amortization without actor
-    startup."""
+    startup. The one-time decode replaces a per-batch
+    ``take().to_pylist()`` gather that measured ~half of score_batch's
+    wall time (nested-list Arrow -> Python conversion per batch). The
+    decoded columns are bounded by the broadcast-table size assumption
+    already documented on this path (huge corpora use
+    score_pairs_shuffle instead)."""
     key = records_ref.hex() if hasattr(records_ref, "hex") else id(records_ref)
     if key not in _RECORDS_CACHE:
         import ray
@@ -188,15 +229,19 @@ def _get_records(records_ref):
         _RECORDS_CACHE.clear()
         tbl = ray.get(records_ref)
         idx = {rid: i for i, rid in enumerate(tbl["record_id"].to_pylist())}
-        _RECORDS_CACHE[key] = (tbl, idx)
+        attrs = tbl.select(["doi_norm", "authors_norm", "insts_norm",
+                            "name_blob"]).combine_chunks()
+        _RECORDS_CACHE[key] = (attrs, idx)
     return _RECORDS_CACHE[key]
 
 
-def score_batch(batch: pa.Table, records_ref=None) -> pa.Table:
+def score_batch(batch: pa.Table, records_ref=None,
+                aux_metrics: bool = False) -> pa.Table:
     """Stateless scoring task. Attribute rows for the batch's ids are
     gathered with one vectorized ``take`` + ``to_pylist`` per side —
     no per-pair arrow access."""
-    tbl, idx = _get_records(records_ref)
+    schema = pair_schema(aux_metrics)
+    attrs, idx = _get_records(records_ref)
     lefts = batch["left_id"].to_pylist()
     rights = batch["right_id"].to_pylist()
     blocks = batch["block_key"].to_pylist()
@@ -204,36 +249,34 @@ def score_batch(batch: pa.Table, records_ref=None) -> pa.Table:
         fams = batch["families"].to_pylist()
     else:
         fams = [3] * len(lefts)  # unknown provenance -> treat as structural
+
     li = [idx.get(x, -1) for x in lefts]
     ri = [idx.get(x, -1) for x in rights]
-    attrs = tbl.select(["doi_norm", "authors_norm", "insts_norm", "name_blob"])
+    # one vectorized take per side, decoded COLUMN-wise (to_pylist of a
+    # row dict per pair measured ~2x the cost of four column lists; a
+    # full-table Python decode per worker measured even worse — 32
+    # concurrent 15 s decodes at session start)
+    keep = [k for k in range(len(li)) if li[k] >= 0 and ri[k] >= 0]
+    if len(keep) != len(li):
+        li = [li[k] for k in keep]
+        ri = [ri[k] for k in keep]
+    lt = attrs.take(pa.array(li, pa.int64()))
+    rt = attrs.take(pa.array(ri, pa.int64()))
+    ldois, lauths, linsts, lblobs = (lt[c].to_pylist() for c in attrs.column_names)
+    rdois, rauths, rinsts, rblobs = (rt[c].to_pylist() for c in attrs.column_names)
 
-    # gather per-side aligned attribute lists (missing ids -> None)
-    def gather(indices):
-        valid = [i for i in indices if i >= 0]
-        taken = attrs.take(pa.array(valid, pa.int64())) if valid else None
-        rows = taken.to_pylist() if taken is not None else []
-        it = iter(rows)
-        return [next(it) if i >= 0 else None for i in indices]
-
-    lrows = gather(li)
-    rrows = gather(ri)
-    cols = [[] for _ in range(11)]
-    for lid, rid, bk, fam, lrow, rrow in zip(lefts, rights, blocks, fams, lrows, rrows):
-        if lrow is None or rrow is None:
-            continue
-        vals = _score_tuple(lrow["doi_norm"], lrow["authors_norm"],
-                            lrow["insts_norm"], lrow["name_blob"],
-                            rrow["doi_norm"], rrow["authors_norm"],
-                            rrow["insts_norm"], rrow["name_blob"],
-                            structural=bool(fam & 3))
-        cols[0].append(lid)
-        cols[1].append(rid)
-        cols[2].append(bk)
-        for k in range(8):
-            cols[3 + k].append(vals[k])
-    return pa.Table.from_pydict(
-        dict(zip(SCORED_PAIR_SCHEMA.names, cols)), schema=SCORED_PAIR_SCHEMA)
+    n_val = len(schema.names) - 3
+    cols = [[] for _ in range(len(schema.names))]
+    for j, k in enumerate(keep):
+        vals = _score_tuple(ldois[j], lauths[j], linsts[j], lblobs[j],
+                            rdois[j], rauths[j], rinsts[j], rblobs[j],
+                            structural=bool(fams[k] & 3), aux_metrics=aux_metrics)
+        cols[0].append(lefts[k])
+        cols[1].append(rights[k])
+        cols[2].append(blocks[k])
+        for v in range(n_val):
+            cols[3 + v].append(vals[v])
+    return pa.Table.from_pydict(dict(zip(schema.names, cols)), schema=schema)
 
 
 class PairScorer:
@@ -242,11 +285,13 @@ class PairScorer:
     uses the stateless-task path (score_batch) because its per-worker
     cache amortizes identically while reusing already-warm workers."""
 
-    def __init__(self, records_ref):
+    def __init__(self, records_ref, aux_metrics: bool = False):
         self.records_ref = records_ref
+        self.aux_metrics = aux_metrics
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return score_batch(batch, records_ref=self.records_ref)
+        return score_batch(batch, records_ref=self.records_ref,
+                           aux_metrics=self.aux_metrics)
 
 
 def broadcast_records(records_ds):
@@ -273,20 +318,23 @@ def _auto_pool():
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    # cap the pool: every actor pays a one-time broadcast unpickle, so
-    # fewer, longer-lived actors amortize better than cpus-wide pools
-    return (1, min(12, max(4, cpus - 2)))
+    # scale the pool with the cluster: each actor pays one zero-copy
+    # plasma map of the broadcast table (cheap), so on a real multi-node
+    # cluster a small fixed cap would leave scoring CPUs idle; leave a
+    # couple of CPUs for the surrounding read/shuffle stages
+    return (1, max(4, cpus - 2))
 
 
 def score_pairs(pairs_ds, records_ref, concurrency=None, batch_size=8192,
-                use_actors: bool = False):
+                use_actors: bool = False, aux_metrics: bool = False):
     if use_actors:
         return pairs_ds.map_batches(
             PairScorer,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
-            fn_constructor_kwargs={"records_ref": records_ref},
+            fn_constructor_kwargs={"records_ref": records_ref,
+                                   "aux_metrics": aux_metrics},
             concurrency=concurrency or _auto_pool(),
         )
     return pairs_ds.map_batches(
@@ -294,7 +342,7 @@ def score_pairs(pairs_ds, records_ref, concurrency=None, batch_size=8192,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        fn_kwargs={"records_ref": records_ref},
+        fn_kwargs={"records_ref": records_ref, "aux_metrics": aux_metrics},
     )
 
 
@@ -320,7 +368,7 @@ def _pack_records(records_ds, id_name: str):
 
 
 def score_pairs_shuffle(pairs_ds, records_ds, num_buckets: int = 32,
-                        batch_size: int = 8192):
+                        batch_size: int = 8192, aux_metrics: bool = False):
     """The 10^12-row-corpus scoring path: when the record-attribute
     table is too large to broadcast to every node, pairs are joined to
     their two sides' attributes with two bucketed hash joins
@@ -344,8 +392,10 @@ def score_pairs_shuffle(pairs_ds, records_ds, num_buckets: int = 32,
     both = bucket_join(left, _pack_records(records_ds, "right_id"),
                        on="right_id", num_buckets=num_buckets)
 
+    schema = pair_schema(aux_metrics)
+
     def _score(batch: pd.DataFrame) -> pd.DataFrame:
-        cols = {name: [] for name in SCORED_PAIR_SCHEMA.names}
+        cols = {name: [] for name in schema.names}
         for rec in batch.itertuples(index=False):
             vals = _score_tuple(
                 rec.left_id_doi,
@@ -357,15 +407,16 @@ def score_pairs_shuffle(pairs_ds, records_ds, num_buckets: int = 32,
                 rec.right_id_inst.split(_SEP) if rec.right_id_inst else [],
                 rec.right_id_blob,
                 structural=bool(int(rec.families) & 3),
+                aux_metrics=aux_metrics,
             )
             cols["left_id"].append(rec.left_id)
             cols["right_id"].append(rec.right_id)
             cols["block_key"].append(rec.block_key)
-            for k, name in enumerate(SCORED_PAIR_SCHEMA.names[3:]):
+            for k, name in enumerate(schema.names[3:]):
                 cols[name].append(vals[k])
         import pyarrow as _pa
 
-        return _pa.Table.from_pydict(cols, schema=SCORED_PAIR_SCHEMA).to_pandas()
+        return _pa.Table.from_pydict(cols, schema=schema).to_pandas()
 
     return both.map_batches(_score, batch_format="pandas", batch_size=batch_size)
 
