@@ -348,9 +348,16 @@ def q_doc_lang_id(sf_dir: str):
 
 
 def q_doc_simhash(sf_dir: str):
+    """Per-document 64-bit simhash + winnowing fingerprint count.
+    STABILITY oracle: the kernels are not SQL-expressible, so the
+    persisted output is replayed — this verifies distributed-run
+    determinism (row/schema/value-hash level), not the hash math; the
+    semantic checks live in tests (known-vector unit tests) and in
+    q_simhash_near_dups' independent Hamming recompute."""
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(text_ops.fingerprints, batch_format="pandas").select_columns(
-        ["doc_id", "simhash", "n_fingerprints"])
+    df = (ds.map_batches(text_ops.fingerprints, batch_format="pandas")
+          .select_columns(["doc_id", "simhash", "n_fingerprints"]).to_pandas())
+    return _persist_oracle_input(df, sf_dir, "doc_simhash", sort_cols=["doc_id"])
 
 
 def q_minhash_near_dups(sf_dir: str):
@@ -441,9 +448,18 @@ def q_knn_bruteforce(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF (cell-pruned) approximate KNN, seeded k-means cells.
+    STABILITY oracle (persisted-replay): the result is deterministic
+    given the seed, so the replay verifies cross-run stability of the
+    distributed search; its RECALL against exact brute-force is the
+    semantic gate and lives in tests (q_knn_bruteforce has the fully
+    independent SQL oracle)."""
     q, qids = _query_vectors(sf_dir)
     ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return similarity_search.knn_ivf(ds, q, qids, k=5, n_cells=8, nprobe=4)
+    out = similarity_search.knn_ivf(ds, q, qids, k=5, n_cells=8, nprobe=4)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    return _persist_oracle_input(df, sf_dir, "knn_ivf",
+                                 sort_cols=["query_id", "rank"])
 
 
 def q_label_centroids(sf_dir: str):
@@ -698,21 +714,83 @@ def q_parse_records_crossref(sf_dir: str):
     return ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
 
 
+_LINKAGE_PERSISTED: set = set()
+
+
+def _persist_linkage_artifacts(sf_dir: str, out: dict) -> str:
+    """Persist the linkage-stage oracle inputs once per tier: record
+    attributes (list columns — DuckDB reads them natively), the sampled
+    hot-key set, and the candidate-pair table. The q_block_keys /
+    q_candidate_pairs / q_scored_pairs oracles re-derive the DOI-family
+    and rule-expressible parts from these in SQL."""
+    tier = _tier(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, tier)
+    if tier in _LINKAGE_PERSISTED:
+        return tier_dir
+    ensure_fixtures(sf_dir)
+    recs = out["records"].map_batches(
+        lambda t: t.select(["record_id", "doi_norm", "host_key", "path_key",
+                            "authors_norm", "insts_norm"]),
+        batch_format="pyarrow").to_pandas()
+    recs.sort_values("record_id", kind="mergesort").to_parquet(
+        os.path.join(tier_dir, "records_attrs.parquet"), index=False)
+    import pyarrow.parquet as pq
+
+    pq.write_table(  # typed even when the hot set is empty
+        pa.table({"hot_key": pa.array(sorted(out["hot_keys"]), pa.string())}),
+        os.path.join(tier_dir, "hot_keys.parquet"))
+    out["pairs"].to_pandas().sort_values(
+        ["left_id", "right_id", "block_key"], kind="mergesort").to_parquet(
+        os.path.join(tier_dir, "candidate_pairs.parquet"), index=False)
+    _LINKAGE_PERSISTED.add(tier)
+    return tier_dir
+
+
 def q_block_keys(sf_dir: str):
+    """Blocking-key emission (doi/path/host/an exact families + MinHash
+    LSH bands, hot-key refinement). The oracle re-derives the four
+    rule-expressible families IN SQL from the persisted record
+    attributes + hot-key set (unnest first-3 authors, refinement CASE,
+    always-refined host keys) and replays only the b*: LSH band rows
+    (MinHash permutations are not SQL-expressible)."""
+    import ray
+
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import block
 
     out = _reconcile(sf_dir)
-    return block.emit_block_keys(out["records"])
+    tier_dir = _persist_linkage_artifacts(sf_dir, out)
+    keys = block.emit_block_keys(
+        out["records"], hot_keys_ref=ray.put(out["hot_keys"])).to_pandas()
+    keys = keys.sort_values(["block_key", "record_id"],
+                            kind="mergesort").reset_index(drop=True)
+    keys.to_parquet(os.path.join(tier_dir, "block_keys.parquet"), index=False)
+    return keys
 
 
 def q_candidate_pairs(sf_dir: str):
+    """Candidate pair generation. The oracle derives the ENTIRE
+    doi-family pair set independently in SQL (records self-join on
+    doi_norm with left<right — which also verifies that the doi stream
+    bypasses dedup and that fuzzy blocks pruned every both-DOI pair)
+    and replays the fuzzy-family rows."""
     out = _reconcile(sf_dir)
+    _persist_linkage_artifacts(sf_dir, out)
     return out["pairs"]
 
 
 def q_scored_pairs(sf_dir: str):
+    """Pair scoring. The oracle re-derives in SQL: every column of every
+    DOI-decided row (from the records self-join), and combined_score /
+    is_match / doi flags of every fuzzy row (threshold + evidence rules
+    over the persisted author/inst scores joined to record institution
+    presence and pair family bits). Only the fuzzy InDel kernel outputs
+    themselves (author_score, inst_score, min block_key) are replayed."""
     out = _reconcile(sf_dir)
-    return out["scored"]
+    tier_dir = _persist_linkage_artifacts(sf_dir, out)
+    df = out["scored"].to_pandas().sort_values(
+        ["left_id", "right_id"], kind="mergesort").reset_index(drop=True)
+    df.to_parquet(os.path.join(tier_dir, "scored_pairs.parquet"), index=False)
+    return df
 
 
 def q_clusters(sf_dir: str):
@@ -974,7 +1052,8 @@ def _parse_openalex_sql(raw_path: str) -> str:
     return f"""
         WITH lines AS (
           SELECT source_file_relative, line_number, raw
-          FROM read_parquet('{raw_path}') WHERE trim(raw) <> ''
+          FROM read_parquet('{raw_path}')
+          WHERE NOT regexp_matches(raw, '^[ \\t\\r\\n\\f\\v\\x1c\\x1d\\x1e\\x1f\\x85]*$')
         ), f AS (
           SELECT source_file_relative, line_number,
             json_valid(raw) AS ok,
@@ -1044,7 +1123,8 @@ def _parse_crossref_sql(raw_path: str) -> str:
         WITH lines AS (
           SELECT source_file_relative, line_number, raw,
                  str_split(source_file_relative, '/') AS parts
-          FROM read_parquet('{raw_path}') WHERE trim(raw) <> ''
+          FROM read_parquet('{raw_path}')
+          WHERE NOT regexp_matches(raw, '^[ \\t\\r\\n\\f\\v\\x1c\\x1d\\x1e\\x1f\\x85]*$')
         ), p AS (
           SELECT *,
             CASE WHEN len(parts) >= 3 THEN parts[len(parts) - 2] END AS pm,
@@ -1106,7 +1186,7 @@ def _parse_crossref_sql(raw_path: str) -> str:
 
 
 def _lang_id_sql() -> str:
-    """Stopword-overlap language-ID as SQL: per-language distinct-token
+    r"""Stopword-overlap language-ID as SQL: per-language distinct-token
     intersection counts, argmax with alphabetical tie-break ('und' when
     all zero) — the same decision rule as ops.text.lang_id, computed by
     DuckDB from the same stopword table."""
@@ -1121,7 +1201,7 @@ def _lang_id_sql() -> str:
         score_cols.append(f"len(list_intersect(toks, [{words}])) AS s_{lang}")
     mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     winner = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
-    return f"""
+    return rf"""
         WITH t AS (
           SELECT doc_id,
                  list_distinct(list_filter(
@@ -1518,8 +1598,114 @@ def oracle_sql() -> dict[str, str]:
                    round(nrm, 6) AS centroid_norm
             FROM lab
         """,
+        # hybrid oracle: exact_author_match is RE-DERIVED (raw equality
+        # vs the matched name, empty-match guard) rather than replayed;
+        # the fuzzy-scored columns replay (InDel/normalization kernels
+        # are not SQL-expressible — semantic checks live in tests)
         "q_mention_scoring": f"""
-            SELECT * FROM read_parquet('{fdir}/mention_scoring.parquet')
+            SELECT * EXCLUDE (exact_author_match),
+                   (openalex_matched_author_name <> ''
+                    AND author = openalex_matched_author_name) AS exact_author_match
+            FROM read_parquet('{fdir}/mention_scoring.parquet')
+        """,
+        # stability oracles (persisted-replay; see the query docstrings)
+        "q_doc_simhash": f"""
+            SELECT doc_id, simhash, n_fingerprints
+            FROM read_parquet('{fdir}/doc_simhash.parquet')
+        """,
+        "q_knn_ivf": f"""
+            SELECT query_id, rank, neighbor_id, cosine
+            FROM read_parquet('{fdir}/knn_ivf.parquet')
+        """,
+        # four rule-expressible key families re-derived in SQL from the
+        # persisted record attributes + hot set; only b*: LSH band rows
+        # replay (MinHash permutations aren't SQL)
+        "q_block_keys": f"""
+            WITH r AS (
+              SELECT record_id, doi_norm, host_key, path_key, authors_norm,
+                     COALESCE(authors_norm[1], NULLIF(doi_norm, ''), '_') AS suffix,
+                     (doi_norm <> '') AS has_doi
+              FROM read_parquet('{fdir}/records_attrs.parquet')),
+            hot AS (SELECT hot_key FROM read_parquet('{fdir}/hot_keys.parquet')),
+            an_raw AS (
+              SELECT 'an:' || unnest(authors_norm[1:3]) AS k,
+                     record_id, has_doi, suffix
+              FROM r WHERE len(authors_norm) > 0)
+            SELECT 'doi:' || doi_norm AS block_key, record_id, has_doi
+            FROM r WHERE doi_norm <> ''
+            UNION ALL
+            SELECT 'path:' || path_key, record_id, has_doi
+            FROM r WHERE path_key <> ''
+            UNION ALL
+            SELECT 'host:' || host_key || '~' || suffix, record_id, has_doi
+            FROM r WHERE host_key <> ''
+            UNION ALL
+            SELECT CASE WHEN k IN (SELECT hot_key FROM hot)
+                        THEN k || '~' || suffix ELSE k END,
+                   record_id, has_doi
+            FROM an_raw
+            UNION ALL
+            SELECT block_key, record_id, has_doi
+            FROM read_parquet('{fdir}/block_keys.parquet')
+            WHERE regexp_matches(block_key, '^b[0-9]+:')
+        """,
+        # the ENTIRE doi family re-derived by a records self-join (also
+        # proves fuzzy blocks pruned every both-DOI pair and the doi
+        # stream bypassed dedup); fuzzy rows replay
+        "q_candidate_pairs": f"""
+            WITH r AS (SELECT record_id, doi_norm
+                       FROM read_parquet('{fdir}/records_attrs.parquet'))
+            SELECT a.record_id AS left_id, b.record_id AS right_id,
+                   'doi:' || a.doi_norm AS block_key,
+                   CAST(0 AS BIGINT) AS dropped_pairs,
+                   CAST(1 AS BIGINT) AS families
+            FROM r a JOIN r b
+              ON a.doi_norm = b.doi_norm AND a.record_id < b.record_id
+            WHERE a.doi_norm <> ''
+            UNION ALL
+            SELECT left_id, right_id, block_key, dropped_pairs, families
+            FROM read_parquet('{fdir}/candidate_pairs.parquet')
+            WHERE families <> 1
+        """,
+        # DOI-decided rows fully derived; fuzzy rows: combined_score,
+        # is_match and both doi flags re-derived from the persisted
+        # author/inst scores + record institution presence + family
+        # bits (the repo's evidence rules as SQL); author/inst replay
+        "q_scored_pairs": f"""
+            WITH r AS (
+              SELECT record_id, doi_norm, len(insts_norm) > 0 AS has_inst
+              FROM read_parquet('{fdir}/records_attrs.parquet')),
+            fam AS (
+              SELECT left_id, right_id, families
+              FROM read_parquet('{fdir}/candidate_pairs.parquet')
+              WHERE families <> 1),
+            fz AS (
+              SELECT s.left_id, s.right_id, s.block_key,
+                     s.author_score, s.inst_score, f.families,
+                     rl.has_inst AS hl, rr.has_inst AS hr,
+                     CASE WHEN rl.has_inst AND rr.has_inst
+                          THEN round(0.75 * s.author_score + 0.25 * s.inst_score, 2)
+                          ELSE s.author_score END AS comb
+              FROM read_parquet('{fdir}/scored_pairs.parquet') s
+              JOIN fam f ON f.left_id = s.left_id AND f.right_id = s.right_id
+              JOIN r rl ON rl.record_id = s.left_id
+              JOIN r rr ON rr.record_id = s.right_id)
+            SELECT a.record_id AS left_id, b.record_id AS right_id,
+                   'doi:' || a.doi_norm AS block_key,
+                   100.0 AS author_score, 100.0 AS inst_score,
+                   100.0 AS combined_score,
+                   TRUE AS doi_equal, FALSE AS doi_conflict, TRUE AS is_match
+            FROM r a JOIN r b
+              ON a.doi_norm = b.doi_norm AND a.record_id < b.record_id
+            WHERE a.doi_norm <> ''
+            UNION ALL
+            SELECT left_id, right_id, block_key, author_score, inst_score,
+                   comb AS combined_score,
+                   FALSE AS doi_equal, FALSE AS doi_conflict,
+                   CASE WHEN (families & 3) <> 0 THEN comb >= 90.0
+                        ELSE hl AND hr AND author_score >= 90.0
+                             AND inst_score >= 90.0 END AS is_match
+            FROM fz
         """,
         "q_parsing_stats": f"""
             WITH f AS (SELECT * FROM read_parquet('{fdir}/page_flags.parquet')),

@@ -94,6 +94,14 @@ def pair_schema(aux_metrics: bool) -> pa.Schema:
     return SCORED_PAIR_SCHEMA_AUX if aux_metrics else SCORED_PAIR_SCHEMA
 
 
+def _round2(x: float) -> float:
+    """Round to 2 decimals half-AWAY-from-zero (SQL/DuckDB semantics;
+    Python's round() is half-to-even and disagrees at .5 boundaries)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 100.0 + 0.5) / 100.0, x)
+
+
 def _best_author_score(a_norm: list, b_norm: list) -> float:
     """Average over the smaller side of best InDel ratio vs the other
     side (argmax with early exit at 100.0, O4 semantics)."""
@@ -160,14 +168,19 @@ def _score_tuple(doi_l, authors_l, insts_l, blob_l,
         if aux_metrics:
             return (v, v, v, v, v, doi_equal, doi_conflict, doi_equal)
         return (v, v, v, doi_equal, doi_conflict, doi_equal)
-    author = _best_author_score(authors_l, authors_r)
-    inst = _inst_score(insts_l, insts_r)
+    # scores are rounded half-AWAY-from-zero (SQL round semantics, not
+    # Python's half-even) BEFORE combining, so every derived column
+    # (combined_score, is_match) is bit-reproducible by a SQL engine
+    # reading the persisted author/inst scores — the q_scored_pairs
+    # oracle recomputes them in DuckDB
+    author = _round2(_best_author_score(authors_l, authors_r))
+    inst = _round2(_inst_score(insts_l, insts_r))
     # institutions only discriminate when BOTH sides carry them;
     # a missing-inst side must not cap the score (the record-level
     # analog of the reference's empty-inst edge case,
     # `check...openalex.py:215-228`)
     if insts_l and insts_r:
-        combined = AUTHOR_WEIGHT * author + INST_WEIGHT * inst
+        combined = _round2(AUTHOR_WEIGHT * author + INST_WEIGHT * inst)
     else:
         combined = author
     if structural:
@@ -191,10 +204,9 @@ def _score_tuple(doi_l, authors_l, insts_l, blob_l,
         b0 = authors_r[0] if authors_r else ""
         jw = jaro_winkler(a0, b0) * 100.0
         jac = set_jaccard(_blob_tokens(blob_l), _blob_tokens(blob_r)) * 100.0
-        return (round(author, 2), round(inst, 2), round(jw, 2), round(jac, 2),
-                round(combined, 2), doi_equal, doi_conflict, is_match)
-    return (round(author, 2), round(inst, 2),
-            round(combined, 2), doi_equal, doi_conflict, is_match)
+        return (author, inst, _round2(jw), _round2(jac),
+                combined, doi_equal, doi_conflict, is_match)
+    return (author, inst, combined, doi_equal, doi_conflict, is_match)
 
 
 def score_pair(left: dict, right: dict, structural: bool = True,
