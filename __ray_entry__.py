@@ -663,13 +663,35 @@ def q_extracted_text(sf_dir: str):
     return _persist_oracle_input(df, sf_dir, "extracted_text", sort_cols=["url"])
 
 
+def _with_error_class(ds, row_schema_names):
+    """Swap the Python-specific parse_error_details free text for the
+    normalized parse_error_class enum (derived from the details by
+    functions.recordparse.error_class; the ORACLE re-derives the class
+    independently from the raw JSON — so the details text is verified
+    to be consistent with the raw data, not just replayed)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.recordparse import (
+        error_class,
+    )
+
+    cols = [c for c in row_schema_names if c != "parse_error_details"]
+
+    def _derive(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[cols].copy()
+        out["parse_error_class"] = [
+            error_class(s, d)
+            for s, d in zip(b["parse_status"], b["parse_error_details"])]
+        return out
+
+    return ds.map_batches(_derive, batch_format="pandas")
+
+
 def q_parse_records_openalex(sf_dir: str):
     """M6: nested OpenAlex JSONL.gz -> flat 11-column work-metadata
     contract (fallback chain + parse_status enum). The driver-facing
-    projection drops parse_error_details (its JSON-decoder message
-    strings are Python-specific; exact details are unit-tested in
-    tests/test_parse_records.py), keeping the other 10 columns under a
-    fully independent DuckDB oracle over the raw lines."""
+    projection swaps the Python-specific parse_error_details text for
+    the normalized parse_error_class enum (exact message strings are
+    unit-tested in tests/test_parse_records.py); all 11 columns are
+    under a fully independent DuckDB oracle over the raw lines."""
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
         parse_records,
     )
@@ -677,8 +699,7 @@ def q_parse_records_openalex(sf_dir: str):
     fdir = ensure_fixtures(sf_dir)
     ds = parse_records.parse_record_files(
         os.path.join(fdir, "records_openalex"), "openalex")
-    cols = [c for c in parse_records.ROW_SCHEMA.names if c != "parse_error_details"]
-    return ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+    return _with_error_class(ds, parse_records.ROW_SCHEMA.names)
 
 
 def q_enrich_url_status(sf_dir: str):
@@ -710,8 +731,7 @@ def q_parse_records_crossref(sf_dir: str):
     fdir = ensure_fixtures(sf_dir)
     ds = parse_records.parse_record_files(
         os.path.join(fdir, "records_crossref"), "crossref")
-    cols = [c for c in parse_records.ROW_SCHEMA.names if c != "parse_error_details"]
-    return ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+    return _with_error_class(ds, parse_records.ROW_SCHEMA.names)
 
 
 _LINKAGE_PERSISTED: set = set()
@@ -1088,30 +1108,46 @@ def _parse_openalex_sql(raw_path: str) -> str:
             END AS doi_str
           FROM lines
         )
-        SELECT
-          '' AS member_id,
-          CASE WHEN doi_str IS NOT NULL
-               THEN regexp_extract({dec}, '{_DOI_PREFIX_RE}', 1) ELSE '' END AS prefix,
-          COALESCE(doi_str, '') AS doi,
-          CASE WHEN url_str IS NOT NULL AND regexp_matches(url_str, '{_URL_VALID_RE}')
-               THEN url_str ELSE '' END AS url,
-          CASE WHEN pdf_str IS NOT NULL AND regexp_matches(pdf_str, '{_URL_VALID_RE}')
-               THEN pdf_str ELSE '' END AS pdf_url,
-          '' AS deposit_timestamp_yyyymmddhhmmss,
-          CASE WHEN NOT id_truthy THEN ''
-               WHEN id_type = 'BOOLEAN' THEN 'True'
-               ELSE COALESCE(id_str, '') END AS openalex_id,
-          source_file_relative, line_number,
-          CASE WHEN NOT ok THEN 'JSON_DECODE_ERROR'
-               WHEN jtype <> 'OBJECT' THEN 'JSON_INVALID_STRUCTURE'
-               WHEN id_truthy AND id_type <> 'VARCHAR' THEN 'ID_INVALID_TYPE'
-               WHEN url_str IS NOT NULL AND NOT regexp_matches(url_str, '{_URL_VALID_RE}')
-                    THEN 'URL_INVALID'
-               WHEN url_str IS NULL THEN 'URL_MISSING'
-               WHEN pdf_str IS NOT NULL AND NOT regexp_matches(pdf_str, '{_URL_VALID_RE}')
-                    THEN 'PDF_URL_INVALID'
-               ELSE 'OK' END AS parse_status
-        FROM f
+        SELECT * EXCLUDE (id_type),
+          CASE WHEN parse_status = 'OK' THEN ''
+               WHEN parse_status = 'JSON_DECODE_ERROR' THEN 'json_decode'
+               WHEN parse_status = 'JSON_INVALID_STRUCTURE' THEN 'not_object'
+               WHEN parse_status = 'ID_INVALID_TYPE' THEN 'id_type:' ||
+                    CASE id_type WHEN 'BIGINT' THEN 'int' WHEN 'UBIGINT' THEN 'int'
+                         WHEN 'DOUBLE' THEN 'float' WHEN 'BOOLEAN' THEN 'bool'
+                         WHEN 'ARRAY' THEN 'list' WHEN 'OBJECT' THEN 'dict'
+                         ELSE '?' END
+               WHEN parse_status = 'URL_INVALID' THEN 'url_invalid'
+               WHEN parse_status = 'URL_MISSING' THEN 'url_missing'
+               WHEN parse_status = 'PDF_URL_INVALID' THEN 'pdf_url_invalid'
+               ELSE 'unexpected' END AS parse_error_class
+        FROM (
+          SELECT
+            '' AS member_id,
+            CASE WHEN doi_str IS NOT NULL
+                 THEN regexp_extract({dec}, '{_DOI_PREFIX_RE}', 1) ELSE '' END AS prefix,
+            COALESCE(doi_str, '') AS doi,
+            CASE WHEN url_str IS NOT NULL AND regexp_matches(url_str, '{_URL_VALID_RE}')
+                 THEN url_str ELSE '' END AS url,
+            CASE WHEN pdf_str IS NOT NULL AND regexp_matches(pdf_str, '{_URL_VALID_RE}')
+                 THEN pdf_str ELSE '' END AS pdf_url,
+            '' AS deposit_timestamp_yyyymmddhhmmss,
+            CASE WHEN NOT id_truthy THEN ''
+                 WHEN id_type = 'BOOLEAN' THEN 'True'
+                 ELSE COALESCE(id_str, '') END AS openalex_id,
+            source_file_relative, line_number,
+            CASE WHEN NOT ok THEN 'JSON_DECODE_ERROR'
+                 WHEN jtype <> 'OBJECT' THEN 'JSON_INVALID_STRUCTURE'
+                 WHEN id_truthy AND id_type <> 'VARCHAR' THEN 'ID_INVALID_TYPE'
+                 WHEN url_str IS NOT NULL AND NOT regexp_matches(url_str, '{_URL_VALID_RE}')
+                      THEN 'URL_INVALID'
+                 WHEN url_str IS NULL THEN 'URL_MISSING'
+                 WHEN pdf_str IS NOT NULL AND NOT regexp_matches(pdf_str, '{_URL_VALID_RE}')
+                      THEN 'PDF_URL_INVALID'
+                 ELSE 'OK' END AS parse_status,
+            id_type
+          FROM f
+        )
     """
 
 
@@ -1157,31 +1193,43 @@ def _parse_crossref_sql(raw_path: str) -> str:
             (ts_num IS NOT NULL AND ts_num <> 0) AS ts_present
           FROM f
         )
-        SELECT
-          COALESCE(member_id_p, '') AS member_id,
-          COALESCE(prefix_p,
-                   CASE WHEN ok AND jtype = 'OBJECT' AND doi_str IS NOT NULL
-                        THEN regexp_extract(
-                          replace(replace(replace(replace(doi_str, '%2F', '/'),
-                            '%2f', '/'), '%3A', ':'), '%3a', ':'),
-                          '{_DOI_PREFIX_RE}', 1)
-                        ELSE '' END) AS prefix,
-          COALESCE(doi_str, '') AS doi,
-          CASE WHEN url_str IS NOT NULL AND regexp_matches(url_str, '{_URL_VALID_RE}')
-               THEN url_str ELSE '' END AS url,
-          '' AS pdf_url,
-          CASE WHEN ts_ok THEN strftime(epoch_ms(ts_num), '%Y%m%d%H%M%S')
-               ELSE '' END AS deposit_timestamp_yyyymmddhhmmss,
-          '' AS openalex_id,
-          source_file_relative, line_number,
-          CASE WHEN NOT ok THEN 'JSON_DECODE_ERROR'
-               WHEN jtype <> 'OBJECT' THEN 'UNEXPECTED_PARSE_ERROR'
-               WHEN url_str IS NOT NULL AND NOT regexp_matches(url_str, '{_URL_VALID_RE}')
-                    THEN 'URL_INVALID'
-               WHEN url_str IS NULL THEN 'URL_MISSING'
-               WHEN ts_present AND NOT ts_ok THEN 'TIMESTAMP_FORMAT_ERROR'
-               ELSE 'OK' END AS parse_status
-        FROM g
+        SELECT * EXCLUDE (ts_num),
+          CASE WHEN parse_status = 'OK' THEN ''
+               WHEN parse_status = 'JSON_DECODE_ERROR' THEN 'json_decode'
+               WHEN parse_status = 'URL_INVALID' THEN 'url_invalid'
+               WHEN parse_status = 'URL_MISSING' THEN 'url_missing'
+               WHEN parse_status = 'TIMESTAMP_FORMAT_ERROR' THEN
+                    CASE WHEN ts_num < 0 THEN 'timestamp:non_positive'
+                         ELSE 'timestamp:bad_year' END
+               ELSE 'unexpected' END AS parse_error_class
+        FROM (
+          SELECT
+            COALESCE(member_id_p, '') AS member_id,
+            COALESCE(prefix_p,
+                     CASE WHEN ok AND jtype = 'OBJECT' AND doi_str IS NOT NULL
+                          THEN regexp_extract(
+                            replace(replace(replace(replace(doi_str, '%2F', '/'),
+                              '%2f', '/'), '%3A', ':'), '%3a', ':'),
+                            '{_DOI_PREFIX_RE}', 1)
+                          ELSE '' END) AS prefix,
+            COALESCE(doi_str, '') AS doi,
+            CASE WHEN url_str IS NOT NULL AND regexp_matches(url_str, '{_URL_VALID_RE}')
+                 THEN url_str ELSE '' END AS url,
+            '' AS pdf_url,
+            CASE WHEN ts_ok THEN strftime(epoch_ms(ts_num), '%Y%m%d%H%M%S')
+                 ELSE '' END AS deposit_timestamp_yyyymmddhhmmss,
+            '' AS openalex_id,
+            source_file_relative, line_number,
+            CASE WHEN NOT ok THEN 'JSON_DECODE_ERROR'
+                 WHEN jtype <> 'OBJECT' THEN 'UNEXPECTED_PARSE_ERROR'
+                 WHEN url_str IS NOT NULL AND NOT regexp_matches(url_str, '{_URL_VALID_RE}')
+                      THEN 'URL_INVALID'
+                 WHEN url_str IS NULL THEN 'URL_MISSING'
+                 WHEN ts_present AND NOT ts_ok THEN 'TIMESTAMP_FORMAT_ERROR'
+                 ELSE 'OK' END AS parse_status,
+            ts_num
+          FROM g
+        )
     """
 
 

@@ -37,6 +37,21 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Ray 2.49's Sort operator emits SCHEMA-LESS empty blocks for empty
+    # partitions, which trips its own "RefBundle with a different
+    # schema" warning. Minimal pure-Ray repro (no repo code):
+    #   rd.range(1000, override_num_blocks=64)
+    #     .map_batches(lambda t: t.filter(pc.less(t["id"], 50)),
+    #                  batch_format="pyarrow").sort("id")
+    # Repo operators return TYPED empties (tests/test_ops.py asserts
+    # it), so this is pure Ray-internal log noise — silence just that
+    # logger for clean bench output.
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
         reconcile,

@@ -95,6 +95,40 @@ def format_deposit_timestamp(deposited_ms):
         return "", f"Could not format deposit timestamp {deposited_ms}: {dt_err}"
 
 
+_ID_CLASS_RE = re.compile(r"not a string: <class '(\w+)'>")
+
+
+def error_class(parse_status: str, parse_error_details: str) -> str:
+    """Normalize the free-text ``parse_error_details`` into a stable
+    error-class enum that a SQL engine can re-derive INDEPENDENTLY from
+    the raw JSON (the driver-facing 11th column; the Python-specific
+    message strings themselves stay unit-tested only). Subtypes carry
+    the information parse_status lacks: the offending id's Python type
+    and the timestamp failure reason."""
+    if parse_status == "OK":
+        return ""
+    if parse_status == "JSON_DECODE_ERROR":
+        return "json_decode"
+    if parse_status == "JSON_INVALID_STRUCTURE":
+        return "not_object"
+    if parse_status == "ID_INVALID_TYPE":
+        m = _ID_CLASS_RE.search(parse_error_details)
+        return f"id_type:{m.group(1) if m else '?'}"
+    if parse_status == "URL_INVALID":
+        return "url_invalid"
+    if parse_status == "URL_MISSING":
+        return "url_missing"
+    if parse_status == "PDF_URL_INVALID":
+        return "pdf_url_invalid"
+    if parse_status == "TIMESTAMP_FORMAT_ERROR":
+        if "Non-positive" in parse_error_details:
+            return "timestamp:non_positive"
+        if "unreasonable year" in parse_error_details:
+            return "timestamp:bad_year"
+        return "timestamp:error"
+    return "unexpected"
+
+
 def _blank_row(source_file: str, line_number: int) -> dict:
     return {
         "member_id": "", "prefix": "", "doi": "", "url": "", "pdf_url": "",

@@ -183,9 +183,15 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     # materialize the (small) candidate set: the payload joins below
     # probe its schema, and without a checkpoint every probe + the final
     # execution would re-run the whole signature/band pipeline
+    out_fields = [("left_id", pa.int64()), ("right_id", pa.int64()),
+                  ("jaccard", pa.float64())]
     cand = candidate_pairs_from_keys(
         minhash_band_rows(docs_ds, id_col, text_col, num_perm, num_bands), id_col,
         max_band_width=max_band_width, op_name="minhash_lsh").materialize()
+    if cand.count() == 0:
+        # no candidates: skip the payload joins entirely (an all-empty
+        # dataset has no schema for bucket_join to type its output by)
+        return pa.table({n: pa.array([], t) for n, t in out_fields}).to_pandas()
     joined = _attach_payload(cand, docs_ds.map_batches(
         lambda b: pd.DataFrame({id_col: b[id_col], text_col: b[text_col].fillna("")}),
         batch_format="pandas"), id_col, text_col)
@@ -210,8 +216,7 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         return out[pd.Series(jac, index=b.index) >= jaccard_threshold]
 
     out = joined.map_batches(_verify, batch_format="pandas")
-    return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
-                                 ("jaccard", pa.float64())])
+    return _typed_or_empty(out, out_fields)
 
 
 def ngram_jaccard_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
@@ -391,7 +396,12 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
             return pd.DataFrame({id_col: b[id_col], "vec_bytes": vecs})
 
         packed = emb_ds.map_batches(_pack, batch_format="pandas")
-        joined = _attach_payload(cand.materialize(), packed, id_col, "vec_bytes")
+        cand = cand.materialize()
+        if cand.count() == 0:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())}).to_pandas()
+        joined = _attach_payload(cand, packed, id_col, "vec_bytes")
 
         def _verify_join(b: pd.DataFrame) -> pd.DataFrame:
             if b.empty:

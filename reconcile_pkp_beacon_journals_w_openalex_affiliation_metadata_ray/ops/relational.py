@@ -58,8 +58,12 @@ def _bucket_of(frame: pd.DataFrame, key_cols, num_buckets: int) -> pd.Series:
 
 
 def _dtype_map(ds) -> dict:
-    """Column -> pandas dtype for a Dataset (arrow or pandas blocks)."""
+    """Column -> pandas dtype for a Dataset (arrow or pandas blocks).
+    A fully-empty dataset has no schema at all -> {} (callers that can
+    hit this short-circuit before joining)."""
     sch = ds.schema()
+    if sch is None:
+        return {}
     out = {}
     for name, typ in zip(sch.names, sch.types):
         try:

@@ -177,12 +177,60 @@ def pipeline_report(out: dict) -> dict:
     }
 
 
+def pairwise_f1_join(clusters_ds, labeled_path: str, num_buckets: int = 32) -> dict:
+    """Pairwise F1 via TWO bucketed hash joins — the scale path: the
+    labeled-pair table is joined to the cluster map on left_id and then
+    on right_id (ops.relational.bucket_join, hash-partitioned, nothing
+    broadcast or collected), and the confusion counts are per-batch
+    partial sums merged on the driver (4 ints per batch). Use this when
+    the cluster map no longer fits the driver; equivalence with the
+    driver-side :func:`pairwise_f1` is asserted in tests."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..ops.relational import bucket_join
+
+    lp = rd.read_parquet(labeled_path)
+
+    def _side(col, out):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({col: b["record_id"], out: b["cluster_id"]})
+        return fn
+
+    left_cl = clusters_ds.map_batches(_side("left_id", "__cl_l"),
+                                      batch_format="pandas")
+    right_cl = clusters_ds.map_batches(_side("right_id", "__cl_r"),
+                                       batch_format="pandas")
+    j1 = bucket_join(lp, left_cl, on="left_id", how="left",
+                     num_buckets=num_buckets).materialize()
+    j2 = bucket_join(j1, right_cl, on="right_id", how="left",
+                     num_buckets=num_buckets)
+
+    def _counts(b: pd.DataFrame) -> pd.DataFrame:
+        pred = b["__cl_l"].notna() & (b["__cl_l"] == b["__cl_r"])
+        actual = b["is_match"].astype(bool)
+        return pd.DataFrame({
+            "tp": [int((pred & actual).sum())],
+            "fp": [int((pred & ~actual).sum())],
+            "fn": [int((~pred & actual).sum())],
+            "tn": [int((~pred & ~actual).sum())],
+        })
+
+    parts = j2.map_batches(_counts, batch_format="pandas").to_pandas()
+    tp, fp, fn, tn = (int(parts[c].sum()) for c in ("tp", "fp", "fn", "tn"))
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "tn": tn,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
 def pairwise_f1(clusters_ds, labeled_path: str) -> dict:
     """Pairwise precision/recall/F1 of predicted same-cluster vs the
     labeled pairs (the gate metric, BASELINE.json: F1 >= 0.99 at the
     same blocking keys). The cluster map is collected driver-side —
-    it is one short row per record (the scale path replaces this with
-    two hash joins of labeled_pairs against clusters)."""
+    it is one short row per record; :func:`pairwise_f1_join` is the
+    no-collect scale path (equivalence-tested)."""
     import pyarrow.parquet as pq
 
     label = {}

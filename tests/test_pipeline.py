@@ -76,6 +76,11 @@ def test_reconcile_f1_gate(ray_session, fdir):
     assert res["f1"] >= 0.99, res
     assert res["precision"] >= 0.99, res
     assert res["recall"] >= 0.99, res
+    # the no-collect two-hash-join scale path must produce the IDENTICAL
+    # confusion matrix
+    via_join = reconcile.pairwise_f1_join(
+        clusters, os.path.join(fdir, "labeled_pairs.parquet"))
+    assert via_join == res, (via_join, res)
 
 
 def test_connected_components_vs_union_find(ray_session):

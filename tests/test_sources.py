@@ -69,3 +69,38 @@ def test_csv_roundtrip_base_urls_pipeline(ray_session, tmp_path):
     out = distinct(ds.map_batches(norm, batch_format="pandas"), "base_url").sort("base_url")
     assert [r["base_url"] for r in out.take_all()] == [
         "https://x.org", "https://y.org", "https://z.org"]
+
+
+def test_sample_exact_no_global_shuffle(ray_session, monkeypatch):
+    """sample_exact must be the hash-rank partial-top-k shape — a
+    random_shuffle here would be an all-to-all exchange of the whole
+    corpus to pick k rows. Also: deterministic across runs, exactly k
+    rows, rows are REAL source rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.io import (
+        sample_exact,
+    )
+
+    def _boom(self, *a, **k):
+        raise AssertionError("sample_exact must not call random_shuffle")
+
+    monkeypatch.setattr(rd.Dataset, "random_shuffle", _boom)
+
+    src = pd.DataFrame({"doc_id": range(1000), "lang": ["en", "es"] * 500})
+    ds = rd.from_pandas(src, override_num_blocks=8)
+    got1 = sample_exact(ds, k=50, id_col="doc_id").to_pandas()
+    got2 = sample_exact(rd.from_pandas(src, override_num_blocks=3),
+                        k=50, id_col="doc_id").to_pandas()
+    assert len(got1) == 50
+    # identical sample at any partitioning (content-hash ranked)
+    pd.testing.assert_frame_equal(
+        got1.sort_values("doc_id").reset_index(drop=True),
+        got2.sort_values("doc_id").reset_index(drop=True))
+    # real rows
+    merged = got1.merge(src, on=["doc_id", "lang"], how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    # k > n clamps
+    assert len(sample_exact(rd.from_pandas(src.head(7)), k=50,
+                            id_col="doc_id").to_pandas()) == 7
