@@ -130,6 +130,98 @@ def indel_ratio_cached(a: str, b: str) -> float:
     return v
 
 
+# pattern string -> 128-slot uint64 char-mask array (ASCII fast path):
+# pattern bitmaps become ONE numpy fancy-index per subject string
+# instead of a per-character Python dict get
+_PM_ARR_CACHE = BoundedCache(max_items=200_000, max_cost=256 << 20)
+
+
+def indel_ratios_bulk(pairs: list) -> list:
+    """InDel ratios for MANY (a, b) string pairs at once — bit-exact
+    with :func:`indel_ratio`, but the Hyyrö DP runs as numpy uint64
+    vector steps ACROSS the whole batch (one (v+u)|(v-u) per character
+    POSITION instead of one Python big-int step per character per
+    pair), and pattern/subject encoding is C-level: the pattern's
+    char->bitmask map is a cached 128-slot array, the subject row is
+    one byte-decode + fancy-index. Pairs that are non-ASCII or whose
+    shorter string exceeds 63 chars (the uint64 carry budget) fall
+    back to the scalar kernel. This is the scoring stage's hot kernel.
+    """
+    import numpy as np
+
+    n = len(pairs)
+    out = [0.0] * n
+    fast = []  # (idx, a, b) with a the shorter string
+    for i, (a, b) in enumerate(pairs):
+        if a == b:
+            out[i] = 100.0
+            continue
+        if not a or not b:
+            # unequal with one side empty -> distance = total
+            out[i] = 0.0 if (a or b) else 100.0
+            continue
+        if len(a) > len(b):
+            a, b = b, a
+        if len(a) <= 63 and a.isascii() and b.isascii():
+            fast.append((i, a, b))
+        else:
+            out[i] = indel_ratio(a, b)
+    if not fast:
+        return out
+
+    # chunk in subject-length order: every DP pass costs lmax vector
+    # steps for the whole chunk, so grouping similar-length subjects
+    # avoids paying the longest string's length on every pair
+    fast.sort(key=lambda t: len(t[2]))
+    for lo in range(0, len(fast), 8192):
+        _bulk_chunk(fast[lo : lo + 8192], out, np)
+    return out
+
+
+def _bulk_chunk(fast: list, out: list, np) -> None:
+    k = len(fast)
+    lmax = max(len(b) for _, _, b in fast)
+    # subject codes: one contiguous byte buffer (NUL padding maps to
+    # pattern slot 0, which no pattern sets -> a no-op DP step), then
+    # pattern rows gathered with ONE flat fancy-index — no per-row
+    # numpy calls anywhere.
+    buf = bytearray(k * lmax)
+    pm_rows = [None] * k
+    la = np.empty(k, dtype=np.uint64)
+    lb = np.empty(k, dtype=np.int64)
+    for r, (_, a, b) in enumerate(fast):
+        def _build(a=a):
+            # accumulate in Python ints (numpy scalar |= is ~20x slower)
+            slots = [0] * 128
+            for pos, ch in enumerate(a):
+                slots[ord(ch)] |= 1 << pos
+            return np.array(slots, dtype=np.uint64)
+
+        pm_rows[r] = _PM_ARR_CACHE.get_or_build(a, _build, cost=1100)
+        la[r] = len(a)
+        lb[r] = len(b)
+        buf[r * lmax : r * lmax + len(b)] = b.encode("ascii")
+    codes = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(k, lmax)
+    pm_flat = np.concatenate(pm_rows)
+    pmx = pm_flat[(np.arange(k, dtype=np.int64)[:, None] * 128) + codes]
+    masks = (np.uint64(1) << la) - np.uint64(1)
+    v = masks.copy()
+    for j in range(lmax):
+        p = pmx[:, j]
+        u = v & p
+        # v <= 2^63-1 and u <= v, so v+u fits uint64; u's bits are a
+        # subset of v's, so v-u never underflows. Padding columns are
+        # p=0 -> a no-op, so ragged lengths need no masking.
+        v = ((v + u) | (v - u)) & masks
+    ones = np.unpackbits(v.view(np.uint8)).reshape(k, -1).sum(axis=1)
+    lcs = la.astype(np.int64) - ones.astype(np.int64)
+    total = la.astype(np.int64) + lb
+    # same expression order as indel_ratio -> bit-identical floats
+    ratios = 100.0 * (1.0 - (total - 2 * lcs) / total)
+    for r, (i, _, _) in enumerate(fast):
+        out[i] = float(ratios[r])
+
+
 def levenshtein(a: str, b: str) -> int:
     """Classic Levenshtein distance (substitutions allowed), two-row DP."""
     if a == b:

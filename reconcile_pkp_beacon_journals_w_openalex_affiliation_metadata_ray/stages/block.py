@@ -150,14 +150,31 @@ def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD,
     """First pass: measure block sizes, return the set of oversized
     keys. No shuffle: each batch emits its per-key value_counts, the
     driver sums the partials (O(distinct keys) rows). Above
-    sample_min_rows records the pass runs on a seeded sample with the
-    threshold scaled down — hot keys are by definition massively over
-    threshold, so sampling detects them reliably at a tenth the cost."""
+    sample_min_rows records the pass runs on a DETERMINISTIC
+    content-hash sample (stable pandas row-hash of record_id — the same
+    records are sampled at ANY partitioning / parallelism, unlike
+    ``random_sample`` whose draw depends on block boundaries, which
+    made the hot set — and therefore refined keys and pair counts —
+    drift between runs) with the threshold scaled down; hot keys are by
+    definition massively over threshold, so sampling detects them
+    reliably at a tenth the cost."""
     n = records_ds.count()
     src = records_ds
     eff_threshold = threshold
     if n > sample_min_rows:
-        src = records_ds.random_sample(sample_frac, seed=42)
+        from pandas.util import hash_pandas_object
+
+        cut = int(sample_frac * 10_000)
+
+        def _hash_sample(t: pa.Table) -> pa.Table:
+            # pyarrow in/out: records carry list columns, which break
+            # pandas->arrow round trips ("numpy type 17")
+            keep = (hash_pandas_object(t["record_id"].to_pandas(),
+                                       index=False) % 10_000 < cut)
+            return t.filter(pa.array(keep.to_numpy()))
+
+        src = records_ds.map_batches(_hash_sample, batch_format="pyarrow",
+                                     zero_copy_batch=True)
         eff_threshold = max(8, int(threshold * sample_frac * 0.5))
     keys = emit_block_keys(src)
 

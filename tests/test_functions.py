@@ -417,3 +417,31 @@ def test_bounded_cache_caps():
     calls = []
     c.get_or_build("next", lambda: calls.append(1), cost=1)
     assert not calls
+
+
+def test_indel_ratios_bulk_bit_exact_with_scalar():
+    """The vectorized batch InDel kernel must be BIT-identical to the
+    scalar bit-parallel kernel on every input class: empty strings,
+    equal strings, ASCII fast path, non-ASCII fallback, >63-char
+    fallback, ragged lengths."""
+    import random
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.similarity import (
+        indel_ratio,
+        indel_ratios_bulk,
+    )
+
+    rng = random.Random(99)
+    alphabet = "abcdefghij xyz,."
+    cases = [("", ""), ("a", ""), ("", "b"), ("same str", "same str"),
+             ("café au lait", "cafe du lait"),
+             ("日本語テキスト", "日本語のテキスト"),
+             ("x" * 70, "x" * 40 + "y" * 40),
+             ("x" * 64, "x" * 64 + "y")]
+    for _ in range(3000):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 70)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 90)))
+        cases.append((a, b))
+    got = indel_ratios_bulk(cases)
+    for (a, b), s in zip(cases, got):
+        assert s == indel_ratio(a, b), (a, b, s)
