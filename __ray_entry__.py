@@ -317,6 +317,57 @@ def q_distinct_langs(sf_dir: str):
     return relational.distinct(_tbl(sf_dir, "documents", columns=["lang"]), "lang")
 
 
+def q_customers_without_orders(sf_dir: str):
+    """Broadcast ANTI join (the complement of the M8/J1 semi-join).
+    At small SF every customer has orders, so the CORRECT answer is
+    empty — returned as a TYPED frame (a 0-row Dataset.to_pandas()
+    loses column names)."""
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    keys = (_tbl(sf_dir, "orders", columns=["o_custkey"])
+            .map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
+            .to_pandas().drop_duplicates().rename(columns={"o_custkey": "c_custkey"}))
+    out = relational.broadcast_join(cust, keys, on="c_custkey", how="anti")
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "c_name": pd.Series(dtype=object)})
+    return df
+
+
+def q_asof_last_purchase(sf_dir: str):
+    """AS-OF join (custom operator — Ray Data has no native as-of):
+    every click event joined to the user's most recent purchase at or
+    before the click. Oracled by DuckDB's native ASOF LEFT JOIN.
+    NULL-free output contract (-1 sentinels) so cross-engine hashing
+    is dtype-stable."""
+    ev = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda b: b.loc[b.event_type == "click",
+                        ["event_id", "user_id", "ts"]], batch_format="pandas")
+    purchases = ev.map_batches(
+        lambda b: b.loc[b.event_type == "purchase",
+                        ["user_id", "ts"]].assign(
+            purchase_id=b.loc[b.event_type == "purchase", "event_id"],
+            purchase_value=b.loc[b.event_type == "purchase", "value"]),
+        batch_format="pandas")
+    out = relational.asof_join(clicks, purchases, by="user_id", on="ts").to_pandas()
+    return pd.DataFrame({
+        "event_id": out["event_id"].astype("int64"),
+        "user_id": out["user_id"].astype("int64"),
+        "purchase_id": out["purchase_id"].fillna(-1).astype("int64"),
+        "purchase_value": out["purchase_value"].fillna(-1.0).astype("float64"),
+    })
+
+
+def q_event_value_percentiles(sf_dir: str):
+    """Exact per-group discrete quantiles (quantile_disc parity)."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    out = relational.group_quantiles(ds, "event_type", "value",
+                                     qs=(0.25, 0.5, 0.9)).to_pandas()
+    return out[["event_type", "q25", "q50", "q90", "n"]]
+
+
 # --------------------------------------------------------------------------
 # dedup / text analysis / similarity (documents, embeddings)
 # --------------------------------------------------------------------------
@@ -958,6 +1009,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window": q_hopping_window,
         "q_running_sum": q_running_sum,
         "q_distinct_langs": q_distinct_langs,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_asof_last_purchase": q_asof_last_purchase,
+        "q_event_value_percentiles": q_event_value_percentiles,
         "q_sample_docs": q_sample_docs,
         "q_priority_revenue_bucket_join": q_priority_revenue_bucket_join,
         "q_event_props_extract": q_event_props_extract,
@@ -1375,6 +1429,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM events) WHERE rn = 1
         """,
         "q_distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "q_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q_asof_last_purchase": """
+            SELECT c.event_id, c.user_id,
+                   COALESCE(p.event_id, -1) AS purchase_id,
+                   COALESCE(p.value, -1.0) AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "q_event_value_percentiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.9) AS q90,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
         "q_sample_docs": f"""
             SELECT d.doc_id, d.lang
             FROM documents d

@@ -134,6 +134,73 @@ def bucket_join(left_ds, right_ds, on, num_buckets: int = 64, how: str = "inner"
     return both.groupby("__bucket").map_groups(_merge_bucket, batch_format="pandas")
 
 
+def asof_join(left_ds, right_ds, by, on, num_buckets: int = 32,
+              suffixes=("_l", "_r")):
+    """AS-OF (most-recent-match) join — an operator Ray Data lacks:
+    each left row is joined to the LATEST right row of the same ``by``
+    key with ``right.on <= left.on`` (backward direction, exact matches
+    allowed); unmatched left rows keep NULL right columns (ASOF LEFT
+    JOIN semantics, matching DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k
+    AND l.t >= r.t`).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    all rows of a ``by`` key co-locate in one hash bucket — ONE keyed
+    shuffle of both sides, then a vectorized ``pandas.merge_asof`` per
+    bucket (sorted by ``on``; C-level, no per-key Python). Right-side
+    (by, on) pairs should be unique for engine-independent results —
+    with duplicates, which of the tied rows wins is engine-defined."""
+    by = [by] if isinstance(by, str) else list(by)
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
+    overlap = (set(lcols) & set(rcols)) - set(by) - {on}
+    ldt = _dtype_map(left_ds)
+    rdt = _dtype_map(right_ds)
+    out_cols, out_dtypes = [], {}
+    for c in lcols:
+        name = c + suffixes[0] if c in overlap else c
+        out_cols.append(name)
+        out_dtypes[name] = ldt[c]
+    for c in rcols:
+        if c in by or c == on:
+            continue
+        name = c + suffixes[1] if c in overlap else c
+        out_cols.append(name)
+        out_dtypes[name] = rdt[c]
+
+    def _tagger(side):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__bucket"] = _bucket_of(b, by, num_buckets)
+            b["__side"] = side
+            return b
+        return fn
+
+    left_t = left_ds.map_batches(_tagger("l"), batch_format="pandas")
+    right_t = right_ds.map_batches(_tagger("r"), batch_format="pandas")
+
+    def _typed(cols, dmap):
+        return pd.DataFrame({c: pd.Series(dtype=dmap.get(c, object)) for c in cols})
+
+    def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["__side"] == "l"]
+        if left.empty:
+            return _typed(out_cols, out_dtypes)
+        right = g.loc[g["__side"] == "r"]
+        left = (left[lcols].astype({c: ldt[c] for c in lcols})
+                .sort_values(on, kind="mergesort"))
+        right = (right[rcols].astype({c: rdt[c] for c in rcols})
+                 if not right.empty else _typed(rcols, rdt)
+                 ).sort_values(on, kind="mergesort")
+        merged = pd.merge_asof(left, right, on=on, by=by,
+                               direction="backward", suffixes=suffixes)
+        # the right-side event time is consumed by the match; drop it
+        merged = merged[[c for c in merged.columns if c in out_cols]]
+        return merged[out_cols]
+
+    return (left_t.union(right_t).groupby("__bucket")
+            .map_groups(_merge_bucket, batch_format="pandas"))
+
+
 def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64):
     """Keyed shuffle with COARSE partitions: rows are hashed into
     num_buckets buckets on key_cols (stable pandas hashing), the
@@ -211,6 +278,45 @@ def topk_per_group(ds, key, sort_col, k: int = 1, descending: bool = True,
 
     combined = ds.map_batches(_local_top, batch_format="pandas")
     return bucketed_map_groups(combined, keys, _local_top, num_buckets=num_buckets)
+
+
+def group_quantiles(ds, key, value, qs=(0.25, 0.5, 0.9), num_buckets: int = 32):
+    """EXACT per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics: sorted ascending, index ``ceil(q*n) - 1`` — verified
+    empirically, so the values hash-match a SQL oracle bit-for-bit).
+
+    One keyed shuffle co-locates each group's values; per bucket ONE
+    vectorized sort + per-group position arithmetic (no per-key Python
+    call). Exact per-group quantiles fundamentally need each group's
+    values together — for sketch-sized memory at extreme group sizes
+    use an approximate quantile sketch instead (not needed here)."""
+    import numpy as np
+
+    keys = [key] if isinstance(key, str) else list(key)
+    qs = list(qs)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            cols = {k: g[k] for k in keys}
+            for q in qs:
+                cols[f"q{int(q * 100)}"] = pd.Series(dtype="float64")
+            cols["n"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
+        s = g.sort_values(keys + [value], kind="mergesort")
+        vals = s[value].to_numpy()
+        grp = s.groupby(keys, sort=False)
+        sizes = grp[value].size()
+        # group start offsets in the sorted frame
+        offs = np.concatenate([[0], np.cumsum(sizes.to_numpy())[:-1]])
+        out = {k: v for k, v in zip(keys, zip(*sizes.index))} if len(keys) > 1 \
+            else {keys[0]: sizes.index.to_numpy()}
+        for q in qs:
+            idx = offs + np.ceil(q * sizes.to_numpy()).astype(np.int64) - 1
+            out[f"q{int(q * 100)}"] = vals[idx]
+        out["n"] = sizes.to_numpy()
+        return pd.DataFrame(out)
+
+    return bucketed_map_groups(ds, keys, per_bucket, num_buckets=num_buckets)
 
 
 def distinct(ds, cols, num_buckets: int = 64):

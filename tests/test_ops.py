@@ -489,3 +489,47 @@ def test_empty_bucket_outputs_keep_schema(rds):
     out = _dedup_bucket(empty)
     assert list(out.columns) == ["left_id", "right_id", "block_key",
                                  "dropped_pairs", "families"]
+
+
+def test_asof_join_vs_merge_asof(rds):
+    """asof_join over arbitrary partitioning == one global merge_asof."""
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 20, 300),
+        "t": rng.randint(0, 10_000, 300).astype("int64"),
+        "lv": np.arange(300),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 20, 150),
+        "t": rng.randint(0, 10_000, 150).astype("int64"),
+        "rv": np.arange(150) * 10,
+    }).drop_duplicates(["k", "t"])
+    got = (relational.asof_join(rds.from_pandas(left, override_num_blocks=5),
+                                rds.from_pandas(right, override_num_blocks=3),
+                                by="k", on="t")
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    want = pd.merge_asof(left.sort_values("t", kind="mergesort"),
+                         right.sort_values("t", kind="mergesort"),
+                         on="t", by="k", direction="backward")
+    want = want.sort_values("lv").reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # unmatched left rows survive with nulls (left-join semantics)
+    assert got["rv"].isna().any()
+
+
+def test_group_quantiles_quantile_disc_parity(rds):
+    """group_quantiles == DuckDB quantile_disc (index ceil(q*n)-1)."""
+    import duckdb
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"g": rng.randint(0, 7, 500),
+                       "v": rng.rand(500).round(4)})
+    got = (relational.group_quantiles(rds.from_pandas(df, override_num_blocks=4),
+                                      "g", "v", qs=(0.25, 0.5, 0.9))
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT g, quantile_disc(v, 0.25) q25, quantile_disc(v, 0.5) q50,
+               quantile_disc(v, 0.9) q90, count(*) n
+        FROM df GROUP BY g ORDER BY g""").df()
+    pd.testing.assert_frame_equal(
+        got[["g", "q25", "q50", "q90", "n"]], want, check_dtype=False)
