@@ -360,6 +360,27 @@ def q_asof_last_purchase(sf_dir: str):
     })
 
 
+def q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct-user count — an APPROXIMATE
+    sketch with a full value-hash oracle: register derivation and the
+    estimate's float expression are engine-reproducible (ops/sketch.py
+    docstring), so DuckDB recomputes the identical estimate from the
+    raw column. Output also carries the exact distinct for context."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.sketch import (
+        hll_distinct,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    res = hll_distinct(ds, "user_id", p=12)
+    exact = relational.distinct(ds, "user_id").count()
+    return pd.DataFrame({
+        "m": pd.Series([res["m"]], dtype="int64"),
+        "registers_used": pd.Series([res["registers_used"]], dtype="int64"),
+        "hll_estimate": [_round_half_away(res["estimate"], 4)],
+        "n_exact": pd.Series([exact], dtype="int64"),
+    })
+
+
 def q_event_value_percentiles(sf_dir: str):
     """Exact per-group discrete quantiles (quantile_disc parity)."""
     ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
@@ -1012,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_without_orders": q_customers_without_orders,
         "q_asof_last_purchase": q_asof_last_purchase,
         "q_event_value_percentiles": q_event_value_percentiles,
+        "q_hll_distinct_users": q_hll_distinct_users,
         "q_sample_docs": q_sample_docs,
         "q_priority_revenue_bucket_join": q_priority_revenue_bucket_join,
         "q_event_props_extract": q_event_props_extract,
@@ -1451,6 +1473,46 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS q90,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        # full HLL recompute: same md5-derived 64-bit hash, register
+        # index / leading-zero rank from integer bit math (length(bin)),
+        # EXACT integer harmonic sum (HUGEINT), and the identical
+        # float64 estimate expression as ops/sketch.py
+        "q_hll_distinct_users": """
+            WITH h AS (
+              SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 16)) AS UBIGINT) AS hv
+              FROM events),
+            b AS (
+              SELECT CAST(hv >> 52 AS BIGINT) AS reg,
+                     hv & ((1::UBIGINT << 52) - 1::UBIGINT) AS w
+              FROM h),
+            r AS (
+              SELECT reg,
+                     max(CASE WHEN w = 0::UBIGINT THEN 53
+                              ELSE 53 - length(bin(w)) END) AS mj
+              FROM b GROUP BY reg),
+            agg AS (
+              SELECT count(*) AS used,
+                     sum(CAST((1::UBIGINT << CAST(60 - mj AS INT)) AS HUGEINT)) AS s_present
+              FROM r),
+            est AS (
+              SELECT used,
+                     CAST(s_present + (4096 - used) * (1::HUGEINT << 60) AS DOUBLE) AS s_scaled,
+                     4096 - used AS zeros
+              FROM agg),
+            raw AS (
+              SELECT used, zeros,
+                     0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * power(2.0, 60)
+                       / s_scaled AS e_raw
+              FROM est)
+            SELECT CAST(4096 AS BIGINT) AS m,
+                   CAST(used AS BIGINT) AS registers_used,
+                   round(CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+                              THEN 4096 * ln(CAST(4096 AS DOUBLE) / zeros)
+                              ELSE e_raw END, 4) AS hll_estimate,
+                   (SELECT count(DISTINCT user_id) FROM events) AS n_exact
+            FROM raw
         """,
         "q_sample_docs": f"""
             SELECT d.doc_id, d.lang

@@ -169,17 +169,27 @@ def minhash_band_rows(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
 def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, num_bands: int = 16,
-                      jaccard_threshold: float = 0.7, max_band_width: int = 5000):
+                      jaccard_threshold: float = 0.7, max_band_width: int = 5000,
+                      verify: str = "broadcast"):
     """Near-duplicate pairs (left_id < right_id, true n-gram jaccard >=
     threshold).
 
     Pipeline: per-batch signatures -> (band_key, id) explode [ids only
     through the shuffle] -> bucketed candidate pair gen -> distinct ->
-    join text back onto the surviving pairs (bucket_join x2) -> exact
-    n-gram Jaccard filter. Signature-estimated Jaccard would avoid the
-    text join entirely at the cost of exactness; the exact verify is
-    kept because the candidate set is orders of magnitude smaller than
-    the corpus."""
+    exact n-gram Jaccard verify. Two verify modes (same split as
+    embedding_near_dup_pairs, identical outputs, equivalence-tested):
+
+    - ``verify="broadcast"`` (default): the corpus text table is put in
+      the object store ONCE and candidate batches verify against a
+      per-worker zero-copy view + gram-set cache. Near-dup candidate
+      sets are QUADRATIC in cluster size while the corpus is linear, so
+      at every realistic scale the corpus is the SMALL side — the old
+      always-join path shipped both texts onto every candidate row
+      (measured: the dominant cost of the whole op).
+    - ``verify="join"``: the no-broadcast path for corpora larger than
+      the object store — texts hash-joined onto the (much fewer)
+      surviving candidates via bucket_join, moving the corpus at most
+      twice."""
     # materialize the (small) candidate set: the payload joins below
     # probe its schema, and without a checkpoint every probe + the final
     # execution would re-run the whole signature/band pipeline
@@ -192,22 +202,52 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         # no candidates: skip the payload joins entirely (an all-empty
         # dataset has no schema for bucket_join to type its output by)
         return pa.table({n: pa.array([], t) for n, t in out_fields}).to_pandas()
+
+    from .similarity_search import _round_half_away
+
+    def _grams(t):
+        return _GRAM_CACHE.get_or_build(t, lambda: ngram_set(t, 3),
+                                        cost=len(t) * 60)
+
+    if verify == "broadcast":
+        import ray
+
+        tbl = pa.concat_tables(
+            [b.select([id_col, text_col])
+             for b in docs_ds.iter_batches(batch_size=65536,
+                                           batch_format="pyarrow")]
+        ).combine_chunks()
+        tbl_ref = ray.put(tbl)
+        _state: dict = {}
+
+        def _verify_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            if "idx" not in _state:
+                t = ray.get(tbl_ref)
+                _state["texts"] = t[text_col].to_pylist()
+                _state["idx"] = {v: i for i, v in enumerate(t[id_col].to_pylist())}
+            texts, idx = _state["texts"], _state["idx"]
+            jac = []
+            for l, r in zip(b["left_id"], b["right_id"]):
+                tl = texts[idx[l]] or ""
+                tr = texts[idx[r]] or ""
+                jac.append(set_jaccard(_grams(tl), _grams(tr)))
+            out = pd.DataFrame({"left_id": b["left_id"], "right_id": b["right_id"],
+                                "jaccard": [_round_half_away(s, 6) for s in jac]})
+            return out[pd.Series(jac, index=b.index) >= jaccard_threshold]
+
+        out = cand.map_batches(_verify_bcast, batch_format="pandas")
+        return _typed_or_empty(out, out_fields)
+
     joined = _attach_payload(cand, docs_ds.map_batches(
         lambda b: pd.DataFrame({id_col: b[id_col], text_col: b[text_col].fillna("")}),
         batch_format="pandas"), id_col, text_col)
 
     def _verify(b: pd.DataFrame) -> pd.DataFrame:
-        from .similarity_search import _round_half_away
-
         # a document appears in MANY candidate pairs (near-dup clusters
         # are quadratic in pairs, linear in docs): cache each text's
         # gram set per worker so set construction amortizes per doc —
         # per-pair work drops to one C-level intersection (~10x)
-        def grams(t):
-            return _GRAM_CACHE.get_or_build(
-                t, lambda: ngram_set(t, 3), cost=len(t) * 60)
-
-        jac = [set_jaccard(grams(l), grams(r))
+        jac = [set_jaccard(_grams(l), _grams(r))
                for l, r in zip(b["__p_left_id"], b["__p_right_id"])]
         # half-away rounding (not Python's half-even) so the value is
         # bit-reproducible by a SQL engine computing the same ratio

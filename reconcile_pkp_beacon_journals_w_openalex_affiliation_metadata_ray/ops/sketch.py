@@ -1,0 +1,80 @@
+"""Distributed cardinality sketch: HyperLogLog (Flajolet et al. 2007),
+built for CROSS-ENGINE reproducibility so even an *approximate*
+operator gets a value-hash DuckDB oracle:
+
+- the 64-bit value hash is the first 16 hex chars of md5(str(value)) —
+  identical in any engine;
+- register index = top ``p`` bits, rho = leading-zero rank of the
+  remaining ``64-p`` bits (+1), derived from integer bit-length — no
+  floating log anywhere near the bit math;
+- the harmonic sum is aggregated as EXACT integers
+  (sum of 2^(60 - M_j), Python big-ints / SQL HUGEINT), so it is
+  independent of summation order across batches/engines;
+- the final estimate uses one fixed float64 expression (documented in
+  the oracle SQL), so both engines produce bit-identical doubles.
+
+Scale shape: one pass, per-batch partial register arrays (m=2^p bytes
+each), elementwise-max combined — a classic mergeable sketch: partials
+are tiny (4 KiB at p=12) regardless of input size, and merging is
+associative/commutative, so this runs over any number of blocks with
+no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_P = 12
+
+
+def _partial_registers(values, p: int) -> np.ndarray:
+    """Max-rho register array (uint8, length 2^p) for a value batch."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    low_bits = 64 - p
+    low_mask = (1 << low_bits) - 1
+    for v in values:
+        h = int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:16], 16)
+        reg = h >> low_bits
+        w = h & low_mask
+        rho = (low_bits + 1) if w == 0 else (low_bits + 1 - w.bit_length())
+        if rho > regs[reg]:
+            regs[reg] = rho
+    return regs
+
+
+def hll_estimate_from_registers(regs: np.ndarray) -> dict:
+    """Deterministic HLL estimate. The float expression mirrors the
+    oracle SQL verbatim (same operator order -> identical doubles)."""
+    m = len(regs)
+    used = int((regs > 0).sum())
+    zeros = m - used
+    # exact integer harmonic sum: sum of 2^(60 - M_j); empty registers
+    # contribute 2^60 each
+    s_scaled = sum(1 << (60 - int(r)) for r in regs[regs > 0]) + zeros * (1 << 60)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e_raw = alpha * m * m * (2.0 ** 60) / float(s_scaled)
+    if e_raw <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    else:
+        est = e_raw
+    return {"m": m, "registers_used": used, "estimate": est}
+
+
+def hll_distinct(ds, col: str, p: int = DEFAULT_P) -> dict:
+    """Approximate COUNT DISTINCT of ``ds[col]`` (±~1.04/sqrt(2^p),
+    ~1.6% at the p=12 default). One streaming pass; the driver merges
+    one 2^p-byte partial per batch."""
+    def _part(b: pd.DataFrame) -> pd.DataFrame:
+        regs = _partial_registers(b[col].tolist(), p)
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(_part, batch_format="pandas")
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in parts.iter_rows():
+        merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
+    return hll_estimate_from_registers(merged)

@@ -533,3 +533,34 @@ def test_group_quantiles_quantile_disc_parity(rds):
         FROM df GROUP BY g ORDER BY g""").df()
     pd.testing.assert_frame_equal(
         got[["g", "q25", "q50", "q90", "n"]], want, check_dtype=False)
+
+
+def test_minhash_verify_paths_equivalent(rds):
+    """broadcast-verify and join-verify must emit identical pairs."""
+    rng = np.random.RandomState(3)
+    base = ["the quick brown fox jumps over the lazy dog " + str(i) for i in range(40)]
+    texts = base + [t + " tail" for t in base[:15]]  # 15 near-dups
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rds.from_pandas(df, override_num_blocks=4)
+    a = dedup_ops.minhash_lsh_pairs(ds, jaccard_threshold=0.6, verify="broadcast")
+    b = dedup_ops.minhash_lsh_pairs(ds, jaccard_threshold=0.6, verify="join")
+    a = (a if isinstance(a, pd.DataFrame) else a.to_pandas()).sort_values(
+        ["left_id", "right_id"]).reset_index(drop=True)
+    b = (b if isinstance(b, pd.DataFrame) else b.to_pandas()).sort_values(
+        ["left_id", "right_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) >= 15
+
+
+def test_hll_distinct_accuracy_and_mergeability(rds):
+    """HLL estimate within the p=12 error envelope; partial merge over
+    any partitioning equals the single-pass sketch (mergeable sketch
+    property — what makes it a no-shuffle distributed op)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import sketch
+
+    n = 20_000
+    vals = pd.DataFrame({"v": np.arange(n) % 7_321})  # 7321 distinct
+    res1 = sketch.hll_distinct(rds.from_pandas(vals, override_num_blocks=1), "v")
+    res8 = sketch.hll_distinct(rds.from_pandas(vals, override_num_blocks=8), "v")
+    assert res1 == res8  # partitioning-invariant
+    assert abs(res1["estimate"] - 7_321) / 7_321 < 0.05  # ~3 sigma at 1.6%
