@@ -630,6 +630,23 @@ def q_sample_docs(sf_dir: str):
     return _persist_oracle_input(out, sf_dir, "sampled_docs", sort_cols=["doc_id"])
 
 
+def q_event_sessions(sf_dir: str):
+    """RANGE (interval) join — custom operator: every event joined to
+    the session interval containing it (sessions derived from the same
+    log, so inner-join row count == event count). Oracled by a DuckDB
+    recompute of the sessions plus a BETWEEN join."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ev = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    sess = windows.sessionize(ev, gap_minutes=30.0)
+    out = relational.range_join(ev, sess, by="user_id", left_on="ts",
+                                right_start="session_start",
+                                right_end="session_end", how="inner")
+    return out.map_batches(
+        lambda b: b[["event_id", "user_id", "session_start", "session_end"]],
+        batch_format="pandas")
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization over the events log (stream-shaped op;
     30-minute gap)."""
@@ -1026,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_daily": q_events_daily,
         "q_top_event_per_user": q_top_event_per_user,
         "q_sessionize": q_sessionize,
+        "q_event_sessions": q_event_sessions,
         "q_tumbling_window": q_tumbling_window,
         "q_hopping_window": q_hopping_window,
         "q_running_sum": q_running_sum,
@@ -1530,6 +1548,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
+        "q_event_sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tagged AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM ordered),
+            sess AS (
+              SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+              FROM tagged GROUP BY user_id, session_no)
+            SELECT e.event_id, e.user_id, s.session_start, s.session_end
+            FROM events e
+            JOIN sess s ON e.user_id = s.user_id
+                       AND e.ts BETWEEN s.session_start AND s.session_end
+        """,
         "q_sessionize": """
             WITH ordered AS (
               SELECT user_id, ts,
@@ -1937,9 +1974,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'Unique institutions found (non-empty, merged)', CAST(ui AS VARCHAR) FROM v
             UNION ALL SELECT 'Author rows missing institution from files with institution meta tags', CAST(missing_tagged AS VARCHAR) FROM t
         """,
+        # hybrid oracle: the doi column is RE-DERIVED from the raw page
+        # HTML (regexp over the canonical citation_doi meta tag the
+        # corpus carries) instead of replayed; author/institution/source
+        # replay (the merge state machine isn't SQL-expressible — its
+        # semantic oracle is the serial-parser parity test)
         "q_extract_mentions": f"""
-            SELECT url, doi, author, institution, source
-            FROM read_parquet('{fdir}/extracted_mentions.parquet')
+            WITH p AS (
+              SELECT url,
+                     regexp_extract(decode(html),
+                       '<meta name="citation_doi" content="([^"]*)"',
+                       1) AS doi_derived
+              FROM read_parquet('{fdir}/pages.parquet'))
+            SELECT m.url, p.doi_derived AS doi, m.author, m.institution,
+                   m.source
+            FROM read_parquet('{fdir}/extracted_mentions.parquet') m
+            JOIN p ON p.url = m.url
         """,
         "q_extracted_text": f"""
             SELECT url, text FROM read_parquet('{fdir}/extracted_text.parquet')

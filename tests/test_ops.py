@@ -564,3 +564,31 @@ def test_hll_distinct_accuracy_and_mergeability(rds):
     res8 = sketch.hll_distinct(rds.from_pandas(vals, override_num_blocks=8), "v")
     assert res1 == res8  # partitioning-invariant
     assert abs(res1["estimate"] - 7_321) / 7_321 < 0.05  # ~3 sigma at 1.6%
+
+
+def test_range_join_vs_pandas_oracle(rds):
+    """range_join == per-key pandas interval containment (inner + left),
+    with non-overlapping right intervals per key."""
+    left = pd.DataFrame({"k": [1, 1, 1, 2, 2, 3],
+                         "t": [5, 12, 40, 7, 100, 1],
+                         "lv": list(range(6))})
+    right = pd.DataFrame({"k": [1, 1, 2],
+                          "s": [4, 30, 5], "e": [13, 45, 9],
+                          "rv": [100, 200, 300]})
+    got_inner = (relational.range_join(
+        rds.from_pandas(left, override_num_blocks=3),
+        rds.from_pandas(right, override_num_blocks=2),
+        by="k", left_on="t", right_start="s", right_end="e", how="inner")
+        .to_pandas().sort_values("lv").reset_index(drop=True))
+    want = (left.merge(right, on="k")
+            .query("s <= t <= e").sort_values("lv").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_inner[["k", "t", "lv", "s", "e", "rv"]],
+                                  want[["k", "t", "lv", "s", "e", "rv"]],
+                                  check_dtype=False)
+    got_left = (relational.range_join(
+        rds.from_pandas(left), rds.from_pandas(right),
+        by="k", left_on="t", right_start="s", right_end="e", how="left")
+        .to_pandas().sort_values("lv").reset_index(drop=True))
+    assert len(got_left) == len(left)
+    unmatched = got_left[got_left["rv"].isna()]
+    assert set(unmatched["lv"]) == {4, 5}  # t=100 (no interval), k=3 (no right)
