@@ -381,6 +381,30 @@ def q_hll_distinct_users(sf_dir: str):
     })
 
 
+def q_cms_user_counts(sf_dir: str):
+    """Count-Min-sketch point-frequency estimates for user_ids 1-25 —
+    like the HLL, an APPROXIMATE sketch designed for a full value-hash
+    oracle: md5-derived bucket hashing and integer counters make the
+    (d, w) counter matrix and the min-over-rows estimates reproducible
+    verbatim in SQL. n_exact rides along for context."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.sketch import (
+        cms_build,
+        cms_query,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    counters = cms_build(ds, "user_id", d=4, w=1024)
+    keys = list(range(1, 26))
+    est = cms_query(counters, keys)
+    exact = relational.pre_aggregated(ds, "user_id").to_pandas()
+    exact_map = dict(zip(exact["user_id"].astype("int64"), exact["n"].astype("int64")))
+    return pd.DataFrame({
+        "user_id": pd.Series(keys, dtype="int64"),
+        "cms_count": pd.Series(est, dtype="int64"),
+        "n_exact": pd.Series([exact_map.get(k, 0) for k in keys], dtype="int64"),
+    })
+
+
 def q_event_value_percentiles(sf_dir: str):
     """Exact per-group discrete quantiles (quantile_disc parity)."""
     ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
@@ -1052,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_last_purchase": q_asof_last_purchase,
         "q_event_value_percentiles": q_event_value_percentiles,
         "q_hll_distinct_users": q_hll_distinct_users,
+        "q_cms_user_counts": q_cms_user_counts,
         "q_sample_docs": q_sample_docs,
         "q_priority_revenue_bucket_join": q_priority_revenue_bucket_join,
         "q_event_props_extract": q_event_props_extract,
@@ -1531,6 +1556,34 @@ def oracle_sql() -> dict[str, str]:
                               ELSE e_raw END, 4) AS hll_estimate,
                    (SELECT count(DISTINCT user_id) FROM events) AS n_exact
             FROM raw
+        """,
+        "q_cms_user_counts": """
+            WITH qk AS (
+              SELECT CAST(range AS BIGINT) AS user_id FROM range(1, 26)),
+            hrows AS (SELECT CAST(range AS BIGINT) AS j FROM range(4)),
+            ev_h AS (
+              SELECT r.j,
+                     CAST(concat('0x', substr(md5(concat(CAST(r.j AS VARCHAR), ':',
+                          CAST(e.user_id AS VARCHAR))), 1, 16)) AS UBIGINT)
+                       % 1024 AS bucket
+              FROM events e CROSS JOIN hrows r),
+            counters AS (
+              SELECT j, bucket, count(*) AS c FROM ev_h GROUP BY j, bucket),
+            qh AS (
+              SELECT q.user_id, r.j,
+                     CAST(concat('0x', substr(md5(concat(CAST(r.j AS VARCHAR), ':',
+                          CAST(q.user_id AS VARCHAR))), 1, 16)) AS UBIGINT)
+                       % 1024 AS bucket
+              FROM qk q CROSS JOIN hrows r),
+            est AS (
+              SELECT qh.user_id, min(COALESCE(c.c, 0)) AS cms_count
+              FROM qh LEFT JOIN counters c ON qh.j = c.j AND qh.bucket = c.bucket
+              GROUP BY qh.user_id),
+            ex AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id)
+            SELECT e.user_id,
+                   CAST(e.cms_count AS BIGINT) AS cms_count,
+                   CAST(COALESCE(x.n_exact, 0) AS BIGINT) AS n_exact
+            FROM est e LEFT JOIN ex x USING (user_id)
         """,
         "q_sample_docs": f"""
             SELECT d.doc_id, d.lang

@@ -65,6 +65,49 @@ def hll_estimate_from_registers(regs: np.ndarray) -> dict:
     return {"m": m, "registers_used": used, "estimate": est}
 
 
+def _cms_buckets(values, d: int, w: int) -> np.ndarray:
+    """(len(values), d) bucket indices. Row j's hash for value v is the
+    first 16 hex chars of md5("{j}:{v}") mod w — engine-reproducible
+    (same derivation as the HLL value hash)."""
+    out = np.empty((len(values), d), dtype=np.int64)
+    for i, v in enumerate(values):
+        s = str(v)
+        for j in range(d):
+            out[i, j] = int(
+                hashlib.md5(f"{j}:{s}".encode("utf-8")).hexdigest()[:16], 16) % w
+    return out
+
+
+def cms_build(ds, col: str, d: int = 4, w: int = 1024) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of ``ds[col]``:
+    a (d, w) int64 counter matrix. Mergeable like the HLL: per-batch
+    partials are elementwise-SUMMED (associative/commutative), so the
+    sketch streams over any number of blocks with no shuffle — the
+    driver folds one d*w*8-byte partial per batch (32 KiB at the
+    default) regardless of input size."""
+    def _part(b: pd.DataFrame) -> pd.DataFrame:
+        counters = np.zeros((d, w), dtype=np.int64)
+        bk = _cms_buckets(b[col].tolist(), d, w)
+        for j in range(d):
+            np.add.at(counters[j], bk[:, j], 1)
+        return pd.DataFrame({"counters": [counters.tobytes()]})
+
+    merged = np.zeros((d, w), dtype=np.int64)
+    for row in ds.map_batches(_part, batch_format="pandas").iter_rows():
+        merged += np.frombuffer(row["counters"], dtype=np.int64).reshape(d, w)
+    return merged
+
+
+def cms_query(counters: np.ndarray, keys) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows of each key's
+    counter. Never underestimates; overestimates by collision mass
+    (eps = e/w with probability 1 - e^-d)."""
+    d, w = counters.shape
+    bk = _cms_buckets(list(keys), d, w)
+    return np.min(
+        np.stack([counters[j, bk[:, j]] for j in range(d)]), axis=0)
+
+
 def hll_distinct(ds, col: str, p: int = DEFAULT_P) -> dict:
     """Approximate COUNT DISTINCT of ``ds[col]`` (±~1.04/sqrt(2^p),
     ~1.6% at the p=12 default). One streaming pass; the driver merges

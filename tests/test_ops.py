@@ -566,6 +566,23 @@ def test_hll_distinct_accuracy_and_mergeability(rds):
     assert abs(res1["estimate"] - 7_321) / 7_321 < 0.05  # ~3 sigma at 1.6%
 
 
+def test_cms_never_underestimates_and_merges(rds):
+    """CMS point estimates are >= the exact counts (one-sided error
+    guarantee), exact on a collision-free load, and the partial-sum
+    merge is partitioning-invariant (mergeable-sketch property)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import sketch
+
+    vals = pd.DataFrame({"v": np.repeat(np.arange(50), np.arange(1, 51))})
+    c1 = sketch.cms_build(rds.from_pandas(vals, override_num_blocks=1), "v", d=4, w=512)
+    c8 = sketch.cms_build(rds.from_pandas(vals, override_num_blocks=8), "v", d=4, w=512)
+    assert (c1 == c8).all()  # partitioning-invariant
+    est = sketch.cms_query(c1, list(range(50)))
+    exact = np.arange(1, 51)
+    assert (est >= exact).all()  # never underestimates
+    # 50 keys in 512 buckets x 4 rows: min-over-rows is exact w.h.p.
+    assert (est == exact).all()
+
+
 def test_range_join_vs_pandas_oracle(rds):
     """range_join == per-key pandas interval containment (inner + left),
     with non-overlapping right intervals per key."""
