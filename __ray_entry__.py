@@ -709,6 +709,52 @@ def q_running_sum(sf_dir: str):
     return windows.running_aggregate(ds)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: exactly min(20, |stratum|) docs
+    per language, ranked by md5(seed:doc_id) — the rank derivation is
+    SQL-reproducible so the oracle recomputes the identical winners
+    with row_number() over the same md5 ordering."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.io import (
+        stratified_sample,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(ds, k=20, group_col="lang", id_col="doc_id",
+                             seed=42)
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP (event_type, day): per-(type, day) totals plus
+    per-type subtotals and the grand total, 'ALL' sentinels. Value sums
+    are integer-exact (floor-cents int64, summation-order independent —
+    the float-parity discipline from stats.py) so every rollup level
+    value-hashes across engines."""
+    ds = _tbl(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["ts"].dt.strftime("%Y-%m-%d"),
+            "cents": np.floor(b["value"].to_numpy() * 100.0).astype("int64"),
+        })
+
+    out = relational.rollup_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        keys=["event_type", "day"], sums=("cents",), counts=True)
+    return out.rename(columns={"sum_cents": "sum_cents"})[
+        ["event_type", "day", "sum_cents", "n"]]
+
+
+def q_event_deltas(sf_dir: str):
+    """Per-user lag delta (microseconds since the user's previous
+    event; -1 for the first). Integer-exact window-lag parity with
+    DuckDB's lag() OVER (PARTITION BY ... ORDER BY ts, event_id)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return windows.grouped_lag_delta(ds)
+
+
 def q_filter_works(sf_dir: str):
     """Reference entry-point-A parity: broadcast (scheme,host,port)
     semi-join + non-empty-affiliation predicate over the authority
@@ -1071,6 +1117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tumbling_window": q_tumbling_window,
         "q_hopping_window": q_hopping_window,
         "q_running_sum": q_running_sum,
+        "q_event_deltas": q_event_deltas,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_stratified_sample": q_stratified_sample,
         "q_distinct_langs": q_distinct_langs,
         "q_customers_without_orders": q_customers_without_orders,
         "q_asof_last_purchase": q_asof_last_purchase,
@@ -1655,6 +1704,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+            FROM events
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR)))
+                     ) AS rn
+              FROM documents)
+            WHERE rn <= 20
+        """,
+        "q_rollup_revenue": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY ROLLUP(event_type, day)
+        """,
+        "q_event_deltas": """
+            SELECT event_id, user_id,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts))
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            -1) AS delta_us
             FROM events
         """,
         "q_docs_exact_dedup": """

@@ -339,6 +339,37 @@ def pre_aggregated(ds, keys, sums=(), counts=True, num_buckets: int = 64):
     return bucketed_map_groups(partials, keys, _reduce, num_buckets=num_buckets)
 
 
+def rollup_aggregate(ds, keys, sums=(), counts=True, sentinel: str = "ALL",
+                     num_buckets: int = 64):
+    """GROUP BY ROLLUP(keys...): subtotals at every key prefix plus the
+    grand total, ANSI-rollup shaped. The DISTRIBUTED work is one
+    :func:`pre_aggregated` pass at the finest grain (combiner + bucketed
+    reduce); the coarser levels are then folded on the driver from that
+    aggregated grain, which is small by construction (one row per
+    distinct key tuple, not per input row) — the same driver-side-small
+    contract as group_quantiles' output. Key columns must be strings
+    (the rolled-up levels are marked with ``sentinel``)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sums = list(sums)
+    fine = pre_aggregated(ds, keys, sums=sums, counts=counts,
+                          num_buckets=num_buckets).to_pandas()
+    vals = [f"sum_{c}" for c in sums] + (["n"] if counts else [])
+    levels = []
+    for i in range(len(keys), -1, -1):
+        if i == 0:
+            lvl = fine[vals].sum().to_frame().T
+        else:
+            lvl = fine.groupby(keys[:i], as_index=False, sort=False)[vals].sum()
+        for k_ in keys[i:]:
+            lvl[k_] = sentinel
+        levels.append(lvl[keys + vals])
+    out = pd.concat(levels, ignore_index=True)
+    for v in vals:
+        if pd.api.types.is_integer_dtype(fine[v].dtype):
+            out[v] = out[v].astype("int64")
+    return out
+
+
 def topk_per_group(ds, key, sort_col, k: int = 1, descending: bool = True,
                    tie_break=None, num_buckets: int = 64):
     """Per-group top-k (O4 argmax generalization). Deterministic:

@@ -105,6 +105,29 @@ def hopping_window(events_ds, key: str = "event_type", ts: str = "ts",
                                num_buckets=num_buckets)
 
 
+def grouped_lag_delta(events_ds, key: str = "user_id", ts: str = "ts",
+                      id_col: str = "event_id", num_buckets: int = 64):
+    """Per-key LAG: microseconds since the key's previous event (the
+    window-function family's lag/lead, expressed the partitioned-log
+    way). First event of a key gets -1 (NULL-free output contract for
+    dtype-stable cross-engine hashing). Deterministic at any
+    parallelism: ordering is (ts, id_col) within key; integer-exact
+    (epoch-microsecond int64 diff, no float time math). One coarse
+    bucketed shuffle, one vectorized sort + groupby-diff per bucket."""
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, id_col], kind="mergesort")
+        # normalize to us precision first: pandas blocks may carry
+        # datetime64[ns] or [us] depending on the arrow round trip
+        us = g[ts].astype("datetime64[us]").astype("int64")
+        delta = us.groupby(g[key], sort=False).diff()
+        return pd.DataFrame({
+            id_col: g[id_col], key: g[key],
+            "delta_us": delta.fillna(-1).astype("int64"),
+        })
+
+    return bucketed_map_groups(events_ds, key, per_bucket, num_buckets=num_buckets)
+
+
 def running_aggregate(events_ds, key: str = "user_id", ts: str = "ts",
                       value: str = "value", num_buckets: int = 64):
     """Per-key running (cumulative) sum in ts order; output one row per

@@ -89,6 +89,38 @@ def sample_exact(ds, k: int, seed: int = 42, id_col: str | None = None):
     return rd.from_pandas(top)
 
 
+def stratified_sample(ds, k: int, group_col: str, id_col: str,
+                      seed: int = 42):
+    """Exactly min(k, group size) rows PER GROUP, deterministic: rows
+    are ranked within their group by the md5 of ``seed:id`` (the hex
+    string itself — lexicographic order is engine-identical, and SQL
+    reproduces it as row_number() over md5). Same partial-top-k shape
+    as :func:`sample_exact`, per group: each batch keeps at most k rows
+    per group it touches, so the driver merge holds <= k * groups *
+    blocks rows — bounded by the strata count, never the corpus."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return b.assign(__rk=pd.Series(dtype="string"))
+        rk = b[id_col].map(lambda v: hashlib.md5(
+            f"{seed}:{v}".encode("utf-8")).hexdigest())
+        return (b.assign(__rk=rk.to_numpy())
+                .sort_values("__rk", kind="mergesort")
+                .groupby(group_col, sort=False).head(k))
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return rd.from_pandas(parts.drop(columns="__rk", errors="ignore"))
+    top = (parts.sort_values("__rk", kind="mergesort")
+           .groupby(group_col, sort=False).head(k)
+           .drop(columns="__rk").reset_index(drop=True))
+    return rd.from_pandas(top)
+
+
 def sample_fraction(ds, frac: float, seed: int = 42):
     """Bernoulli row sample (approximate size), seeded."""
     return ds.random_sample(frac, seed=seed)

@@ -566,6 +566,64 @@ def test_hll_distinct_accuracy_and_mergeability(rds):
     assert abs(res1["estimate"] - 7_321) / 7_321 < 0.05  # ~3 sigma at 1.6%
 
 
+def test_grouped_lag_delta_matches_pandas(rds):
+    """grouped_lag_delta == per-key pandas diff at any partitioning."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.randint(0, 20, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+    })
+    got = (windows.grouped_lag_delta(rds.from_pandas(df, override_num_blocks=5))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    exp["delta_us"] = (exp["ts"].astype("datetime64[us]").astype("int64")
+                       .groupby(exp["user_id"], sort=False).diff()
+                       .fillna(-1).astype("int64"))
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp[["event_id", "user_id", "delta_us"]], check_dtype=False)
+
+
+def test_rollup_aggregate_levels(rds):
+    """rollup == pandas groupby at each level incl. the grand total."""
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["1", "2", "1", "1", "2"],
+        "v": [10, 20, 30, 40, 50],
+    })
+    out = relational.rollup_aggregate(
+        rds.from_pandas(df, override_num_blocks=3), ["a", "b"], sums=("v",))
+    total = out[(out.a == "ALL") & (out.b == "ALL")]
+    assert total["sum_v"].iloc[0] == 150 and total["n"].iloc[0] == 5
+    xa = out[(out.a == "x") & (out.b == "ALL")]
+    assert xa["sum_v"].iloc[0] == 30 and xa["n"].iloc[0] == 2
+    fine = out[(out.a == "y") & (out.b == "1")]
+    assert fine["sum_v"].iloc[0] == 70 and fine["n"].iloc[0] == 2
+    assert len(out) == 4 + 2 + 1  # fine grain + per-a + grand
+
+
+def test_stratified_sample_exact_k_and_partition_invariant(rds):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.io import (
+        stratified_sample,
+    )
+
+    df = pd.DataFrame({"id": np.arange(200), "g": ["a"] * 150 + ["b"] * 47 + ["c"] * 3})
+    got1 = stratified_sample(rds.from_pandas(df, override_num_blocks=1),
+                             k=5, group_col="g", id_col="id").to_pandas()
+    got8 = stratified_sample(rds.from_pandas(df, override_num_blocks=8),
+                             k=5, group_col="g", id_col="id").to_pandas()
+    s1 = got1.sort_values("id").reset_index(drop=True)
+    s8 = got8.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s1, s8)
+    counts = got1.groupby("g")["id"].count()
+    assert counts["a"] == 5 and counts["b"] == 5 and counts["c"] == 3
+
+
 def test_cms_never_underestimates_and_merges(rds):
     """CMS point estimates are >= the exact counts (one-sided error
     guarantee), exact on a collision-free load, and the partial-sum
