@@ -709,6 +709,35 @@ def q_running_sum(sf_dir: str):
     return windows.running_aggregate(ds)
 
 
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-pruned big-big semi-join (lineitem ⋉ large parts), then
+    returnflag revenue totals. Exercises the verify='join' scale path:
+    only the bloom bitset is broadcast, survivors are verified by a
+    bucketed semi join — no exact key set ever ships to workers. The
+    bloom has no false negatives and the verify join removes false
+    positives, so the result is the EXACT semi-join and the oracle is
+    plain SQL."""
+    li = _tbl(sf_dir, "lineitem",
+              columns=["l_partkey", "l_returnflag", "l_extendedprice"])
+    big_parts = _tbl(sf_dir, "part", columns=["p_partkey", "p_size"]).map_batches(
+        lambda b: b.loc[b.p_size > 40, ["p_partkey"]], batch_format="pandas")
+    semi = relational.bloom_semi_join(li, big_parts, on="l_partkey",
+                                      small_on="p_partkey", verify="join")
+
+    def _cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "cents": np.floor(b["l_extendedprice"].to_numpy() * 100.0).astype("int64"),
+        })
+
+    out = relational.pre_aggregated(
+        semi.map_batches(_cents, batch_format="pandas"),
+        keys="l_returnflag", sums=("cents",), counts=True).to_pandas()
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "sum_cents", "n"]]
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: exactly min(20, |stratum|) docs
     per language, ranked by md5(seed:doc_id) — the rank derivation is
@@ -1120,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_deltas": q_event_deltas,
         "q_rollup_revenue": q_rollup_revenue,
         "q_stratified_sample": q_stratified_sample,
+        "q_bloom_semijoin": q_bloom_semijoin,
         "q_distinct_langs": q_distinct_langs,
         "q_customers_without_orders": q_customers_without_orders,
         "q_asof_last_purchase": q_asof_last_purchase,
@@ -1705,6 +1735,17 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events
+        """,
+        "q_bloom_semijoin": """
+            SELECT l_returnflag,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT l_returnflag,
+                         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+                  FROM lineitem
+                  WHERE l_partkey IN (SELECT p_partkey FROM part
+                                      WHERE p_size > 40))
+            GROUP BY l_returnflag
         """,
         "q_stratified_sample": """
             SELECT doc_id, lang FROM (

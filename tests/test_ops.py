@@ -566,6 +566,35 @@ def test_hll_distinct_accuracy_and_mergeability(rds):
     assert abs(res1["estimate"] - 7_321) / 7_321 < 0.05  # ~3 sigma at 1.6%
 
 
+def test_bloom_semi_join_exact_under_forced_false_positives(rds):
+    """A deliberately tiny bitset (m=256 for 50 keys at k=4) forces
+    bloom false positives; both verify paths must still return the
+    EXACT semi-join (no false negatives by construction, false
+    positives removed by verify), and verify='none' must be a superset
+    of it."""
+    big = pd.DataFrame({"k": np.arange(1000) % 300, "v": np.arange(1000)})
+    keys = pd.DataFrame({"kk": np.arange(0, 300, 6)})  # 50 keys
+    exp = big[big.k.isin(keys.kk)].reset_index(drop=True)
+
+    def run(verify, m_bits):
+        out = relational.bloom_semi_join(
+            rds.from_pandas(big, override_num_blocks=4),
+            rds.from_pandas(keys, override_num_blocks=2),
+            on="k", small_on="kk", m_bits=m_bits, verify=verify)
+        return (out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+                if out.count() else pd.DataFrame(columns=["k", "v"]))
+
+    for verify in ("broadcast", "join"):
+        got = run(verify, m_bits=256)
+        pd.testing.assert_frame_equal(
+            got, exp.sort_values(["k", "v"]).reset_index(drop=True),
+            check_dtype=False)
+    superset = run("none", m_bits=256)
+    assert len(superset) >= len(exp)
+    merged = superset.merge(exp, on=["k", "v"], how="outer", indicator=True)
+    assert not (merged["_merge"] == "right_only").any()  # no false negatives
+
+
 def test_grouped_lag_delta_matches_pandas(rds):
     """grouped_lag_delta == per-key pandas diff at any partitioning."""
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
