@@ -709,6 +709,29 @@ def q_running_sum(sf_dir: str):
     return windows.running_aggregate(ds)
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Distributed Lloyd's k-means (k=8, 5 iterations, seeded
+    deterministic init) over the embeddings table. HYBRID oracle: the
+    fitted centroids are persisted, and DuckDB independently re-derives
+    EVERY row's assignment from them (cross join + sequential
+    squared-L2 via list_sum, round-before-rank at 6 dp, lower-cluster
+    tie-break) — the assignment math is fully verified; the iteration
+    trajectory itself is covered by the planted-cluster unit test."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=5, seed=42)
+    cent_df = pd.DataFrame({
+        "cluster": pd.Series(range(len(centroids)), dtype="int64"),
+        "centroid": [list(map(float, c)) for c in centroids],
+    })
+    _persist_oracle_input(cent_df, sf_dir, "kmeans_centroids")
+    return kmeans_assign(ds, centroids)
+
+
 def q_bloom_semijoin(sf_dir: str):
     """Bloom-pruned big-big semi-join (lineitem ⋉ large parts), then
     returnflag revenue totals. Exercises the verify='join' scale path:
@@ -1150,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_revenue": q_rollup_revenue,
         "q_stratified_sample": q_stratified_sample,
         "q_bloom_semijoin": q_bloom_semijoin,
+        "q_kmeans_assign": q_kmeans_assign,
         "q_distinct_langs": q_distinct_langs,
         "q_customers_without_orders": q_customers_without_orders,
         "q_asof_last_purchase": q_asof_last_purchase,
@@ -1735,6 +1759,24 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events
+        """,
+        "q_kmeans_assign": f"""
+            WITH c AS (
+              SELECT cluster, CAST(centroid AS DOUBLE[]) AS centroid
+              FROM read_parquet('{fdir}/kmeans_centroids.parquet')),
+            d AS (
+              SELECT e.vec_id, c.cluster,
+                     round(list_sum(list_transform(
+                       list_zip(CAST(e.embedding AS DOUBLE[]), c.centroid),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS dist2
+              FROM embeddings e CROSS JOIN c),
+            r AS (
+              SELECT vec_id, cluster, dist2,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist2, cluster) AS rn
+              FROM d)
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
+            FROM r WHERE rn = 1
         """,
         "q_bloom_semijoin": """
             SELECT l_returnflag,

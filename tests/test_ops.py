@@ -566,6 +566,29 @@ def test_hll_distinct_accuracy_and_mergeability(rds):
     assert abs(res1["estimate"] - 7_321) / 7_321 < 0.05  # ~3 sigma at 1.6%
 
 
+def test_kmeans_recovers_planted_clusters(rds):
+    """k-means on 3 well-separated planted clusters recovers the
+    partition exactly (assignment agrees with the plant up to label
+    permutation), at two partitionings."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import clustering
+
+    rng = np.random.RandomState(11)
+    centers = np.array([[0.0] * 8, [50.0] * 8, [-50.0] * 8])
+    plant = np.repeat([0, 1, 2], 60)
+    X = centers[plant] + rng.randn(180, 8)
+    df = pd.DataFrame({"vec_id": np.arange(180),
+                       "embedding": [list(map(float, r)) for r in X]})
+    for blocks in (1, 6):
+        ds = rds.from_pandas(df, override_num_blocks=blocks)
+        cent = clustering.kmeans_fit(ds, k=3, iters=5, seed=42)
+        got = (clustering.kmeans_assign(ds, cent).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        # each planted cluster maps to exactly one learned label
+        tab = pd.crosstab(plant, got["cluster"])
+        assert (tab.gt(0).sum(axis=1) == 1).all()
+        assert got["cluster"].nunique() == 3
+
+
 def test_bloom_semi_join_exact_under_forced_false_positives(rds):
     """A deliberately tiny bitset (m=256 for 50 keys at k=4) forces
     bloom false positives; both verify paths must still return the
