@@ -709,6 +709,15 @@ def q_running_sum(sf_dir: str):
     return windows.running_aggregate(ds)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 characteristic terms per document by tf-idf (rational idf
+    variant — bit-exact across engines, see ops/text.tfidf_top_terms).
+    Full independent SQL re-derivation: tokenization, tf, df, score
+    and the per-doc ranking are all recomputed by the oracle."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.tfidf_top_terms(ds, n_docs=ds.count())
+
+
 def q_kmeans_assign(sf_dir: str):
     """Distributed Lloyd's k-means (k=8, 5 iterations, seeded
     deterministic init) over the embeddings table. HYBRID oracle: the
@@ -1174,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": q_stratified_sample,
         "q_bloom_semijoin": q_bloom_semijoin,
         "q_kmeans_assign": q_kmeans_assign,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_distinct_langs": q_distinct_langs,
         "q_customers_without_orders": q_customers_without_orders,
         "q_asof_last_purchase": q_asof_last_purchase,
@@ -1759,6 +1769,28 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events
+        """,
+        "q_tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, lower(term) AS term
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS term
+                    FROM documents)),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term),
+            dfs AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(*) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+                     CAST(tf.tf * (nd.n + 1) AS DOUBLE) / (dfs.df + 1) AS score
+              FROM tf JOIN dfs USING (term) CROSS JOIN nd),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term) AS rn
+              FROM s)
+            SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3
         """,
         "q_kmeans_assign": f"""
             WITH c AS (

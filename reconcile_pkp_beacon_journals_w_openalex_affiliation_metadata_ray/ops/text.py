@@ -101,6 +101,76 @@ def fingerprints(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     )
 
 
+_TFIDF_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def _tfidf_tokens(texts: pd.Series) -> pd.Series:
+    """Per-row token lists: ASCII alnum runs, lowered AFTER extraction
+    (ASCII-only lower() is engine-identical; lowering the raw text
+    first would hit unicode case-folding differences, e.g. dotted I)."""
+    return texts.fillna("").map(
+        lambda t: [w.lower() for w in _TFIDF_TOKEN_RE.findall(t)])
+
+
+def term_frequencies(batch: pd.DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> pd.DataFrame:
+    """(doc, term) -> tf. Docs are atomic rows, so tf is complete
+    per batch — no shuffle."""
+    toks = _tfidf_tokens(batch[text_col])
+    x = pd.DataFrame({id_col: batch[id_col].repeat(toks.str.len()),
+                      "term": [w for ws in toks for w in ws]})
+    if x.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype=batch[id_col].dtype),
+                             "term": pd.Series(dtype=object),
+                             "tf": pd.Series(dtype="int64")})
+    return x.groupby([id_col, "term"], as_index=False, sort=False).agg(
+        tf=("term", "size"))
+
+
+def tfidf_top_terms(ds, n_docs: int, id_col: str = "doc_id",
+                    text_col: str = "text", top_n: int = 3,
+                    num_buckets: int = 64):
+    """Top-N characteristic terms per document by tf-idf with a
+    RATIONAL idf — score = tf * (N + 1) / (df + 1) — monotone in the
+    classic log idf but bit-exact across engines (one integer product
+    and one IEEE division; no transcendental whose last ulp differs
+    between libm implementations), so every score value-hashes in SQL.
+
+    Two passes over the corpus: (1) per-batch tf (doc-local, no
+    shuffle) -> bucketed per-term df reduce; (2) per-batch re-tf +
+    score + per-doc top-N against the BROADCAST df table (vocabulary
+    is the bounded small side — natural-language vocab grows ~O(corpus
+    size^0.5) (Heaps' law), not linearly; for an unbounded key domain
+    use a bucketed join instead). Ties break on term ASC (ASCII order,
+    engine-identical)."""
+    import ray
+
+    from .relational import pre_aggregated
+
+    tf_ds = ds.map_batches(
+        lambda b: term_frequencies(b, id_col=id_col, text_col=text_col),
+        batch_format="pandas")
+    df_tbl = pre_aggregated(tf_ds, "term", num_buckets=num_buckets).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["n"].astype("int64"))))
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = term_frequencies(batch, id_col=id_col, text_col=text_col)
+        if tf.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype=batch[id_col].dtype),
+                                 "term": pd.Series(dtype=object),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "df": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        dfs = ray.get(df_ref)
+        tf["df"] = tf["term"].map(dfs).astype("int64")
+        tf["score"] = (tf["tf"] * (n_docs + 1)).astype("float64") / (tf["df"] + 1)
+        return (tf.sort_values([id_col, "score", "term"],
+                               ascending=[True, False, True], kind="mergesort")
+                .groupby(id_col, sort=False).head(top_n))
+
+    return ds.map_batches(_score, batch_format="pandas")
+
+
 def hash_split(batch: pd.DataFrame, id_col: str = "doc_id",
                boundaries: tuple = (229, 242), salt: str = "split") -> pd.DataFrame:
     """Deterministic train/val/test assignment by content-independent id

@@ -566,6 +566,28 @@ def test_hll_distinct_accuracy_and_mergeability(rds):
     assert abs(res1["estimate"] - 7_321) / 7_321 < 0.05  # ~3 sigma at 1.6%
 
 
+def test_tfidf_ranks_rare_terms_over_common(rds):
+    """A term unique to one doc outranks corpus-wide boilerplate, and
+    the result is partitioning-invariant."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import text as t
+
+    docs = ["common words here zebra", "common words here",
+            "common words here", "common words here quark quark"]
+    df = pd.DataFrame({"doc_id": range(4), "text": docs})
+    outs = []
+    for blocks in (1, 3):
+        ds = rds.from_pandas(df, override_num_blocks=blocks)
+        out = (t.tfidf_top_terms(ds, n_docs=4, top_n=1).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0].loc[0, "term"] == "zebra"
+    assert outs[0].loc[3, "term"] == "quark"
+    # doc 1: all terms appear in every doc -> highest tf*(N+1)/(df+1) ties
+    # broken by term asc among equal scores
+    assert outs[0].loc[1, "df"] == 4
+
+
 def test_kmeans_recovers_planted_clusters(rds):
     """k-means on 3 well-separated planted clusters recovers the
     partition exactly (assignment agrees with the plant up to label
