@@ -640,6 +640,86 @@ def q_split_leakage(sf_dir: str):
     return out
 
 
+def q_url_canonical_dedup(sf_dir: str):
+    """Canonical-URL keep-latest-crawl dedup over the crawl pages table
+    — the snapshot-merge staple for multi-crawl web corpora. Re-crawl
+    variants are planted deterministically (upper-cased authority +
+    '#reprint' fragment, ts + 999 us) for every url with length % 3 ==
+    0, so the dedup resolves real variants and the oracle re-derives
+    the identical union, canonicalization and keep-latest argmax in
+    SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.urlkeys import (
+        _AUTHORITY_RE,
+    )
+
+    fdir = ensure_fixtures(sf_dir)
+    raw = _rd().read_parquet(os.path.join(fdir, "pages.parquet"),
+                             columns=["url", "warc_ts"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        # epoch microseconds (matches DuckDB epoch_us): timestamp[us]
+        # -> int64 is a zero-copy reinterpret in Arrow; emitting Arrow
+        # keeps both union branches in one block format
+        return pa.table({"url": t["url"],
+                         "warc_ts": pc.cast(t["warc_ts"].cast(pa.timestamp("us")),
+                                            pa.int64())})
+
+    ds = raw.map_batches(_us, batch_format="pyarrow")
+
+    def _plant(b: pd.DataFrame) -> pa.Table:
+        sub = b[b["url"].str.len() % 3 == 0]
+
+        def up(u: str) -> str:
+            m = _AUTHORITY_RE.match(u)
+            return ((u[: m.end()].upper() + u[m.end():]) if m else u) + "#reprint"
+
+        # typed Arrow output: a 0-row object frame would drift the
+        # stream schema (and trip Ray's size estimator)
+        return pa.table({"url": pa.array([up(u) for u in sub["url"]], pa.string()),
+                         "warc_ts": pa.array((sub["warc_ts"] + 999).astype("int64"),
+                                             pa.int64())})
+
+    planted = ds.map_batches(_plant, batch_format="pandas")
+    return dedup_ops.canonical_keep_latest(ds.union(planted))
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII detect/redact over documents. The synthetic corpus carries
+    no PII, so emails + phone numbers are planted deterministically
+    (doc_id % 7 == 3) with pure string concatenation both engines can
+    reproduce; the oracle re-runs the same RE2-compatible regexes via
+    DuckDB regexp_extract_all / regexp_replace and md5-compares the
+    redacted text."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _plant(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        m = b["doc_id"] % 7 == 3
+        suffix = b["doc_id"].map(
+            lambda i: f" Contact user{i}@example.org or +1555{i % 10_000_000:07d}.")
+        return pd.DataFrame({"doc_id": b["doc_id"], "text": t.where(~m, t + suffix)})
+
+    return (ds.map_batches(_plant, batch_format="pandas")
+            .map_batches(text_ops.pii_scrub, batch_format="pandas"))
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style token-repetition quality signals (distinct-token
+    count, dominant token, repetition fractions in integer ppm)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_ops.repetition_signals, batch_format="pandas")
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing at a 512-token budget; the
+    global token offset comes from the distributed exclusive prefix
+    scan (ops.relational.ordered_cumsum — range partition + per-range
+    offsets, O(num_ranges) driver state). Oracle: SQL window exclusive
+    cumsum over doc_id order."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.pack_sequences(ds, budget=512)
+
+
 def q_sample_docs(sf_dir: str):
     """Seeded exact-k uniform sample (O3, `sample_csv/sample.py:5-14`).
     The chosen ids are persisted; the oracle re-joins them against the
@@ -1211,6 +1291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_frame_sample": q_frame_sample,
         "q_doc_splits": q_doc_splits,
         "q_split_leakage": q_split_leakage,
+        "q_url_canonical_dedup": q_url_canonical_dedup,
+        "q_pii_scrub": q_pii_scrub,
+        "q_doc_repetition": q_doc_repetition,
+        "q_pack_sequences": q_pack_sequences,
         # raw JSONL record parsing (M6/M7)
         "q_parse_records_openalex": q_parse_records_openalex,
         "q_parse_records_crossref": q_parse_records_crossref,
@@ -1967,6 +2051,107 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS record_id, min(reach) AS cluster_id
             FROM walk GROUP BY node
+        """,
+        "q_url_canonical_dedup": rf"""
+            WITH p AS (SELECT url, epoch_us(warc_ts) AS warc_ts
+                       FROM read_parquet('{fdir}/pages.parquet')),
+            pl AS (SELECT CASE WHEN a <> ''
+                               THEN upper(a) || substr(url, length(a) + 1)
+                               ELSE url END || '#reprint' AS url,
+                          warc_ts + 999 AS warc_ts
+                   FROM (SELECT url, warc_ts,
+                                regexp_extract(url,
+                                  '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+') AS a
+                         FROM p WHERE length(url) % 3 = 0)),
+            u AS (SELECT * FROM p UNION ALL SELECT * FROM pl),
+            c AS (SELECT url, warc_ts,
+                         CASE WHEN c0 LIKE '%/' THEN substr(c0, 1, length(c0) - 1)
+                              ELSE c0 END AS canonical_url
+                  FROM (SELECT url, warc_ts,
+                               CASE WHEN a2 <> ''
+                                    THEN lower(a2) || substr(base, length(a2) + 1)
+                                    ELSE base END AS c0
+                        FROM (SELECT url, warc_ts,
+                                     split_part(url, '#', 1) AS base,
+                                     regexp_extract(split_part(url, '#', 1),
+                                       '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+') AS a2
+                              FROM u))),
+            r AS (SELECT canonical_url, url, warc_ts,
+                         CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+                             AS n_crawls,
+                         row_number() OVER (PARTITION BY canonical_url
+                                            ORDER BY warc_ts DESC, url) AS rn
+                  FROM c WHERE canonical_url <> '')
+            SELECT canonical_url, url, warc_ts, n_crawls FROM r WHERE rn = 1
+        """,
+        "q_pii_scrub": r"""
+            WITH d AS (SELECT doc_id,
+                         CASE WHEN doc_id % 7 = 3
+                              THEN coalesce(text, '') || ' Contact user'
+                                   || CAST(doc_id AS VARCHAR) || '@example.org or +1555'
+                                   || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') || '.'
+                              ELSE coalesce(text, '') END AS text
+                       FROM documents),
+            r AS (SELECT doc_id, text,
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS no_email
+                  FROM d),
+            f AS (SELECT doc_id, text, no_email,
+                         regexp_replace(no_email, '\+[0-9]{7,15}', '<PHONE>', 'g') AS red
+                  FROM r)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(no_email, '\+[0-9]{7,15}')) AS BIGINT)
+                       AS n_phones,
+                   CAST(length(red) AS BIGINT) AS n_chars_redacted,
+                   md5(red) AS redacted_md5
+            FROM f
+        """,
+        "q_doc_repetition": r"""
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+                          FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+                   FROM toks GROUP BY doc_id, tok),
+            agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt,
+                           CAST(count(*) AS BIGINT) AS nd, CAST(max(n) AS BIGINT) AS mx
+                    FROM tc GROUP BY doc_id),
+            top AS (SELECT doc_id, tok FROM (
+                      SELECT doc_id, tok,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY n DESC, tok) AS rn
+                      FROM tc) WHERE rn = 1)
+            SELECT d.doc_id,
+                   coalesce(a.nt, 0) AS n_tokens,
+                   coalesce(a.nd, 0) AS n_distinct,
+                   coalesce(t.tok, '') AS top_token,
+                   coalesce(a.mx, 0) * 1000000 // greatest(coalesce(a.nt, 0), 1)
+                       AS top_token_ppm,
+                   (coalesce(a.nt, 0) - coalesce(a.nd, 0)) * 1000000
+                       // greatest(coalesce(a.nt, 0), 1) AS dup_token_ppm
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id) LEFT JOIN top t USING (doc_id)
+        """,
+        "q_pack_sequences": r"""
+            WITH t AS (SELECT doc_id,
+                         CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\s+')) END
+                             AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS cum_before
+                  FROM t)
+            SELECT doc_id, n_tokens, cum_before,
+                   cum_before // 512 AS first_seq,
+                   (cum_before + greatest(n_tokens, 1) - 1) // 512 AS last_seq,
+                   ((cum_before + greatest(n_tokens, 1) - 1) // 512)
+                       - (cum_before // 512) + 1 AS n_seqs
+            FROM c
         """,
         "q_doc_quality": r"""
             SELECT doc_id,

@@ -12,6 +12,7 @@ Reimplements the reference's URL semantics from scratch:
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 OAI_SUFFIXES = (
@@ -77,6 +78,32 @@ def url_key(url):
     if port is None:
         port = _DEFAULT_PORTS.get(scheme, 0)
     return (scheme, host, port)
+
+
+_AUTHORITY_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+")
+
+
+def canonical_url(url) -> str:
+    """Crawl-dedup canonical form of a URL. Deliberately defined by
+    three string rules (each expressible verbatim in SQL, so the op is
+    oracle-checkable bit-for-bit):
+
+    1. drop the fragment  (everything from the first ``#``),
+    2. lowercase the ``scheme://authority`` prefix when present,
+    3. strip one trailing ``/``.
+
+    Non-strings/empty -> ''. This is the equality key for
+    keep-latest-crawl dedup, not a validator — rule 2 only fires when
+    the prefix parses, otherwise the string passes through."""
+    if not url or not isinstance(url, str):
+        return ""
+    u = url.split("#", 1)[0]
+    m = _AUTHORITY_RE.match(u)
+    if m:
+        u = u[: m.end()].lower() + u[m.end():]
+    if u.endswith("/"):
+        u = u[:-1]
+    return u
 
 
 def host_key(url) -> str:

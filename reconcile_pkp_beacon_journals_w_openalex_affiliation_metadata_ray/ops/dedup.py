@@ -494,3 +494,45 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
     out = cand.map_batches(_verify, batch_format="pandas")
     return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
                                  ("cosine", pa.float64())])
+
+
+def canonical_keep_latest(pages_ds, url_col: str = "url", ts_col: str = "warc_ts",
+                          num_buckets: int = 64):
+    """Canonical-URL keep-latest-crawl dedup — the standard first pass
+    over a multi-snapshot web crawl: group crawl records by
+    :func:`..functions.urlkeys.canonical_url` and keep, per canonical
+    key, the most recent fetch (max ``ts_col``; ties break on min raw
+    URL) plus the total crawl count.
+
+    Scale shape mirrors :func:`exact_dedup`: the per-batch combiner
+    collapses each batch to <=1 row per canonical key, so the ONE
+    coarse-bucketed shuffle moves (canonical_url, url, ts, count)
+    partials — never page payloads. Rows whose canonical key is ''
+    (non-URL garbage) are dropped.
+
+    Returns (canonical_url, url, warc_ts, n_crawls).
+    """
+    from ..functions.urlkeys import canonical_url
+
+    cols = ["canonical_url", url_col, ts_col, "n_crawls"]
+
+    def _local(x: pd.DataFrame) -> pd.DataFrame:
+        if x.empty:
+            return x[cols]  # typed empty: columns inherit b's dtypes
+        s = x.sort_values(["canonical_url", ts_col, url_col],
+                          ascending=[True, False, True], kind="mergesort")
+        g = s.groupby("canonical_url", sort=False)
+        top = g.head(1).copy()
+        top["n_crawls"] = g["n_crawls"].sum().to_numpy()
+        return top[cols]
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = pd.DataFrame({"canonical_url": b[url_col].map(canonical_url).astype(object),
+                          url_col: b[url_col],
+                          ts_col: b[ts_col],
+                          "n_crawls": pd.Series(1, index=b.index, dtype="int64")})
+        return _local(x[x["canonical_url"] != ""])
+
+    partials = pages_ds.map_batches(_partial, batch_format="pandas")
+    return bucketed_map_groups(partials, "canonical_url", _local,
+                               num_buckets=num_buckets)

@@ -516,3 +516,62 @@ def distinct(ds, cols, num_buckets: int = 64):
         batch_format="pandas")
     return bucketed_map_groups(proj, cols, lambda g: g.drop_duplicates(),
                                num_buckets=num_buckets)
+
+
+def ordered_cumsum(ds, order_col: str, value_col: str, num_ranges: int = 64,
+                   out_col: str = "cum_before"):
+    """Global EXCLUSIVE prefix sum of ``value_col`` in ``order_col``
+    order — the distributed-scan primitive behind sequence packing,
+    global offsets assignment, and resumable byte-offset manifests.
+
+    Three-step scan (driver state is O(num_ranges), never O(rows)):
+
+    1. one aggregate pass for [min, max] of ``order_col``; rows are
+       range-partitioned into ``num_ranges`` ORDERED contiguous
+       intervals (range partitioning, unlike hashing, preserves global
+       order across partitions),
+    2. per-range sums via the pre-aggregated combiner (``num_ranges``
+       rows reach the driver) -> tiny driver exclusive scan -> range
+       offsets broadcast with the closure,
+    3. one keyed shuffle co-locates each range; per bucket a vectorized
+       sort + per-range cumsum + offset.
+
+    ``order_col`` must be integer-typed with unique values (ties would
+    make the scan order nondeterministic). Pre-project ``ds`` to the
+    columns you need — every surviving column rides the shuffle.
+    """
+    from ray.data.aggregate import Max, Min
+
+    ds = ds.materialize()
+    if ds.count() == 0:
+        schema = ds.schema()
+        cols = {n: pd.Series(dtype=t.to_pandas_dtype())
+                for n, t in zip(schema.names, schema.types)}
+        cols[out_col] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols)
+    res = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = int(res[f"min({order_col})"]), int(res[f"max({order_col})"])
+    span = max(hi - lo + 1, 1)
+
+    def _tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__range"] = ((b[order_col].astype("int64") - lo)
+                        * num_ranges // span).astype("int64")
+        return b
+
+    tagged = ds.map_batches(_tag, batch_format="pandas").materialize()
+    sums = pre_aggregated(tagged.select_columns(["__range", value_col]),
+                          "__range", sums=[value_col], counts=False,
+                          num_buckets=min(num_ranges, 32)).to_pandas()
+    sums = sums.sort_values("__range")
+    excl = sums[f"sum_{value_col}"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(sums["__range"].astype("int64"), excl.astype("int64")))
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__range", order_col], kind="mergesort").copy()
+        local = g.groupby("__range", sort=False)[value_col].cumsum() - g[value_col]
+        g[out_col] = (local + g["__range"].map(offsets)).astype("int64")
+        return g.drop(columns="__range")
+
+    return bucketed_map_groups(tagged, "__range", _scan,
+                               num_buckets=min(num_ranges, 32))

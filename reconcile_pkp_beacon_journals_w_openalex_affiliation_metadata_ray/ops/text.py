@@ -193,3 +193,113 @@ def hash_split(batch: pd.DataFrame, id_col: str = "doc_id",
 
     return pd.DataFrame({id_col: batch[id_col],
                          "split": batch[id_col].map(assign)})
+
+
+# --- PII detection / redaction -------------------------------------------
+
+# Both patterns are deliberately RE2-compatible (single greedy runs, no
+# lookaround) so DuckDB's regexp_* reproduce the matches bit-for-bit.
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}")
+_PHONE_RE = re.compile(r"\+[0-9]{7,15}")
+
+EMAIL_PATTERN = _EMAIL_RE.pattern
+PHONE_PATTERN = _PHONE_RE.pattern
+
+
+def pii_scrub(batch: pd.DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> pd.DataFrame:
+    """Detect + redact PII (emails, then E.164-ish phone numbers) per
+    document. Sequential semantics: emails are replaced with <EMAIL>
+    first, phones are counted/replaced on the email-redacted text —
+    one well-defined composition both engines can evaluate. Emits match
+    counts and the md5 of the redacted text (the redacted corpus itself
+    never leaves the workers). Batch-local; no shuffle."""
+    texts = batch[text_col].fillna("")
+    no_email = texts.map(lambda t: _EMAIL_RE.sub("<EMAIL>", t))
+    red = no_email.map(lambda t: _PHONE_RE.sub("<PHONE>", t))
+    return pd.DataFrame({
+        id_col: batch[id_col],
+        "n_emails": texts.map(lambda t: len(_EMAIL_RE.findall(t))).astype("int64"),
+        "n_phones": no_email.map(lambda t: len(_PHONE_RE.findall(t))).astype("int64"),
+        "n_chars_redacted": red.str.len().astype("int64"),
+        "redacted_md5": red.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+    })
+
+
+# --- repetition (Gopher-style) quality signals ---------------------------
+
+def repetition_signals(batch: pd.DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> pd.DataFrame:
+    """Token-repetition quality signals per document (the Gopher-rules
+    family): distinct-token count, the most frequent token (ties break
+    on the lexicographically smallest token — byte order, so SQL's
+    binary collation agrees), and repetition fractions in integer PPM
+    ((x * 1_000_000) // n_tokens) — integer arithmetic is bit-exact
+    across engines where a rounded float ratio can straddle a
+    half-even/half-away boundary. Batch-local; no shuffle."""
+    texts = batch[text_col].fillna("")
+    toks = texts.map(str.split)
+    x = pd.DataFrame({id_col: batch[id_col].repeat(toks.str.len()),
+                      "tok": [w for ws in toks for w in ws]})
+    tc = x.groupby([id_col, "tok"], as_index=False, sort=False).agg(n=("tok", "size"))
+    agg = tc.groupby(id_col, as_index=False, sort=False).agg(
+        n_tokens=("n", "sum"), n_distinct=("n", "size"), mx=("n", "max"))
+    top = (tc.sort_values([id_col, "n", "tok"], ascending=[True, False, True],
+                          kind="mergesort")
+           .groupby(id_col, sort=False).head(1)[[id_col, "tok"]]
+           .rename(columns={"tok": "top_token"}))
+    out = (pd.DataFrame({id_col: batch[id_col]})
+           .merge(agg, on=id_col, how="left").merge(top, on=id_col, how="left"))
+    nt = out["n_tokens"].fillna(0).astype("int64")
+    nd = out["n_distinct"].fillna(0).astype("int64")
+    mx = out["mx"].fillna(0).astype("int64")
+    denom = nt.where(nt > 0, 1)
+    return pd.DataFrame({
+        id_col: out[id_col],
+        "n_tokens": nt,
+        "n_distinct": nd,
+        "top_token": out["top_token"].fillna("").astype(object),
+        "top_token_ppm": (mx * 1_000_000 // denom).astype("int64"),
+        "dup_token_ppm": ((nt - nd) * 1_000_000 // denom).astype("int64"),
+    })
+
+
+# --- sequence packing (concat-and-chunk) ---------------------------------
+
+def pack_sequences(docs_ds, budget: int = 512, text_col: str = "text",
+                   num_ranges: int = 64):
+    """GPT-style sequence packing: conceptually concatenate every
+    document's tokens in doc_id order and cut the stream every
+    ``budget`` tokens; report, per document, its global token offset
+    and the [first_seq, last_seq] training-sequence span it lands in.
+
+    The global offset is a distributed exclusive prefix sum
+    (:func:`..ops.relational.ordered_cumsum`): only (doc_id, n_tokens)
+    pairs ride the scan shuffle — never text. Empty documents occupy
+    their boundary sequence (span of one)."""
+    import numpy as np
+
+    from .relational import ordered_cumsum
+
+    counts = docs_ds.map_batches(
+        lambda b: token_counts(b, text_col=text_col)[["doc_id", "n_tokens"]],
+        batch_format="pandas")
+    scanned = ordered_cumsum(counts, "doc_id", "n_tokens",
+                             num_ranges=num_ranges)
+
+    def _pack(b: pd.DataFrame) -> pd.DataFrame:
+        cb = b["cum_before"].astype("int64")
+        n = b["n_tokens"].astype("int64")
+        span = np.maximum(n.to_numpy(), 1)
+        first = (cb // budget).astype("int64")
+        last = ((cb + span - 1) // budget).astype("int64")
+        return pd.DataFrame({"doc_id": b["doc_id"], "n_tokens": n,
+                             "cum_before": cb, "first_seq": first,
+                             "last_seq": last,
+                             "n_seqs": (last - first + 1).astype("int64")})
+
+    if isinstance(scanned, pd.DataFrame):  # empty-input typed frame
+        return _pack(scanned) if len(scanned) else scanned.assign(
+            first_seq=pd.Series(dtype="int64"), last_seq=pd.Series(dtype="int64"),
+            n_seqs=pd.Series(dtype="int64"))
+    return scanned.map_batches(_pack, batch_format="pandas")

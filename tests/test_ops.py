@@ -741,3 +741,92 @@ def test_range_join_vs_pandas_oracle(rds):
     assert len(got_left) == len(left)
     unmatched = got_left[got_left["rv"].isna()]
     assert set(unmatched["lv"]) == {4, 5}  # t=100 (no interval), k=3 (no right)
+
+
+def test_canonical_url_rules():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.urlkeys import (
+        canonical_url,
+    )
+
+    assert canonical_url("HTTP://Example.COM/Path/?q=1#frag") == "http://example.com/Path/?q=1"
+    assert canonical_url("http://a.com/x/") == "http://a.com/x"
+    assert canonical_url("https://A.com") == "https://a.com"
+    assert canonical_url("notaurl#x") == "notaurl"   # rule 2 skipped, fragment still dropped
+    assert canonical_url("/") == ""                  # lone slash strips to empty
+    assert canonical_url(None) == "" and canonical_url(123) == ""
+
+
+def test_canonical_keep_latest_argmax_and_counts(rds):
+    """Keep-latest picks max ts (ties: min url) per canonical key;
+    counts sum across partitions; '' canonicals are dropped."""
+    df = pd.DataFrame({
+        "url": ["http://A.com/x#1", "http://a.com/x/", "http://a.com/x",
+                "http://b.com/y", "HTTP://B.com/y", ""],
+        "warc_ts": [10, 30, 30, 7, 7, 99]})
+    got = (dedup_ops.canonical_keep_latest(rds.from_pandas(df, override_num_blocks=3))
+           .to_pandas().sort_values("canonical_url").reset_index(drop=True))
+    assert list(got["canonical_url"]) == ["http://a.com/x", "http://b.com/y"]
+    # a.com: ts 30 tie between 'http://a.com/x' and 'http://a.com/x/' -> min url wins
+    assert list(got["url"]) == ["http://a.com/x", "HTTP://B.com/y"]
+    assert list(got["warc_ts"]) == [30, 7]
+    assert list(got["n_crawls"]) == [3, 2]
+
+
+def test_pii_scrub_known_vectors(rds):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import text as T
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail a.b+c@x-y.org and d@e.io now",
+                 "call +4915512345678 or +123456 (too short)",
+                 None]})
+    got = T.pii_scrub(df)
+    assert list(got["n_emails"]) == [2, 0, 0]
+    assert list(got["n_phones"]) == [0, 1, 0]   # +123456 is 6 digits, below the 7 floor
+    import hashlib
+    want = hashlib.md5("call <PHONE> or +123456 (too short)".encode()).hexdigest()
+    assert got["redacted_md5"][1] == want
+    assert got["n_chars_redacted"][2] == 0
+
+
+def test_repetition_signals_known_vector():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import text as T
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["b a a b a", ""]})
+    got = T.repetition_signals(df)
+    r = got.iloc[0]
+    assert (r["n_tokens"], r["n_distinct"], r["top_token"]) == (5, 2, "a")
+    assert r["top_token_ppm"] == 3 * 1_000_000 // 5
+    assert r["dup_token_ppm"] == 3 * 1_000_000 // 5
+    empty = got.iloc[1]
+    assert (empty["n_tokens"], empty["top_token"], empty["top_token_ppm"]) == (0, "", 0)
+
+
+def test_ordered_cumsum_is_exclusive_scan(rds):
+    """Distributed scan == serial exclusive cumsum, invariant to block
+    count and to shuffled input order."""
+    rng = np.random.RandomState(7)
+    ids = rng.permutation(1000)
+    df = pd.DataFrame({"k": ids, "v": (ids * 7) % 13})
+    want = df.sort_values("k").reset_index(drop=True)
+    want["cum_before"] = want["v"].cumsum().shift(1, fill_value=0)
+    for blocks in (1, 8):
+        got = (relational.ordered_cumsum(
+            rds.from_pandas(df, override_num_blocks=blocks), "k", "v", num_ranges=16)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pack_sequences_boundaries(rds):
+    """Docs spanning a budget boundary get multi-sequence spans; empty
+    docs occupy one sequence; offsets chain exactly."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import text as T
+
+    texts = ["w " * 300, "", "w " * 300, "w " * 1100]
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [t.strip() for t in texts]})
+    got = (T.pack_sequences(rds.from_pandas(df, override_num_blocks=2), budget=512)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(got["cum_before"]) == [0, 300, 300, 600]
+    assert list(got["first_seq"]) == [0, 0, 0, 1]
+    assert list(got["last_seq"]) == [0, 0, 1, 3]   # doc 2 spans the 512 cut
+    assert list(got["n_seqs"]) == [1, 1, 2, 3]
