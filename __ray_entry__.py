@@ -710,6 +710,34 @@ def q_doc_repetition(sf_dir: str):
     return ds.map_batches(text_ops.repetition_signals, batch_format="pandas")
 
 
+def q_events_pivot_daily(sf_dir: str):
+    """Distributed pivot: one row per day, one summed value column per
+    event type (declared domain). Per-batch (day, type) partial sums +
+    ONE bucketed shuffle that pivots vectorized per bucket."""
+    ds = _tbl(sf_dir, "events", columns=["ts", "event_type", "value"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def _day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": b["ts"].dt.floor("D"),
+                             "event_type": b["event_type"], "value": b["value"]})
+
+    out = relational.pivot_aggregate(
+        ds.map_batches(_day, batch_format="pandas"),
+        row_key="day", col_key="event_type", value="value",
+        col_values=types).to_pandas()
+    for t in types:
+        out[f"sum_{t}"] = out[f"sum_{t}"].astype(float).round(4)
+    return out
+
+
+def q_inverted_index(sf_dir: str):
+    """Corpus inverted index (term -> df + ascending posting list) with
+    deterministic truncation of mega-terms; fully re-derived in SQL via
+    string_agg ORDER BY."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.inverted_index(ds, max_postings=1000)
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing at a 512-token budget; the
     global token offset comes from the distributed exclusive prefix
@@ -1295,6 +1323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pii_scrub": q_pii_scrub,
         "q_doc_repetition": q_doc_repetition,
         "q_pack_sequences": q_pack_sequences,
+        "q_events_pivot_daily": q_events_pivot_daily,
+        "q_inverted_index": q_inverted_index,
         # raw JSONL record parsing (M6/M7)
         "q_parse_records_openalex": q_parse_records_openalex,
         "q_parse_records_crossref": q_parse_records_crossref,
@@ -2134,6 +2164,31 @@ def oracle_sql() -> dict[str, str]:
                        // greatest(coalesce(a.nt, 0), 1) AS dup_token_ppm
             FROM documents d
             LEFT JOIN agg a USING (doc_id) LEFT JOIN top t USING (doc_id)
+        """,
+        "q_events_pivot_daily": r"""
+            SELECT date_trunc('day', ts) AS day,
+                   round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS sum_click,
+                   round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 4) AS sum_error,
+                   round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS sum_purchase,
+                   round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 4) AS sum_signup,
+                   round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 4) AS sum_view
+            FROM events GROUP BY 1
+        """,
+        "q_inverted_index": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, lower(term) AS term
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS term
+                    FROM documents)),
+            ranked AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+              FROM toks)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CASE WHEN rn <= 1000
+                                   THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM ranked GROUP BY term
         """,
         "q_pack_sequences": r"""
             WITH t AS (SELECT doc_id,

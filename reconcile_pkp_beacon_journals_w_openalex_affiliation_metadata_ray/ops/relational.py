@@ -575,3 +575,41 @@ def ordered_cumsum(ds, order_col: str, value_col: str, num_ranges: int = 64,
 
     return bucketed_map_groups(tagged, "__range", _scan,
                                num_buckets=min(num_ranges, 32))
+
+
+def pivot_aggregate(ds, row_key: str, col_key: str, value: str,
+                    col_values, num_buckets: int = 32, fill=0.0):
+    """Wide (pivot) aggregate: one output row per ``row_key`` value,
+    one ``sum_<v>`` column per entry of ``col_values`` (the pivoted
+    column domain must be declared up front — the standard distributed
+    pivot contract, since the output schema cannot depend on data).
+
+    Per-batch combiner collapses to <=1 row per (row, col) pair, so the
+    ONE coarse-bucketed shuffle moves partial sums only; each bucket
+    pivots vectorized. Unknown ``col_key`` values are dropped (they
+    would otherwise silently widen the schema); absent combinations
+    fill with ``fill``.
+    """
+    col_values = list(col_values)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[col_key].isin(col_values)]
+        out = b.groupby([row_key, col_key], as_index=False, sort=False).agg(
+            __s=(value, "sum"))
+        if out.empty:
+            return pd.DataFrame({
+                row_key: pd.Series(dtype=b[row_key].dtype if row_key in b else object),
+                col_key: pd.Series(dtype=object),
+                "__s": pd.Series(dtype="float64")})
+        return out
+
+    def _pivot(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(index=row_key, columns=col_key, values="__s",
+                          aggfunc="sum", fill_value=fill)
+        w = w.reindex(columns=col_values, fill_value=fill)
+        w.columns = [f"sum_{c}" for c in col_values]
+        return w.reset_index()
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return bucketed_map_groups(partials, row_key, _pivot,
+                               num_buckets=num_buckets)

@@ -303,3 +303,53 @@ def pack_sequences(docs_ds, budget: int = 512, text_col: str = "text",
             first_seq=pd.Series(dtype="int64"), last_seq=pd.Series(dtype="int64"),
             n_seqs=pd.Series(dtype="int64"))
     return scanned.map_batches(_pack, batch_format="pandas")
+
+
+# --- inverted index -------------------------------------------------------
+
+def inverted_index(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                   max_postings: int = 1000, num_buckets: int = 64):
+    """Corpus inverted index: term -> (df, postings), postings being
+    the comma-joined ASCENDING doc-id list. Terms are the tf-idf
+    tokenization (ASCII alnum runs, lowered after extraction) so the
+    same SQL re-derivation applies.
+
+    The shuffle payload is the distinct (term, doc_id) pair set — the
+    honest minimum for posting-list construction (per-batch dedup is
+    the combiner). Mega-terms (stopwords) are deterministically
+    truncated to the ``max_postings`` SMALLEST doc ids with the drop
+    LOGGED (no-silent-caps rule: ``df`` always remains the full
+    distinct-document count, so truncation is visible in the output
+    itself as df > n_postings)."""
+    import logging
+
+    logger = logging.getLogger(__name__)
+
+    def _pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tfidf_tokens(batch[text_col])
+        x = pd.DataFrame({id_col: batch[id_col].repeat(toks.str.len()),
+                          "term": [w for ws in toks for w in ws]})
+        if x.empty:  # typed empty — a bare [] column would drift to float64
+            return pd.DataFrame({id_col: pd.Series(dtype=batch[id_col].dtype),
+                                 "term": pd.Series(dtype=object)})
+        return x.drop_duplicates()
+
+    def _build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["term", id_col], kind="mergesort")
+        sizes = g.groupby("term", sort=False)[id_col].size()
+        kept = g.groupby("term", sort=False).head(max_postings)
+        n_dropped = len(g) - len(kept)
+        if n_dropped:
+            logger.warning(
+                "inverted_index: %d posting entries beyond max_postings=%d "
+                "truncated (df still counts them)", n_dropped, max_postings)
+        ids = kept[id_col].astype("int64").astype(str)
+        postings = ids.groupby(kept["term"].to_numpy(), sort=False).agg(",".join)
+        return pd.DataFrame({"term": sizes.index.to_numpy(),
+                             "df": sizes.to_numpy().astype("int64"),
+                             "postings": postings.reindex(sizes.index).to_numpy()})
+
+    from .relational import bucketed_map_groups
+
+    pairs = docs_ds.map_batches(_pairs, batch_format="pandas")
+    return bucketed_map_groups(pairs, "term", _build, num_buckets=num_buckets)

@@ -830,3 +830,40 @@ def test_pack_sequences_boundaries(rds):
     assert list(got["first_seq"]) == [0, 0, 0, 1]
     assert list(got["last_seq"]) == [0, 0, 1, 3]   # doc 2 spans the 512 cut
     assert list(got["n_seqs"]) == [1, 1, 2, 3]
+
+
+def test_pivot_aggregate_vs_pandas(rds):
+    """Distributed pivot == pandas pivot_table; absent combos fill 0;
+    undeclared col values are dropped, block-count invariant."""
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"r": rng.randint(0, 20, 500),
+                       "c": rng.choice(["a", "b", "z"], 500),
+                       "v": rng.randint(0, 100, 500).astype(float)})
+    want = (df[df["c"].isin(["a", "b"])]
+            .pivot_table(index="r", columns="c", values="v",
+                         aggfunc="sum", fill_value=0.0)
+            .reindex(columns=["a", "b"], fill_value=0.0).reset_index())
+    want.columns = ["r", "sum_a", "sum_b"]
+    for blocks in (1, 7):
+        got = (relational.pivot_aggregate(
+            rds.from_pandas(df, override_num_blocks=blocks),
+            "r", "c", "v", ["a", "b"])
+            .to_pandas().sort_values("r").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got, want.sort_values("r").reset_index(drop=True),
+            check_dtype=False, check_names=False)
+
+
+def test_inverted_index_postings_and_truncation(rds):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import text as T
+
+    df = pd.DataFrame({"doc_id": [3, 1, 2],
+                       "text": ["Cat dog cat", "dog", "bird DOG bird"]})
+    got = (T.inverted_index(rds.from_pandas(df, override_num_blocks=2))
+           .to_pandas().sort_values("term").reset_index(drop=True))
+    want = {"bird": (1, "2"), "cat": (1, "3"), "dog": (3, "1,2,3")}
+    assert dict(zip(got["term"], zip(got["df"], got["postings"]))) == want
+    # truncation: cap 2 -> postings keep the 2 smallest ids, df stays full
+    got2 = (T.inverted_index(rds.from_pandas(df), max_postings=2)
+            .to_pandas().set_index("term"))
+    assert got2.loc["dog", "df"] == 3 and got2.loc["dog", "postings"] == "1,2"
