@@ -748,6 +748,43 @@ def q_pack_sequences(sf_dir: str):
     return text_ops.pack_sequences(ds, budget=512)
 
 
+def q_event_value_histogram(sf_dir: str):
+    """Fixed-bin histogram of events.value: 50 bins over [0, 500),
+    per-batch np.bincount partials only (no shuffle). The float64 bin
+    expression is IEEE-identical in the SQL oracle, and empty bins are
+    emitted with n = 0 (the oracle uses a range() backbone)."""
+    ds = _tbl(sf_dir, "events", columns=["value"])
+    return relational.fixed_histogram(ds, "value", lo=0.0, hi=500.0, nbins=50)
+
+
+def q_length_quantile_filter(sf_dir: str):
+    """Global-quantile-threshold length filter: keep documents at or
+    under the EXACT corpus p90 of character length. The threshold comes
+    from the value-count reduction (ops.relational.global_quantile_disc
+    — DuckDB quantile_disc semantics, index ceil(q*n)-1); the filter is
+    a broadcast-scalar map_batches pass."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _len(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_chars": b["text"].fillna("").str.len().astype("int64")})
+
+    lens = ds.map_batches(_len, batch_format="pandas").materialize()
+    thr = int(relational.global_quantile_disc(lens, "n_chars", 0.9))
+    return lens.map_batches(lambda b: b[b["n_chars"] <= thr],
+                            batch_format="pandas")
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus top-50 adjacent-token bigrams (count desc, bigram asc at
+    the boundary). Combiner partials + one bucketed shuffle; the SQL
+    oracle re-derives the bigrams via regexp_extract_all +
+    list_transform and applies the same deterministic LIMIT rule."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.top_bigrams(ds, k=50)
+
+
 def q_sample_docs(sf_dir: str):
     """Seeded exact-k uniform sample (O3, `sample_csv/sample.py:5-14`).
     The chosen ids are persisted; the oracle re-joins them against the
@@ -1325,6 +1362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_sequences": q_pack_sequences,
         "q_events_pivot_daily": q_events_pivot_daily,
         "q_inverted_index": q_inverted_index,
+        "q_event_value_histogram": q_event_value_histogram,
+        "q_length_quantile_filter": q_length_quantile_filter,
+        "q_top_bigrams": q_top_bigrams,
         # raw JSONL record parsing (M6/M7)
         "q_parse_records_openalex": q_parse_records_openalex,
         "q_parse_records_crossref": q_parse_records_crossref,
@@ -2189,6 +2229,38 @@ def oracle_sql() -> dict[str, str]:
                                    THEN CAST(doc_id AS VARCHAR) END,
                               ',' ORDER BY doc_id) AS postings
             FROM ranked GROUP BY term
+        """,
+        "q_event_value_histogram": r"""
+            WITH src AS (
+              SELECT CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49)
+                          AS BIGINT) AS bin
+              FROM events WHERE value IS NOT NULL),
+            bins AS (SELECT CAST(r.range AS BIGINT) AS bin FROM range(0, 50) r),
+            agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                    FROM src GROUP BY bin)
+            SELECT b.bin, 0.0 + b.bin * 10.0 AS bin_lo,
+                   coalesce(a.n, CAST(0 AS BIGINT)) AS n
+            FROM bins b LEFT JOIN agg a USING (bin)
+        """,
+        "q_length_quantile_filter": r"""
+            WITH t AS (SELECT doc_id,
+                              CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+                       FROM documents),
+            q AS (SELECT quantile_disc(n_chars, 0.9) AS thr FROM t)
+            SELECT t.doc_id, t.n_chars FROM t, q WHERE t.n_chars <= q.thr
+        """,
+        "q_top_bigrams": r"""
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+              FROM documents),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i] || ' ' || arr[i + 1]))
+                         AS bigram
+              FROM toks),
+            agg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n
+                    FROM bg GROUP BY bigram)
+            SELECT bigram, n FROM agg ORDER BY n DESC, bigram LIMIT 50
         """,
         "q_pack_sequences": r"""
             WITH t AS (SELECT doc_id,

@@ -577,6 +577,61 @@ def ordered_cumsum(ds, order_col: str, value_col: str, num_ranges: int = 64,
                                num_buckets=min(num_ranges, 32))
 
 
+def fixed_histogram(ds, col: str, lo: float, hi: float, nbins: int):
+    """Fixed-bin histogram over a numeric column. Per-batch partial is
+    ONE ``np.bincount`` (nbins int64s per batch — no shuffle at all);
+    the driver sums the tiny O(batches x nbins) partial frames. The bin
+    rule ``min(max(floor((v - lo) / width), 0), nbins - 1)`` is
+    evaluated in float64 with the identical IEEE expression in the SQL
+    oracle, so the counts hash-match bit-for-bit. Returns nbins rows
+    (empty bins included, n = 0): ``bin``, ``bin_lo``, ``n``.
+    Scale shape: partials are nbins ints per batch regardless of input
+    size — the only driver state is nbins rows."""
+    import numpy as np
+
+    width = (hi - lo) / nbins
+    bins = np.arange(nbins, dtype=np.int64)
+
+    def _part(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].dropna().to_numpy(dtype="float64")
+        idx = np.clip(np.floor((v - lo) / width), 0, nbins - 1).astype(np.int64)
+        return pd.DataFrame({"bin": bins,
+                             "n": np.bincount(idx, minlength=nbins).astype("int64")})
+
+    parts = ds.map_batches(_part, batch_format="pandas").to_pandas()
+    agg = parts.groupby("bin", as_index=False, sort=True)["n"].sum()
+    agg = agg.set_index("bin").reindex(bins, fill_value=0).reset_index()
+    return pd.DataFrame({"bin": bins, "bin_lo": lo + bins * width,
+                         "n": agg["n"].astype("int64")})
+
+
+def global_quantile_disc(ds, col: str, q: float):
+    """EXACT global discrete quantile (DuckDB ``quantile_disc``
+    semantics: ascending order statistic at index ``ceil(q*n) - 1``)
+    via a value-count reduction: per-batch ``value_counts`` partials
+    (<= distinct-values rows per batch), driver combine, then position
+    arithmetic on the cumulative counts. Contract: the column's
+    distinct-value cardinality must be driver-small (lengths, integer
+    scores, bounded grids) — the full corpus never moves, only (value,
+    count) partials. Same bounded-grid trick as the exact score median
+    in stages/stats.py."""
+    import numpy as np
+
+    def _part(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].dropna().value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    parts = ds.map_batches(_part, batch_format="pandas").to_pandas()
+    agg = parts.groupby("v", sort=True)["n"].sum()
+    n = int(agg.sum())
+    if n == 0:
+        return None
+    k = int(np.ceil(q * n)) - 1  # 0-based order statistic
+    pos = int(np.searchsorted(agg.cumsum().to_numpy(), k + 1))
+    return agg.index[pos]
+
+
 def pivot_aggregate(ds, row_key: str, col_key: str, value: str,
                     col_values, num_buckets: int = 32, fill=0.0):
     """Wide (pivot) aggregate: one output row per ``row_key`` value,

@@ -305,6 +305,43 @@ def pack_sequences(docs_ds, budget: int = 512, text_col: str = "text",
     return scanned.map_batches(_pack, batch_format="pandas")
 
 
+def top_bigrams(docs_ds, text_col: str = "text", k: int = 50,
+                num_buckets: int = 64):
+    """Corpus-wide top-k adjacent-token bigrams (count desc, bigram asc
+    tie-break — fully deterministic at the k boundary). Tokenization is
+    the tf-idf rule (ASCII alnum runs, lowered) so DuckDB re-derives it
+    with regexp_extract_all + list_transform.
+
+    Shuffle discipline: the per-batch combiner collapses to one
+    (bigram, count) row per distinct bigram per batch; the ONE bucketed
+    shuffle moves those partials only. Because bucketing hashes the
+    bigram, each bucket holds the COMPLETE count for its bigrams, so a
+    per-bucket top-k prune is exact and the driver merges <= buckets*k
+    rows."""
+    def _part(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tfidf_tokens(batch[text_col])
+        grams = [a + " " + b for ws in toks for a, b in zip(ws, ws[1:])]
+        if not grams:
+            return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        vc = pd.Series(grams).value_counts()
+        return pd.DataFrame({"bigram": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    def _bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("bigram", as_index=False, sort=False)["n"].sum()
+        return (s.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(k))
+
+    from .relational import bucketed_map_groups
+
+    parts = docs_ds.map_batches(_part, batch_format="pandas")
+    tops = bucketed_map_groups(parts, "bigram", _bucket_top,
+                               num_buckets=num_buckets).to_pandas()
+    return (tops.sort_values(["n", "bigram"], ascending=[False, True],
+                             kind="mergesort").head(k).reset_index(drop=True))
+
+
 # --- inverted index -------------------------------------------------------
 
 def inverted_index(docs_ds, id_col: str = "doc_id", text_col: str = "text",

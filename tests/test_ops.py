@@ -867,3 +867,54 @@ def test_inverted_index_postings_and_truncation(rds):
     got2 = (T.inverted_index(rds.from_pandas(df), max_postings=2)
             .to_pandas().set_index("term"))
     assert got2.loc["dog", "df"] == 3 and got2.loc["dog", "postings"] == "1,2"
+
+
+def test_fixed_histogram_vs_numpy(rds):
+    """Histogram partial-merge == np.histogram on the same edges; empty
+    bins present with n=0; out-of-range values clamp to edge bins."""
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.uniform(0, 100, 800), [-5.0, 250.0]])
+    df = pd.DataFrame({"v": vals})
+    got = relational.fixed_histogram(
+        rds.from_pandas(df, override_num_blocks=5), "v",
+        lo=0.0, hi=100.0, nbins=10)
+    assert list(got["bin"]) == list(range(10))
+    # clip folds the out-of-range values into the edge bins, matching
+    # the operator's clamp rule
+    want, _ = np.histogram(np.clip(vals, 0, 99.999), bins=10, range=(0, 100))
+    assert got["n"].sum() == len(vals)
+    assert list(got["n"]) == list(want)
+    assert got["n"].dtype == "int64" and got["bin"].dtype == "int64"
+
+
+def test_global_quantile_disc_matches_duckdb(rds):
+    """Exact order-statistic quantile == DuckDB quantile_disc for
+    several q, including tie-heavy integer data and tiny n."""
+    import duckdb
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 40, 777)
+    df = pd.DataFrame({"x": vals})
+    con = duckdb.connect()
+    con.register("t", df)
+    for q in (0.1, 0.5, 0.9, 0.99, 1.0):
+        want = con.execute(f"select quantile_disc(x, {q}) from t").fetchone()[0]
+        got = relational.global_quantile_disc(
+            rds.from_pandas(df, override_num_blocks=6), "x", q)
+        assert got == want, (q, got, want)
+    assert relational.global_quantile_disc(
+        rds.from_pandas(pd.DataFrame({"x": [7]})), "x", 0.5) == 7
+
+
+def test_top_bigrams_deterministic(rds):
+    """Top-k bigrams: counts exact across block counts, tie-break is
+    bigram-ascending at equal counts."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import text as T
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["red cat red cat blue", "red cat sat",
+                                "Blue sky; blue sky"]})
+    for blocks in (1, 3):
+        got = T.top_bigrams(rds.from_pandas(df, override_num_blocks=blocks), k=3)
+        assert list(zip(got["bigram"], got["n"])) == [
+            ("red cat", 3), ("blue sky", 2), ("cat blue", 1)]
