@@ -816,6 +816,50 @@ def q_event_sessions(sf_dir: str):
         batch_format="pandas")
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle over the event log: distinct users per
+    (first-active-day cohort, day offset). Distinct-pair combiner + ONE
+    user-keyed bucketed shuffle; cells are calendar-bounded."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+    return windows.cohort_retention(ds)
+
+
+def q_event_funnel(sf_dir: str):
+    """Strict-sequence funnel view > click > purchase: users advance a
+    stage only with an event strictly after their previous-stage entry
+    time. Stage-projected combiner + one user-keyed shuffle; vectorized
+    per-bucket pointer walk (no per-user Python)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return windows.funnel_counts(ds, stages=["view", "click", "purchase"])
+
+
+def q_nation_revenue(sf_dir: str):
+    """Chained big-big + broadcast join: orders bucket-joined to
+    customer on custkey (the big-big leg — a deliberate regression
+    guard for the int-key dtype restoration in ops.relational
+    .bucket_join), pre-aggregated to one row per nationkey, then the
+    25-row nation dimension merged driver-side."""
+    orders = _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def _key(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"c_custkey": "o_custkey"})
+
+    j = relational.bucket_join(orders, cust.map_batches(_key, batch_format="pandas"),
+                               on="o_custkey")
+    agg = relational.pre_aggregated(j, keys="c_nationkey",
+                                    sums=("o_totalprice",), counts=True).to_pandas()
+    nation = _tbl(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out["revenue"] = out["sum_o_totalprice"].round(2)
+    out = out.rename(columns={"n": "n_orders"})
+    return out[["n_name", "n_orders", "revenue"]]
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization over the events log (stream-shaped op;
     30-minute gap)."""
@@ -1318,6 +1362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_by_type": q_events_by_type,
         "q_events_daily": q_events_daily,
         "q_top_event_per_user": q_top_event_per_user,
+        "q_cohort_retention": q_cohort_retention,
+        "q_event_funnel": q_event_funnel,
+        "q_nation_revenue": q_nation_revenue,
         "q_sessionize": q_sessionize,
         "q_event_sessions": q_event_sessions,
         "q_tumbling_window": q_tumbling_window,
@@ -1722,6 +1769,39 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_cohort_retention": r"""
+            WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+                       AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2
+        """,
+        "q_event_funnel": r"""
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS depth, 'view' AS stage,
+                   CAST(count(*) AS BIGINT) AS n_users FROM v
+            UNION ALL
+            SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+        """,
+        "q_nation_revenue": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "q_segment_revenue": """
             SELECT c_mktsegment, count(*) AS n_orders,

@@ -142,3 +142,95 @@ def running_aggregate(events_ds, key: str = "user_id", ts: str = "ts",
         })
 
     return bucketed_map_groups(events_ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def cohort_retention(events_ds, user_col: str = "user_id", ts: str = "ts",
+                     num_buckets: int = 32):
+    """Cohort retention triangle: users are cohorted by their FIRST
+    active day; output one row per (cohort_day, day_offset) with the
+    distinct-user count active at that offset.
+
+    Shuffle discipline: the per-batch combiner collapses the log to
+    distinct (user, day) pairs; ONE bucketed shuffle on user co-locates
+    each user's days, so first-day and offsets are computed vectorized
+    per bucket with no second keyed exchange. Each bucket emits partial
+    (cohort_day, day_offset, n) cells; the cross-bucket combine is
+    driver-side and bounded by O(days^2 / 2) cells per bucket —
+    calendar-sized, not data-sized."""
+    import numpy as np
+
+    def _days(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({user_col: b[user_col],
+                             "day": b[ts].dt.floor("D")}).drop_duplicates()
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        if g.empty:
+            return pd.DataFrame({"cohort_day": pd.Series(dtype=g["day"].dtype),
+                                 "day_offset": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        first = g.groupby(user_col, sort=False)["day"].transform("min")
+        cell = pd.DataFrame({
+            "cohort_day": first,
+            "day_offset": (g["day"] - first).dt.days.astype("int64")})
+        out = cell.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return out.rename(columns={"size": "n_users"}).astype({"n_users": "int64"})
+
+    actives = events_ds.map_batches(_days, batch_format="pandas")
+    parts = bucketed_map_groups(actives, user_col, _per_bucket,
+                                num_buckets=num_buckets).to_pandas()
+    out = parts.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def funnel_counts(events_ds, stages, user_col: str = "user_id",
+                  ts: str = "ts", type_col: str = "event_type",
+                  num_buckets: int = 32):
+    """Ordered funnel: how many users performed stage[0], then stage[1]
+    STRICTLY AFTER their first stage[0], then stage[2] strictly after
+    that, ... (the classic strict-sequence funnel). Returns one row per
+    funnel depth with the cumulative stage label and user count.
+
+    The per-batch combiner projects to (user, ts, type) for funnel
+    stage types only — all of a user's stage events must co-locate
+    (pointer advancement needs the full per-user timeline), so that
+    projection is the honest minimum shuffle payload. Per bucket the
+    pointer walk is vectorized: per-stage filtered groupby-min +
+    threshold merge, no per-user Python loop. Buckets emit
+    len(stages)-row partials; the driver sums them."""
+    import numpy as np
+
+    stages = list(stages)
+    labels = [">".join(stages[:i + 1]) for i in range(len(stages))]
+
+    def _proj(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[type_col].isin(stages)
+        return pd.DataFrame({user_col: b[user_col][m], ts: b[ts][m],
+                             type_col: b[type_col][m]})
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None  # Series user -> threshold ts of the previous stage
+        for i, s in enumerate(stages):
+            ev = g[g[type_col] == s]
+            if i > 0:
+                ev = ev.merge(cur.rename("__thr"), left_on=user_col,
+                              right_index=True)
+                # the merge adopts the threshold Series' index NAME
+                # (user_col), which would make the groupby below
+                # ambiguous (index level vs column)
+                ev = ev[ev[ts] > ev["__thr"]].reset_index(drop=True)
+            cur = ev.groupby(user_col, sort=False)[ts].min()
+            counts.append(len(cur))
+        return pd.DataFrame({"depth": np.arange(1, len(stages) + 1,
+                                                dtype="int64"),
+                             "stage": labels,
+                             "n_users": np.asarray(counts, dtype="int64")})
+
+    proj = events_ds.map_batches(_proj, batch_format="pandas")
+    parts = bucketed_map_groups(proj, user_col, _per_bucket,
+                                num_buckets=num_buckets).to_pandas()
+    out = parts.groupby(["depth", "stage"], as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("depth").reset_index(drop=True)

@@ -918,3 +918,52 @@ def test_top_bigrams_deterministic(rds):
         got = T.top_bigrams(rds.from_pandas(df, override_num_blocks=blocks), k=3)
         assert list(zip(got["bigram"], got["n"])) == [
             ("red cat", 3), ("blue sky", 2), ("cat blue", 1)]
+
+
+def test_cohort_retention_small(rds):
+    """Hand-checked retention triangle; multi-event days count once;
+    block-count invariant."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 11:00",  # u1 day0 twice
+        "2024-01-02 09:00",                        # u1 day1
+        "2024-01-01 12:00",                        # u2 day0
+        "2024-01-03 08:00",                        # u2 day2
+        "2024-01-02 07:00",                        # u3 cohort day 2
+    ])
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2, 2, 3], "ts": ts})
+    for blocks in (1, 4):
+        got = windows.cohort_retention(
+            rds.from_pandas(df, override_num_blocks=blocks))
+        got = got.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+        assert list(got["day_offset"]) == [0, 1, 2, 0]
+        assert list(got["n_users"]) == [2, 1, 1, 1]
+        assert got["cohort_day"].iloc[-1] == pd.Timestamp("2024-01-02")
+
+
+def test_funnel_counts_strict_order(rds):
+    """Strict-sequence semantics: a click BEFORE the first view does
+    not advance the funnel; equal timestamps do not advance (strict >)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    rows = [
+        # u1: full funnel in order
+        (1, "2024-01-01 10:00", "view"), (1, "2024-01-01 11:00", "click"),
+        (1, "2024-01-01 12:00", "purchase"),
+        # u2: click before view -> stops at view
+        (2, "2024-01-01 10:00", "click"), (2, "2024-01-01 11:00", "view"),
+        # u3: click at SAME ts as view -> strict > blocks it
+        (3, "2024-01-01 10:00", "view"), (3, "2024-01-01 10:00", "click"),
+        # u4: never views, purchases -> counted nowhere
+        (4, "2024-01-01 10:00", "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    for blocks in (1, 3):
+        got = windows.funnel_counts(
+            rds.from_pandas(df, override_num_blocks=blocks),
+            stages=["view", "click", "purchase"])
+        assert list(got["stage"]) == ["view", "view>click",
+                                      "view>click>purchase"]
+        assert list(got["n_users"]) == [3, 1, 1]
