@@ -785,6 +785,61 @@ def q_top_bigrams(sf_dir: str):
     return text_ops.top_bigrams(ds, k=50)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample without replacement (Efraimidis-Spirakis A-ES):
+    100 events with inclusion probability proportional to value. The
+    SQL oracle independently re-derives the FULL ranking — md5-derived
+    52-bit u, key = ln(u/2^52)/w, top-k with id tie-break — with the
+    verbatim float expression, so selection is value-hash checked."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.io import (
+        weighted_sample_aes,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["event_id", "value"])
+    return weighted_sample_aes(ds, k=100, weight_col="value",
+                               id_col="event_id")
+
+
+def q_clickers_not_buyers(sf_dir: str):
+    """Distributed set EXCEPT on a two-column key: distinct (user, day)
+    pairs with a click minus pairs with a purchase — one co-partitioned
+    shuffle, no broadcast side. Typed empty returned when the
+    difference is empty (the 0-row to_pandas trap)."""
+    ev = _tbl(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _days(etype):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            m = b["event_type"] == etype
+            return pd.DataFrame({"user_id": b["user_id"][m],
+                                 "day": b["ts"][m].dt.floor("D")})
+        return fn
+
+    clicks = ev.map_batches(_days("click"), batch_format="pandas")
+    buys = ev.map_batches(_days("purchase"), batch_format="pandas")
+    out = relational.set_op(clicks, buys, ["user_id", "day"],
+                            op="except").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "day": pd.Series(dtype="datetime64[us]")})
+    return out
+
+
+def q_value_props_corr(sf_dir: str):
+    """Pearson correlation of event value vs props-string length with
+    EXACT integer moment sums (order-independent), the float estimate
+    being ONE fixed expression replicated in the oracle SQL — the same
+    reproducible-approximate design as the HLL sketch."""
+    ds = _tbl(sf_dir, "events", columns=["value", "props"])
+
+    def _xy(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"value": b["value"],
+                             "plen": b["props"].str.len().astype("int64")})
+
+    return relational.correlation_exact(
+        ds.map_batches(_xy, batch_format="pandas"), "value", "plen",
+        x_scale=100, y_scale=1)
+
+
 def q_sample_docs(sf_dir: str):
     """Seeded exact-k uniform sample (O3, `sample_csv/sample.py:5-14`).
     The chosen ids are persisted; the oracle re-joins them against the
@@ -1412,6 +1467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_value_histogram": q_event_value_histogram,
         "q_length_quantile_filter": q_length_quantile_filter,
         "q_top_bigrams": q_top_bigrams,
+        "q_weighted_sample": q_weighted_sample,
+        "q_clickers_not_buyers": q_clickers_not_buyers,
+        "q_value_props_corr": q_value_props_corr,
         # raw JSONL record parsing (M6/M7)
         "q_parse_records_openalex": q_parse_records_openalex,
         "q_parse_records_crossref": q_parse_records_crossref,
@@ -2309,6 +2367,41 @@ def oracle_sql() -> dict[str, str]:
                                    THEN CAST(doc_id AS VARCHAR) END,
                               ',' ORDER BY doc_id) AS postings
             FROM ranked GROUP BY term
+        """,
+        "q_weighted_sample": r"""
+            WITH t AS (
+              SELECT event_id, value AS weight,
+                     ln((CAST(concat('0x', substr(md5(concat('42:',
+                            CAST(event_id AS VARCHAR))), 1, 13)) AS UBIGINT)
+                         + 1) / 4503599627370496.0) / value AS key
+              FROM events WHERE value > 0)
+            SELECT event_id, weight FROM t
+            ORDER BY key DESC, event_id LIMIT 100
+        """,
+        "q_clickers_not_buyers": r"""
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "q_value_props_corr": r"""
+            WITH m AS (
+              SELECT count(*) AS n,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS sx,
+                     sum(CAST(length(props) AS BIGINT)) AS sy,
+                     sum(CAST(round(value * 100) AS BIGINT)
+                         * CAST(length(props) AS BIGINT)) AS sxy,
+                     sum(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) AS sxx,
+                     sum(CAST(length(props) AS BIGINT)
+                         * CAST(length(props) AS BIGINT)) AS syy
+              FROM events)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+            FROM m
         """,
         "q_event_value_histogram": r"""
             WITH src AS (

@@ -668,3 +668,73 @@ def pivot_aggregate(ds, row_key: str, col_key: str, value: str,
     partials = ds.map_batches(_partial, batch_format="pandas")
     return bucketed_map_groups(partials, row_key, _pivot,
                                num_buckets=num_buckets)
+
+
+def set_op(left_ds, right_ds, cols, op: str = "except", num_buckets: int = 64):
+    """Distributed set EXCEPT / INTERSECT (distinct semantics, like the
+    ANSI operators): distinct rows of ``left`` minus / intersected with
+    the distinct rows of ``right`` over ``cols``.
+
+    Both sides are deduped per batch (combiner), tagged, and
+    co-partitioned in ONE shuffle keyed on the row hash — each bucket
+    then resolves membership vectorized with an isin-style merge, so
+    no side is ever broadcast or materialized whole."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if op not in ("except", "intersect"):
+        raise ValueError(f"op must be 'except' or 'intersect', got {op!r}")
+
+    def _tag(side):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[cols].drop_duplicates().copy()
+            out["__side"] = side
+            return out
+        return fn
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["__side"] == "l", cols].drop_duplicates()
+        right = g.loc[g["__side"] == "r", cols]
+        mask = pd.MultiIndex.from_frame(left[cols]).isin(
+            pd.MultiIndex.from_frame(right[cols]))
+        keep = ~mask if op == "except" else mask
+        return left[keep]
+
+    both = (left_ds.map_batches(_tag("l"), batch_format="pandas")
+            .union(right_ds.map_batches(_tag("r"), batch_format="pandas")))
+    return bucketed_map_groups(both, cols, _resolve, num_buckets=num_buckets)
+
+
+def correlation_exact(ds, x_col: str, y_col: str, x_scale: int = 100,
+                      y_scale: int = 1):
+    """Pearson correlation with EXACT integer moment accumulation so
+    the float result is bit-identical across engines and summation
+    orders: x and y are scaled to integers (x_scale/y_scale must make
+    them exact, e.g. 100 for 2-decimal values), per-batch int64 partial
+    sums (Sx, Sy, Sxy, Sxx, Syy, n) ride to the driver (6 ints per
+    batch, no shuffle), are combined in Python big-ints, and ONE fixed
+    float64 expression — replicated verbatim in the SQL oracle —
+    produces the estimate. The scale factors cancel algebraically in
+    Pearson r, so the integer moments ARE the real moments.
+
+    int64 bound: per-batch sum |x*y| * batch_size must stay under 2^63
+    — holds for bounded business values at any batch size used here;
+    the driver combine is arbitrary precision."""
+    import math
+
+    import numpy as np
+
+    def _part(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b[x_col].to_numpy(dtype="float64") * x_scale).astype("int64")
+        y = np.rint(b[y_col].to_numpy(dtype="float64") * y_scale).astype("int64")
+        return pd.DataFrame({
+            "n": [np.int64(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()]})
+
+    p = ds.map_batches(_part, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+    sxy, sxx, syy = int(p["sxy"].sum()), int(p["sxx"].sum()), int(p["syy"].sum())
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    r = num / den if den else float("nan")
+    return pd.DataFrame({"n": pd.array([n], dtype="int64"), "corr": [r]})

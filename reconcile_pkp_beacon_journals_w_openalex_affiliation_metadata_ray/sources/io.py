@@ -124,3 +124,51 @@ def stratified_sample(ds, k: int, group_col: str, id_col: str,
 def sample_fraction(ds, frac: float, seed: int = 42):
     """Bernoulli row sample (approximate size), seeded."""
     return ds.random_sample(frac, seed=seed)
+
+
+def weighted_sample_aes(ds, k: int, weight_col: str, id_col: str,
+                        seed: int = 42):
+    """Weighted random sample WITHOUT replacement (Efraimidis-Spirakis
+    A-ES, Inf. Process. Lett. 2006): inclusion probability proportional
+    to weight. Each row gets key = ln(u) / w with u derived from the
+    md5 of ``seed:id`` (first 13 hex chars = 52 bits, exact in
+    float64), and the k LARGEST keys win — equivalent to ranking by
+    u^(1/w) but with one libm call both engines evaluate identically
+    (ln + divide; the SQL oracle re-derives the full ranking with the
+    verbatim expression, independently of this code).
+
+    Scale shape: per-batch partial top-k, driver merges <= k rows per
+    block — no shuffle, same as :func:`sample_exact`. Rows with
+    non-positive weight are excluded (by A-ES definition)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    two52 = float(1 << 52)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[weight_col] > 0]
+        if b.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "weight": pd.Series(dtype="float64"),
+                                 "__key": pd.Series(dtype="float64")})
+        u_int = b[id_col].map(lambda v: int(hashlib.md5(
+            f"{seed}:{v}".encode("utf-8")).hexdigest()[:13], 16)).to_numpy(
+                dtype="float64")
+        w = b[weight_col].to_numpy(dtype="float64")
+        key = np.log((u_int + 1.0) / two52) / w
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(),
+                            "weight": w, "__key": key})
+        # same (key desc, id asc) rule as the global merge, so a tie at
+        # a batch's k boundary never drops the globally-winning row
+        return (out.sort_values(["__key", id_col], ascending=[False, True],
+                                kind="mergesort").head(min(k, len(out))))
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    top = (parts.sort_values(["__key", id_col], ascending=[False, True],
+                             kind="mergesort").head(k)
+           .drop(columns="__key").reset_index(drop=True))
+    return rd.from_pandas(top) if len(top) else rd.from_pandas(parts.drop(
+        columns="__key"))

@@ -967,3 +967,61 @@ def test_funnel_counts_strict_order(rds):
         assert list(got["stage"]) == ["view", "view>click",
                                       "view>click>purchase"]
         assert list(got["n_users"]) == [3, 1, 1]
+
+
+def test_set_op_except_intersect(rds):
+    """Set ops == pandas set algebra on distinct rows, both modes,
+    multi-column keys, block-count invariant."""
+    l = pd.DataFrame({"k": [1, 1, 2, 3, 4], "g": list("aabba")})
+    r = pd.DataFrame({"k": [2, 4, 5], "g": list("baz")})
+    lset = set(map(tuple, l.drop_duplicates().values))
+    rset = set(map(tuple, r.drop_duplicates().values))
+    for blocks in (1, 3):
+        ld = rds.from_pandas(l, override_num_blocks=blocks)
+        rd_ = rds.from_pandas(r, override_num_blocks=blocks)
+        exc = relational.set_op(ld, rd_, ["k", "g"], op="except").to_pandas()
+        assert set(map(tuple, exc.values)) == lset - rset
+        inter = relational.set_op(ld, rd_, ["k", "g"], op="intersect").to_pandas()
+        assert set(map(tuple, inter.values)) == lset & rset
+
+
+def test_correlation_exact_matches_numpy(rds):
+    """Integer-exact Pearson r == np.corrcoef to float64 precision and
+    is block-count invariant (bit-identical across partitionings)."""
+    rng = np.random.RandomState(5)
+    x = np.round(rng.uniform(0, 500, 1000), 2)
+    y = (x * 0.3 + rng.uniform(0, 50, 1000)).astype("int64")
+    df = pd.DataFrame({"x": x, "y": y})
+    want = np.corrcoef(x, y)[0, 1]
+    got = []
+    for blocks in (1, 7):
+        out = relational.correlation_exact(
+            rds.from_pandas(df, override_num_blocks=blocks), "x", "y",
+            x_scale=100, y_scale=1)
+        assert out["n"].iloc[0] == 1000
+        got.append(out["corr"].iloc[0])
+    assert got[0] == got[1]              # bit-identical across partitionings
+    assert abs(got[0] - want) < 1e-9
+
+
+def test_weighted_sample_aes(rds):
+    """A-ES: deterministic across block counts; heavier weights win
+    far more often; zero/negative weights are never selected."""
+    n = 2000
+    w = np.concatenate([np.full(1000, 10.0), np.full(998, 0.1), [0.0, -1.0]])
+    df = pd.DataFrame({"event_id": np.arange(n, dtype="int64"), "w": w})
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.io import (
+        weighted_sample_aes,
+    )
+
+    picks = []
+    for blocks in (1, 5):
+        got = weighted_sample_aes(
+            rds.from_pandas(df, override_num_blocks=blocks), k=200,
+            weight_col="w", id_col="event_id").to_pandas()
+        assert len(got) == 200
+        assert not set(got["event_id"]) & {1998, 1999}  # w <= 0 excluded
+        picks.append(tuple(sorted(got["event_id"])))
+    assert picks[0] == picks[1]
+    heavy = sum(1 for i in picks[0] if i < 1000)
+    assert heavy > 180  # 100x weight ratio -> heavy side dominates
