@@ -1251,6 +1251,62 @@ def q_block_keys(sf_dir: str):
     return keys
 
 
+def q_phonetic_blocks(sf_dir: str):
+    """Phonetic (Soundex-style) surname blocking — a beyond-reference
+    ER blocking family: the last token of each record's first-3
+    normalized authors is keyed by
+    ``functions.textnorm.phonetic_key`` (misspelled surnames such as
+    the fixtures' 'petrov'/'petrof' land in one block), then per key
+    we count distinct records and distinct full-name spellings.
+    Explode is zero-copy pyarrow (list_slice + list_parent_indices);
+    the distinct counts take ONE coarse-bucketed shuffle of
+    batch-deduped (key, record, name) triples. The oracle re-derives
+    the key ENTIRELY in SQL from the persisted record attributes —
+    the key algorithm was designed backref-free (translate + chained
+    per-digit run-collapse replaces) because DuckDB's RE2 has no
+    backreferences."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.textnorm import (
+        phonetic_key,
+    )
+
+    out = _reconcile(sf_dir)
+    _persist_linkage_artifacts(sf_dir, out)
+
+    def _explode(t: pa.Table) -> pd.DataFrame:
+        sliced = pc.list_slice(t["authors_norm"], 0, 3)
+        names = pc.list_flatten(sliced).to_pandas()
+        rid = pc.take(t["record_id"], pc.list_parent_indices(sliced)).to_pandas()
+        surnames = names.str.split().str[-1]
+        memo = {s: phonetic_key(s) for s in surnames.dropna().unique()}
+        df = pd.DataFrame({"phon_key": surnames.map(memo),
+                           "record_id": rid, "name": names})
+        df = df[df["phon_key"].fillna("") != ""].drop_duplicates()
+        if df.empty:
+            return pd.DataFrame({"phon_key": pd.Series(dtype=object),
+                                 "record_id": pd.Series(dtype=object),
+                                 "name": pd.Series(dtype=object)})
+        return df
+
+    def _per_key(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("phon_key", sort=True)
+        res = pd.DataFrame(
+            {"n_records": gb["record_id"].nunique().astype("int64"),
+             "n_names": gb["name"].nunique().astype("int64")})
+        res.index.name = "phonetic_key"
+        return res.reset_index()
+
+    exploded = out["records"].map_batches(
+        lambda t: _explode(t.select(["record_id", "authors_norm"])),
+        batch_format="pyarrow")
+    res = relational.bucketed_map_groups(
+        exploded, "phon_key", _per_key, num_buckets=32).to_pandas()
+    if res.empty:
+        return pd.DataFrame({"phonetic_key": pd.Series(dtype=object),
+                             "n_records": pd.Series(dtype="int64"),
+                             "n_names": pd.Series(dtype="int64")})
+    return res.sort_values("phonetic_key", kind="mergesort").reset_index(drop=True)
+
+
 def q_candidate_pairs(sf_dir: str):
     """Candidate pair generation. The oracle derives the ENTIRE
     doi-family pair set independently in SQL (records self-join on
@@ -1480,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_extract_mentions": q_extract_mentions,
         "q_extracted_text": q_extracted_text,
         "q_block_keys": q_block_keys,
+        "q_phonetic_blocks": q_phonetic_blocks,
         "q_candidate_pairs": q_candidate_pairs,
         "q_scored_pairs": q_scored_pairs,
         "q_clusters": q_clusters,
@@ -2601,6 +2658,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT block_key, record_id, has_doi
             FROM read_parquet('{fdir}/block_keys.parquet')
             WHERE regexp_matches(block_key, '^b[0-9]+:')
+        """,
+        # the phonetic key re-derived ENTIRELY in SQL: translate() maps
+        # letters to Soundex digit codes (extra chars in `from` are
+        # deleted), six per-digit regexp_replace calls collapse runs
+        # (DuckDB RE2 has no backreferences), the first letter's own
+        # code-run is stripped, then zero-pad to 3 digits
+        "q_phonetic_blocks": f"""
+            WITH names AS (
+              SELECT record_id, unnest(authors_norm[1:3]) AS name
+              FROM read_parquet('{fdir}/records_attrs.parquet')
+              WHERE len(authors_norm) > 0),
+            sur AS (
+              SELECT record_id, name,
+                     regexp_replace(upper(COALESCE(
+                         str_split_regex(trim(name), '\\s+')[-1], '')),
+                       '[^A-Z]', '', 'g') AS letters
+              FROM names),
+            phon AS (
+              SELECT record_id, name,
+                     substr(letters, 1, 1) AS first,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                         translate(letters,
+                                   'BFPVCGJKQSXZDTLMNRAEIOUHWY',
+                                   '111122222222334556'),
+                         '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'),
+                       '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g')
+                       AS coll
+              FROM sur WHERE letters <> ''),
+            keyed AS (
+              SELECT record_id, name,
+                     first || substr(
+                       CASE WHEN coll <> '' AND substr(coll, 1, 1) =
+                                 translate(first,
+                                           'BFPVCGJKQSXZDTLMNRAEIOUHWY',
+                                           '111122222222334556')
+                            THEN substr(coll, 2) ELSE coll END || '000',
+                       1, 3) AS phonetic_key
+              FROM phon)
+            SELECT phonetic_key,
+                   CAST(count(DISTINCT record_id) AS BIGINT) AS n_records,
+                   CAST(count(DISTINCT name) AS BIGINT) AS n_names
+            FROM keyed
+            GROUP BY phonetic_key
         """,
         # the ENTIRE doi family re-derived by a records self-join (also
         # proves fuzzy blocks pruned every both-DOI pair and the doi

@@ -87,3 +87,38 @@ def safe_float(value, default: float = 0.0) -> float:
         return float(value)
     except (ValueError, TypeError):
         return default
+
+
+_PHONETIC_MAP = {c: d for cs, d in
+                 (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                  ("L", "4"), ("MN", "5"), ("R", "6"))
+                 for c in cs}
+
+
+def phonetic_key(name) -> str:
+    """Soundex-style phonetic blocking key (beyond-reference ER
+    operator): first letter + the first 3 collapsed consonant codes,
+    zero-padded — 'Robert' and 'Rupert' both key to R163, so
+    misspelled author/entity names land in the same block.
+
+    Deliberate simplification vs archival US Soundex, chosen so the key
+    is EXACTLY re-derivable in SQL (regexp_replace chains, no
+    positional lambda): dropped letters (vowels, H, W, Y) do NOT act as
+    code separators — adjacent equal codes collapse even across them.
+    The first letter's own code (and its immediate run) is stripped per
+    the standard rule. Non-letters are ignored; no letters -> ''."""
+    if not isinstance(name, str):
+        return ""
+    letters = [c for c in name.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return ""
+    digits = [d for d in (_PHONETIC_MAP.get(c, "") for c in letters) if d]
+    out: list[str] = []
+    for d in digits:
+        if not out or out[-1] != d:
+            out.append(d)
+    s = "".join(out)
+    first = letters[0]
+    if s and _PHONETIC_MAP.get(first, "") == s[0]:
+        s = s[1:]
+    return first + (s + "000")[:3]

@@ -445,3 +445,73 @@ def test_indel_ratios_bulk_bit_exact_with_scalar():
     got = indel_ratios_bulk(cases)
     for (a, b), s in zip(cases, got):
         assert s == indel_ratio(a, b), (a, b, s)
+
+
+def test_phonetic_key_known_values():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.textnorm import (
+        phonetic_key,
+    )
+
+    # classic Soundex values where our simplification agrees
+    assert phonetic_key("Robert") == "R163"
+    assert phonetic_key("Rupert") == "R163"
+    assert phonetic_key("robert") == "R163"          # case-insensitive
+    assert phonetic_key("Ashcraft") == "A261"        # S+C collapse across H
+    assert phonetic_key("Pfister") == "P236"         # P,F same code -> strip run
+    # documented deliberate divergence: dropped letters do not separate
+    # runs, so Tymczak's Z/K collapse across the vowel (archival: T522)
+    assert phonetic_key("Tymczak") == "T520"
+    # the fixture misspelling pair blocks together
+    assert phonetic_key("petrov") == phonetic_key("petrof") == "P361"
+    # short names zero-pad; vowel-only keeps the letter
+    assert phonetic_key("Lee") == "L000"
+    assert phonetic_key("A") == "A000"
+    # non-letters ignored; degenerate inputs
+    assert phonetic_key("o'brien-2") == phonetic_key("obrien")
+    assert phonetic_key("") == ""
+    assert phonetic_key("123") == ""
+    assert phonetic_key(None) == ""
+
+
+def test_phonetic_key_matches_sql_derivation():
+    """The DuckDB re-derivation used by the q_phonetic_blocks oracle
+    (translate + six per-digit run-collapses + first-code strip) must be
+    bit-identical to the Python kernel on random strings."""
+    import random
+
+    import duckdb
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.textnorm import (
+        phonetic_key,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyzBCXZ '-."
+    names = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+             for _ in range(500)] + ["Robert", "Tymczak", "aeiou", "hwy"]
+    con = duckdb.connect()
+    got = con.execute(r"""
+        WITH s AS (
+          SELECT name,
+                 regexp_replace(upper(name), '[^A-Z]', '', 'g') AS letters
+          FROM (SELECT unnest($1) AS name)),
+        p AS (
+          SELECT name, substr(letters, 1, 1) AS first,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                     translate(letters, 'BFPVCGJKQSXZDTLMNRAEIOUHWY',
+                               '111122222222334556'),
+                     '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'),
+                   '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g') AS coll
+          FROM s)
+        SELECT name,
+               CASE WHEN first = '' THEN '' ELSE first || substr(
+                 CASE WHEN coll <> '' AND substr(coll, 1, 1) =
+                           translate(first, 'BFPVCGJKQSXZDTLMNRAEIOUHWY',
+                                     '111122222222334556')
+                      THEN substr(coll, 2) ELSE coll END || '000', 1, 3)
+               END AS k
+        FROM p
+    """, [names]).fetchall()
+    for name, k in got:
+        assert k == phonetic_key(name), name
