@@ -1307,6 +1307,37 @@ def q_phonetic_blocks(sf_dir: str):
     return res.sort_values("phonetic_key", kind="mergesort").reset_index(drop=True)
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (the classic ER alternative to
+    key-equality blocking): records are globally ranked by (first
+    normalized author, record_id) via the distributed prefix-scan rank
+    (ops.relational.global_rank — range partitioning on the
+    order-preserving 7-byte key prefix, O(num_ranges) driver state, no
+    payload AllToAll), then every record pairs with its window-1 rank
+    successors; each pair is generated in exactly one rank stripe. The
+    oracle is a full independent SQL re-derivation: row_number() over
+    (ORDER BY key, record_id) self-joined on 0 < rn_b - rn_a <= 4."""
+    out = _reconcile(sf_dir)
+    _persist_linkage_artifacts(sf_dir, out)
+
+    def _key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(pc.list_value_length(t["authors_norm"]), 0))
+        return pa.table({"record_id": t["record_id"],
+                         "sn_key": pc.list_element(t["authors_norm"], 0)})
+
+    recs = out["records"].map_batches(
+        lambda t: t.select(["record_id", "authors_norm"]),
+        batch_format="pyarrow").map_batches(_key, batch_format="pyarrow")
+    pairs = relational.sorted_neighborhood_pairs(
+        recs, "sn_key", "record_id", window=5).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"left_id": pd.Series(dtype=object),
+                             "right_id": pd.Series(dtype=object),
+                             "rank_dist": pd.Series(dtype="int64")})
+    return pairs.sort_values(["left_id", "right_id"],
+                             kind="mergesort").reset_index(drop=True)
+
+
 def q_candidate_pairs(sf_dir: str):
     """Candidate pair generation. The oracle derives the ENTIRE
     doi-family pair set independently in SQL (records self-join on
@@ -1537,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_extracted_text": q_extracted_text,
         "q_block_keys": q_block_keys,
         "q_phonetic_blocks": q_phonetic_blocks,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_candidate_pairs": q_candidate_pairs,
         "q_scored_pairs": q_scored_pairs,
         "q_clusters": q_clusters,
@@ -2702,6 +2734,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT name) AS BIGINT) AS n_names
             FROM keyed
             GROUP BY phonetic_key
+        """,
+        # the full sorted-neighborhood pair set re-derived independently
+        # in SQL: rank by (first author, record_id), self-join on rank
+        # distance — DuckDB's sort and the distributed prefix-scan rank
+        # must agree on every tie for this to hash-match
+        "q_sorted_neighborhood": f"""
+            WITH r AS (
+              SELECT record_id, authors_norm[1] AS k
+              FROM read_parquet('{fdir}/records_attrs.parquet')
+              WHERE len(authors_norm) > 0),
+            rk AS (
+              SELECT record_id,
+                     row_number() OVER (ORDER BY k, record_id) - 1 AS rn
+              FROM r)
+            SELECT a.record_id AS left_id, b.record_id AS right_id,
+                   CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+            FROM rk a JOIN rk b
+              ON b.rn > a.rn AND b.rn <= a.rn + 4
         """,
         # the ENTIRE doi family re-derived by a records self-join (also
         # proves fuzzy blocks pruned every both-DOI pair and the doi

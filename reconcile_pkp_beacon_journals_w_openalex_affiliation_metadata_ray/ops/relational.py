@@ -738,3 +738,133 @@ def correlation_exact(ds, x_col: str, y_col: str, x_scale: int = 100,
     den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
     r = num / den if den else float("nan")
     return pd.DataFrame({"n": pd.array([n], dtype="int64"), "corr": [r]})
+
+
+def _prefix56(s: str) -> int:
+    """First 7 UTF-8 bytes of ``s`` as a big-endian integer (< 2^56).
+    Order-preserving coarsening of lexicographic string order: if
+    a < b as strings then prefix56(a) <= prefix56(b), and equal
+    prefixes always land in the same contiguous range. 7 bytes (not 8)
+    so that ``(p - lo) * num_ranges`` stays exact in int64."""
+    return int.from_bytes(s.encode("utf-8")[:7].ljust(7, b"\0"), "big")
+
+
+def global_rank(ds, key_col: str, id_col: str, num_ranges: int = 64,
+                num_buckets: int = 32, out_col: str = "rn"):
+    """0-based GLOBAL row rank ordered by ``(key_col, id_col)`` — the
+    distributed equivalent of SQL ``row_number() OVER (ORDER BY key,
+    id) - 1`` for STRING sort keys (``ordered_cumsum`` covers unique
+    integer orders). Scale shape mirrors the three-step scan: rows are
+    range-partitioned on the order-preserving 7-byte key prefix
+    (contiguous intervals — all ties share a range), per-range counts
+    reach the driver (O(num_ranges) state), a tiny exclusive scan
+    yields range offsets, and ONE keyed shuffle sorts each range
+    locally and adds its offset. ``id_col`` must be globally unique so
+    the total order (and therefore every rank) is deterministic."""
+    from ray.data.aggregate import Max, Min
+
+    ds = ds.materialize()
+
+    def _tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        # nulls rank as "" (and stay "" in the output) so the local
+        # sort agrees with the prefix partitioning — pandas would
+        # otherwise sort NaN last while the prefix tags it first
+        keys = b[key_col].fillna("")
+        b[key_col] = keys
+        memo = {k: _prefix56(k) for k in pd.unique(keys)}
+        b["__p"] = keys.map(memo).astype("int64")
+        return b
+
+    tagged = ds.map_batches(_tag, batch_format="pandas").materialize()
+    if tagged.count() == 0:
+        schema = ds.schema()
+        cols = {n: pd.Series(dtype=t.to_pandas_dtype())
+                for n, t in zip(schema.names, schema.types)}
+        cols[out_col] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols)
+    res = tagged.aggregate(Min("__p"), Max("__p"))
+    lo, hi = int(res["min(__p)"]), int(res["max(__p)"])
+    span = max(hi - lo + 1, 1)
+
+    def _range(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__range"] = ((b["__p"] - lo) * num_ranges // span).astype("int64")
+        return b.drop(columns="__p")
+
+    ranged = tagged.map_batches(_range, batch_format="pandas").materialize()
+    counts = pre_aggregated(ranged.select_columns(["__range"]), "__range",
+                            counts=True, num_buckets=min(num_ranges, 32)
+                            ).to_pandas().sort_values("__range")
+    excl = counts["n"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(counts["__range"].astype("int64"), excl.astype("int64")))
+
+    def _local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__range", key_col, id_col], kind="mergesort").copy()
+        local = g.groupby("__range", sort=False).cumcount()
+        g[out_col] = (local + g["__range"].map(offsets)).astype("int64")
+        return g.drop(columns="__range")
+
+    return bucketed_map_groups(ranged, "__range", _local,
+                               num_buckets=min(num_ranges, num_buckets))
+
+
+def sorted_neighborhood_pairs(ds, key_col: str, id_col: str, window: int = 5,
+                              num_ranges: int = 64, num_buckets: int = 32):
+    """Sorted-neighborhood blocking (classic entity-resolution method:
+    sort the corpus by a blocking key and pair every record with its
+    ``window - 1`` successors). Equivalent SQL: rank rows by
+    ``(key, id)``, self-join on ``0 < rn_b - rn_a <= window - 1``.
+
+    Distributed shape: :func:`global_rank` assigns ranks without any
+    AllToAll sort of payload columns, then each row is emitted into its
+    rank-stripe ``floor(rn / g)`` and the preceding stripe (g = window
+    - 1), so every qualifying pair is generated in EXACTLY one stripe
+    group (the one owning the left/lower rank). Stripe groups hold
+    ~2g rows each and are processed vectorized via the coarse-bucket
+    shuffle — pair emission never needs a quadratic block or a global
+    sort of the pair set. Returns (left_id, right_id, rank_dist) with
+    left = lower rank."""
+    import numpy as np
+
+    g = int(window) - 1
+    if g <= 0:
+        raise ValueError("window must be >= 2")
+    ranked = global_rank(ds.select_columns([key_col, id_col]), key_col,
+                         id_col, num_ranges=num_ranges,
+                         num_buckets=num_buckets)
+
+    def _emit(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, "rn"]].copy()
+        stripe = (b["rn"] // g).astype("int64")
+        own = b.assign(__stripe=stripe)
+        prev = b[stripe > 0].assign(__stripe=stripe[stripe > 0] - 1)
+        return pd.concat([own, prev], ignore_index=True)
+
+    def _pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"left_id": pd.Series(dtype=object),
+                              "right_id": pd.Series(dtype=object),
+                              "rank_dist": pd.Series(dtype="int64")})
+        out = [empty]
+        for stripe, sg in grp.groupby("__stripe", sort=False):
+            sg = sg.sort_values("rn", kind="mergesort")
+            rn = sg["rn"].to_numpy(dtype="int64")
+            ids = sg[id_col].to_numpy(dtype=object)
+            own_mask = (rn // g) == stripe  # left side must own the stripe
+            # per left row: its successors within rank distance g —
+            # repeat/arange emission, no per-row Python loop
+            hi_idx = np.searchsorted(rn, rn + g, side="right")
+            idx = np.flatnonzero(own_mask)
+            cnt = np.maximum(hi_idx[idx] - idx - 1, 0)
+            if cnt.sum():
+                li = np.repeat(idx, cnt)
+                starts = np.cumsum(cnt) - cnt
+                ri = li + 1 + (np.arange(cnt.sum()) - np.repeat(starts, cnt))
+                out.append(pd.DataFrame({
+                    "left_id": ids[li], "right_id": ids[ri],
+                    "rank_dist": (rn[ri] - rn[li]).astype("int64")}))
+        return pd.concat(out, ignore_index=True)
+
+    emitted = ranked.map_batches(_emit, batch_format="pandas")
+    return bucketed_map_groups(emitted, "__stripe", _pairs,
+                               num_buckets=num_buckets)

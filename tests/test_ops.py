@@ -1025,3 +1025,37 @@ def test_weighted_sample_aes(rds):
     assert picks[0] == picks[1]
     heavy = sum(1 for i in picks[0] if i < 1000)
     assert heavy > 180  # 100x weight ratio -> heavy side dominates
+
+
+def test_global_rank_and_sorted_neighborhood():
+    """global_rank must equal row_number() over (key, id) for string
+    keys incl. heavy ties/empties; sorted_neighborhood_pairs must emit
+    exactly the window-successor pairs, each once."""
+    import random
+
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import relational as R
+
+    rng = random.Random(3)
+    n = 400
+    df = pd.DataFrame({
+        "k": ["".join(rng.choice("abc") for _ in range(rng.randint(0, 4)))
+              for _ in range(n)],
+        "id": [f"r{i:04d}" for i in range(n)]})
+    ds = ray.data.from_pandas(df).repartition(7)
+    ranked = R.global_rank(ds, "k", "id").to_pandas().sort_values("rn")
+    exp = df.sort_values(["k", "id"], kind="mergesort").reset_index(drop=True)
+    assert (ranked.reset_index(drop=True)["id"] == exp["id"]).all()
+    assert sorted(ranked["rn"]) == list(range(n))
+
+    w = 5
+    pairs = (R.sorted_neighborhood_pairs(ds, "k", "id", window=w).to_pandas()
+             .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    order = exp["id"].tolist()
+    bf = pd.DataFrame(
+        [(order[i], order[i + d], d)
+         for i in range(n) for d in range(1, w) if i + d < n],
+        columns=["left_id", "right_id", "rank_dist"]
+    ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    assert pairs.equals(bf)
