@@ -471,6 +471,44 @@ def q_minhash_near_dups(sf_dir: str):
     return df
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-duplicate DOCUMENT CLUSTERS with keep-one canonical
+    selection — the decision layer of corpus dedup: connected
+    components (stages/cluster.py min-id labeling) over the verified
+    MinHash-LSH pair graph; canonical doc = min doc_id of its
+    component, `keep` marks the survivor. Only docs appearing in >=1
+    near-dup pair are emitted (singletons carry no dedup decision).
+    The oracle recomputes the transitive closure INDEPENDENTLY via a
+    recursive CTE over the persisted edge set — the same edges whose
+    pair-level truth q_minhash_near_dups' oracle already re-derives
+    from the raw corpus."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.cluster import (
+        connected_components_auto,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_ops.minhash_lsh_pairs(ds, jaccard_threshold=0.6)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    edges = df[["left_id", "right_id"]]
+    _persist_oracle_input(edges, sf_dir, "dup_cluster_edges",
+                          sort_cols=["left_id", "right_id"])
+    import ray
+
+    labels = connected_components_auto(
+        ray.data.from_pandas(edges) if len(edges) else
+        ray.data.from_pandas(pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                                           "right_id": pd.Series(dtype="int64")})))
+    lab = labels.to_pandas()
+    if lab.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "dup_cluster": pd.Series(dtype="int64"),
+                             "keep": pd.Series(dtype=bool)})
+    res = pd.DataFrame({"doc_id": lab["record_id"].astype("int64"),
+                        "dup_cluster": lab["cluster_id"].astype("int64")})
+    res["keep"] = res["doc_id"] == res["dup_cluster"]
+    return res.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     """Exact all-pairs n-gram-Jaccard near-dups at >= 0.6 — the ground
     truth the MinHash-LSH path approximates; fully SQL-expressible, so
@@ -953,6 +991,36 @@ def q_running_sum(sf_dir: str):
     return windows.running_aggregate(ds)
 
 
+def q_user_value_ranks(sf_dir: str):
+    """Distributed DENSE_RANK leaderboard: per-user total event value
+    (integer hundredths so the totals — and therefore every tie — are
+    bit-exact across engines), then ops.relational.dense_rank_join:
+    distinct totals -> prefix-scan position (O(num_ranges) driver
+    state) -> one bucket_join stamps each user's rank. The oracle
+    recomputes with SQL's native dense_rank() window."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "value"])
+
+    def _vh(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "vh": np.rint(b["value"].to_numpy(dtype="float64") * 100
+                          ).astype("int64")})
+
+    totals = relational.pre_aggregated(
+        ds.map_batches(_vh, batch_format="pandas"), "user_id",
+        sums=["vh"], counts=False).map_batches(
+        lambda b: b.rename(columns={"sum_vh": "total_h"}),
+        batch_format="pandas")
+    out = relational.dense_rank_join(totals, "total_h").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "total_h": pd.Series(dtype="int64"),
+                             "dense_rank": pd.Series(dtype="int64")})
+    return (out[["user_id", "total_h", "dense_rank"]]
+            .sort_values("user_id", kind="mergesort").reset_index(drop=True))
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-3 characteristic terms per document by tf-idf (rational idf
     variant — bit-exact across engines, see ops/text.tfidf_top_terms).
@@ -1338,6 +1406,54 @@ def q_sorted_neighborhood(sf_dir: str):
                              kind="mergesort").reset_index(drop=True)
 
 
+def q_token_blocks(sf_dir: str):
+    """Token blocking with document-frequency pruning (the
+    attribute-clustering ER blocking family): every author-name token
+    (length >= 2) is a candidate block key; tokens with df < 2 produce
+    no pairs and tokens with df > 10 are hot keys — both pruned. Two
+    passes, both combiner-shaped: per-record distinct tokens (each
+    record's lists live in one row, so per-batch dedup IS global), a
+    pre-aggregated df count, then one bucket_join of the token stream
+    against the surviving window. The oracle re-derives everything in
+    SQL (unnest + regexp split + df window)."""
+    out = _reconcile(sf_dir)
+    _persist_linkage_artifacts(sf_dir, out)
+
+    def _toks(t: pa.Table) -> pd.DataFrame:
+        names = pc.list_flatten(t["authors_norm"]).to_pandas()
+        rid = pc.take(t["record_id"],
+                      pc.list_parent_indices(t["authors_norm"])).to_pandas()
+        df = pd.DataFrame({"record_id": rid, "token": names.str.split()})
+        df = df.explode("token", ignore_index=True)
+        df = df[df["token"].str.len() >= 2]
+        df = df.drop_duplicates()
+        if df.empty:
+            return pd.DataFrame({"record_id": pd.Series(dtype=object),
+                                 "token": pd.Series(dtype=object)})
+        return df
+
+    toks = out["records"].map_batches(
+        lambda t: t.select(["record_id", "authors_norm"]),
+        batch_format="pyarrow").map_batches(
+        _toks, batch_format="pyarrow").materialize()
+    dfc = relational.pre_aggregated(
+        toks.map_batches(lambda b: b[["token"]], batch_format="pandas"),
+        "token", counts=True, num_buckets=32)
+    allowed = dfc.map_batches(
+        lambda b: b[(b["n"] >= 2) & (b["n"] <= 10)].rename(columns={"n": "df"}),
+        batch_format="pandas")
+    joined = relational.bucket_join(toks, allowed, on="token",
+                                    num_buckets=32).to_pandas()
+    if joined.empty:
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "record_id": pd.Series(dtype=object),
+                             "df": pd.Series(dtype="int64")})
+    joined["df"] = joined["df"].astype("int64")
+    return (joined[["token", "record_id", "df"]]
+            .sort_values(["token", "record_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_candidate_pairs(sf_dir: str):
     """Candidate pair generation. The oracle derives the ENTIRE
     doi-family pair set independently in SQL (records self-join on
@@ -1512,6 +1628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tumbling_window": q_tumbling_window,
         "q_hopping_window": q_hopping_window,
         "q_running_sum": q_running_sum,
+        "q_user_value_ranks": q_user_value_ranks,
         "q_event_deltas": q_event_deltas,
         "q_rollup_revenue": q_rollup_revenue,
         "q_stratified_sample": q_stratified_sample,
@@ -1535,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_lang_id": q_doc_lang_id,
         "q_doc_simhash": q_doc_simhash,
         "q_minhash_near_dups": q_minhash_near_dups,
+        "q_dup_clusters": q_dup_clusters,
         "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_embedding_near_dups": q_embedding_near_dups,
@@ -1569,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_block_keys": q_block_keys,
         "q_phonetic_blocks": q_phonetic_blocks,
         "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_token_blocks": q_token_blocks,
         "q_candidate_pairs": q_candidate_pairs,
         "q_scored_pairs": q_scored_pairs,
         "q_clusters": q_clusters,
@@ -1916,6 +2035,18 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_user_value_ranks": """
+            WITH t AS (
+              SELECT user_id,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                         AS total_h
+              FROM events WHERE value IS NOT NULL
+              GROUP BY user_id)
+            SELECT user_id, total_h,
+                   CAST(dense_rank() OVER (ORDER BY total_h DESC) AS BIGINT)
+                       AS dense_rank
+            FROM t
         """,
         "q_cohort_retention": r"""
             WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
@@ -2349,6 +2480,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS record_id, min(reach) AS cluster_id
             FROM walk GROUP BY node
         """,
+        # independent transitive closure over the near-dup pair graph
+        # (nodes = every id in an edge; min-id labels; keep = canonical)
+        "q_dup_clusters": f"""
+            WITH RECURSIVE
+            e0 AS (SELECT left_id AS a, right_id AS b
+                   FROM read_parquet('{fdir}/dup_cluster_edges.parquet')),
+            edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            walk (node, reach) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT w.node, e.b
+              FROM walk w JOIN edges e ON e.a = w.reach
+            )
+            SELECT node AS doc_id, min(reach) AS dup_cluster,
+                   node = min(reach) AS keep
+            FROM walk GROUP BY node
+        """,
         "q_url_canonical_dedup": rf"""
             WITH p AS (SELECT url, epoch_us(warc_ts) AS warc_ts
                        FROM read_parquet('{fdir}/pages.parquet')),
@@ -2734,6 +2883,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT name) AS BIGINT) AS n_names
             FROM keyed
             GROUP BY phonetic_key
+        """,
+        # token blocking fully re-derived: unnest authors, regexp-split
+        # to tokens, per-record distinct, df window [2, 10]
+        "q_token_blocks": f"""
+            WITH a AS (
+              SELECT record_id, unnest(authors_norm) AS name
+              FROM read_parquet('{fdir}/records_attrs.parquet')),
+            toks AS (
+              SELECT DISTINCT record_id,
+                     unnest(str_split_regex(trim(name), '\\s+')) AS token
+              FROM a),
+            t2 AS (SELECT record_id, token FROM toks WHERE length(token) >= 2),
+            dfc AS (SELECT token, count(*) AS df FROM t2 GROUP BY token)
+            SELECT t.token, t.record_id, d.df
+            FROM t2 t JOIN dfc d USING (token)
+            WHERE d.df BETWEEN 2 AND 10
         """,
         # the full sorted-neighborhood pair set re-derived independently
         # in SQL: rank by (first author, record_id), self-join on rank

@@ -868,3 +868,41 @@ def sorted_neighborhood_pairs(ds, key_col: str, id_col: str, window: int = 5,
     emitted = ranked.map_batches(_emit, batch_format="pandas")
     return bucketed_map_groups(emitted, "__stripe", _pairs,
                                num_buckets=num_buckets)
+
+
+def dense_rank_join(ds, value_col: str, descending: bool = True,
+                    out_col: str = "dense_rank", num_ranges: int = 64,
+                    num_buckets: int = 32):
+    """Distributed ``DENSE_RANK() OVER (ORDER BY value_col)`` for an
+    INTEGER value column. Dense rank depends only on the DISTINCT value
+    set, so the shape is: distinct values (combiner + one bucketed
+    reduce — O(distinct) rows, never O(rows)), a 0-based prefix-scan
+    position over them (:func:`ordered_cumsum` with weight 1 —
+    O(num_ranges) driver state), then ONE bucket_join stamps each row
+    with its value's rank. Ties share a rank and no ranks are skipped,
+    by construction. ``descending=True`` gives leaderboard order
+    (rank 1 = largest value)."""
+    import numpy as np
+
+    vals = distinct(ds.select_columns([value_col]), [value_col])
+    vals = vals.map_batches(
+        lambda b: b.assign(__one=np.ones(len(b), dtype="int64")),
+        batch_format="pandas")
+    ranked = ordered_cumsum(vals, order_col=value_col, value_col="__one",
+                            num_ranges=num_ranges, out_col="__rank0")
+    if isinstance(ranked, pd.DataFrame):  # empty input
+        schema = ds.schema()
+        cols = {n: pd.Series(dtype=t.to_pandas_dtype())
+                for n, t in zip(schema.names, schema.types)}
+        cols[out_col] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols)
+    ranked = ranked.materialize()
+    n_distinct = ranked.count()
+
+    def _rank(b: pd.DataFrame) -> pd.DataFrame:
+        r = (n_distinct - b["__rank0"] if descending else b["__rank0"] + 1)
+        return pd.DataFrame({value_col: b[value_col],
+                             out_col: r.astype("int64")})
+
+    return bucket_join(ds, ranked.map_batches(_rank, batch_format="pandas"),
+                       on=value_col, num_buckets=num_buckets)

@@ -1059,3 +1059,21 @@ def test_global_rank_and_sorted_neighborhood():
         columns=["left_id", "right_id", "rank_dist"]
     ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
     assert pairs.equals(bf)
+
+
+def test_dense_rank_join_ties_and_direction():
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import relational as R
+
+    df = pd.DataFrame({"id": list(range(10)),
+                       "v": [5, 3, 5, 1, 9, 3, 9, 9, 1, 7]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    for desc in (True, False):
+        got = (R.dense_rank_join(ds, "v", descending=desc, out_col="dr")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        exp = df.copy()
+        exp["dr"] = exp["v"].rank(method="dense",
+                                  ascending=not desc).astype("int64")
+        assert got[["id", "v", "dr"]].sort_values("id").reset_index(
+            drop=True).equals(exp[["id", "v", "dr"]])
