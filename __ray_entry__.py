@@ -1021,6 +1021,68 @@ def q_user_value_ranks(sf_dir: str):
             .sort_values("user_id", kind="mergesort").reset_index(drop=True))
 
 
+def q_copurchase(sf_dir: str):
+    """Market-basket co-occurrence (ops.relational.cooccurrence_pairs):
+    for every unordered event-type pair, how many users did both.
+    Group-bucketed self-merge with per-bucket partial counts; oracle is
+    the full distinct self-join in SQL."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+    out = relational.cooccurrence_pairs(ds, "user_id", "event_type").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"item_a": pd.Series(dtype=object),
+                             "item_b": pd.Series(dtype=object),
+                             "n_groups": pd.Series(dtype="int64")})
+    out["n_groups"] = out["n_groups"].astype("int64")
+    return out.sort_values(["item_a", "item_b"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def q_user_event_types(sf_dir: str):
+    """collect_set per user: sorted distinct event types joined with
+    '|' (ops.relational.collect_set_strings — factorize + reduceat, no
+    per-group lambda). Oracle: string_agg(DISTINCT .. ORDER BY)."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+    out = relational.collect_set_strings(ds, "user_id", "event_type",
+                                         out_col="types").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "types": pd.Series(dtype=object)})
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_event_throttle(sf_dir: str):
+    """Rapid-fire suppression (ops.windows.throttle_events): keep an
+    event iff first for its user or >= 60 s after the user's previous
+    RAW event; emitted gap is integer microseconds (-1 for firsts).
+    Oracle: lag() window + epoch_us arithmetic."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = windows.throttle_events(ds, min_gap_seconds=60.0).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_id": pd.Series(dtype="int64"),
+                             "ts": pd.Series(dtype="datetime64[us]"),
+                             "gap_us": pd.Series(dtype="int64")})
+    return (out[["user_id", "event_id", "ts", "gap_us"]]
+            .sort_values("event_id", kind="mergesort").reset_index(drop=True))
+
+
+def q_doc_rare_tokens(sf_dir: str):
+    """Per-doc corpus-frequency stats (ops.text.rare_token_stats):
+    distinct-term count, min and sum of corpus df — the rare-token
+    quality-filter signal, all integers, fully SQL re-derived."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_ops.rare_token_stats(ds).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_terms": pd.Series(dtype="int64"),
+                             "min_df": pd.Series(dtype="int64"),
+                             "sum_df": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-3 characteristic terms per document by tf-idf (rational idf
     variant — bit-exact across engines, see ops/text.tfidf_top_terms).
@@ -1629,6 +1691,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window": q_hopping_window,
         "q_running_sum": q_running_sum,
         "q_user_value_ranks": q_user_value_ranks,
+        "q_copurchase": q_copurchase,
+        "q_user_event_types": q_user_event_types,
+        "q_event_throttle": q_event_throttle,
+        "q_doc_rare_tokens": q_doc_rare_tokens,
         "q_event_deltas": q_event_deltas,
         "q_rollup_revenue": q_rollup_revenue,
         "q_stratified_sample": q_stratified_sample,
@@ -2035,6 +2101,47 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_copurchase": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "q_user_event_types": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, '|' ORDER BY event_type)
+                       AS types
+            FROM events GROUP BY user_id
+        """,
+        "q_event_throttle": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pts
+              FROM events)
+            SELECT user_id, event_id, ts,
+                   CAST(COALESCE(epoch_us(ts) - epoch_us(pts), -1) AS BIGINT)
+                       AS gap_us
+            FROM o
+            WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) >= 60000000
+        """,
+        "q_doc_rare_tokens": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, lower(term) AS term
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                               AS term
+                    FROM documents)),
+            dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM toks GROUP BY term)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(min(df) AS BIGINT) AS min_df,
+                   CAST(sum(df) AS BIGINT) AS sum_df
+            FROM toks JOIN dfs USING (term)
+            GROUP BY doc_id
         """,
         "q_user_value_ranks": """
             WITH t AS (

@@ -906,3 +906,78 @@ def dense_rank_join(ds, value_col: str, descending: bool = True,
 
     return bucket_join(ds, ranked.map_batches(_rank, batch_format="pandas"),
                        on=value_col, num_buckets=num_buckets)
+
+
+def cooccurrence_pairs(ds, group_col: str, item_col: str,
+                       num_buckets: int = 32):
+    """Market-basket co-occurrence: for every unordered item pair,
+    the number of groups containing BOTH (SQL: distinct (group, item)
+    self-joined on group with item_a < item_b, counted). Groups are
+    hash-partitioned into coarse buckets (all rows of a group share a
+    bucket), each bucket does one C-level self-merge of its distinct
+    rows, and only per-bucket (pair, partial-count) aggregates ride to
+    the final tiny reduce — the quadratic blow-up is bounded per group
+    (distinct items per group), never global."""
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[group_col, item_col]].drop_duplicates()
+        m = d.merge(d, on=group_col, suffixes=("_a", "_b"))
+        ia, ib = f"{item_col}_a", f"{item_col}_b"
+        m = m[m[ia] < m[ib]]
+        out = (m.groupby([ia, ib], as_index=False, sort=False)
+               .size().rename(columns={"size": "n_part",
+                                       ia: "item_a", ib: "item_b"}))
+        if out.empty:
+            return pd.DataFrame({"item_a": pd.Series(dtype=object),
+                                 "item_b": pd.Series(dtype=object),
+                                 "n_part": pd.Series(dtype="int64")})
+        out["n_part"] = out["n_part"].astype("int64")
+        return out
+
+    # per-batch distinct is the combiner; cross-batch duplicates of a
+    # (group, item) collapse inside the group's bucket before pairing
+    dedup = ds.map_batches(
+        lambda b: b[[group_col, item_col]].drop_duplicates(),
+        batch_format="pandas")
+    partials = bucketed_map_groups(dedup, group_col, _per_bucket,
+                                   num_buckets=num_buckets)
+    out = pre_aggregated(partials, ["item_a", "item_b"], sums=["n_part"],
+                         counts=False, num_buckets=8)
+    return out.map_batches(
+        lambda b: b.rename(columns={"sum_n_part": "n_groups"}),
+        batch_format="pandas")
+
+
+def collect_set_strings(ds, group_col: str, item_col: str, sep: str = "|",
+                        num_buckets: int = 32, out_col: str = "items"):
+    """collect_set-style aggregate Ray Data lacks natively: per group,
+    the SORTED DISTINCT item strings joined with ``sep`` (SQL:
+    string_agg(DISTINCT item, sep ORDER BY item)). Per-batch distinct
+    combiner, one coarse-bucketed shuffle, vectorized sort + a single
+    C-level str.cat per bucket."""
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g[[group_col, item_col]].drop_duplicates()
+             .sort_values([group_col, item_col], kind="mergesort"))
+        if d.empty:
+            return pd.DataFrame({group_col: pd.Series(dtype=object),
+                                 out_col: pd.Series(dtype=object)})
+        import numpy as np
+
+        # factorize + reduceat, not a per-group join lambda (the
+        # string-groupby-with-lambda path measures ~40x slower on
+        # multi-million-row buckets)
+        codes = pd.factorize(d[group_col], sort=False)[0]
+        items = d[item_col].astype("string")
+        not_first = np.r_[False, codes[1:] == codes[:-1]]
+        items = items.where(~not_first, sep + items)
+        starts = np.flatnonzero(~not_first)
+        joined = np.add.reduceat(items.to_numpy(dtype=object), starts)
+        return pd.DataFrame({group_col: d[group_col].to_numpy()[starts],
+                             out_col: joined})
+
+    dedup = ds.map_batches(
+        lambda b: b[[group_col, item_col]].drop_duplicates(),
+        batch_format="pandas")
+    return bucketed_map_groups(dedup, group_col, _per_bucket,
+                               num_buckets=num_buckets)

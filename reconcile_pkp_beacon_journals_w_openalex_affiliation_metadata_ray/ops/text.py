@@ -390,3 +390,43 @@ def inverted_index(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
     pairs = docs_ds.map_batches(_pairs, batch_format="pandas")
     return bucketed_map_groups(pairs, "term", _build, num_buckets=num_buckets)
+
+
+def rare_token_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                     num_buckets: int = 64):
+    """Per-document corpus-frequency quality signal (the rare-token
+    family of training-data filters: documents whose tokens are
+    globally rare are likelier OCR noise / boilerplate-free unique
+    text): for each doc's DISTINCT term set, the count, the minimum
+    corpus document-frequency and the df sum — all integers, so every
+    value hash-matches a SQL re-derivation. Pass 1 reuses the tf
+    combiner + bucketed df reduce; pass 2 re-tokenizes per batch and
+    aggregates per doc WITHIN the batch against the broadcast df table
+    (docs are atomic rows — no shuffle; vocabulary is the bounded
+    small side, Heaps' law as in tfidf_top_terms)."""
+    import ray
+
+    from .relational import pre_aggregated
+
+    tf_ds = ds.map_batches(
+        lambda b: term_frequencies(b, id_col=id_col, text_col=text_col),
+        batch_format="pandas")
+    df_tbl = pre_aggregated(tf_ds, "term", num_buckets=num_buckets).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["n"].astype("int64"))))
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = term_frequencies(batch, id_col=id_col, text_col=text_col)
+        if tf.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype=batch[id_col].dtype),
+                                 "n_terms": pd.Series(dtype="int64"),
+                                 "min_df": pd.Series(dtype="int64"),
+                                 "sum_df": pd.Series(dtype="int64")})
+        tf["df"] = tf["term"].map(ray.get(df_ref)).astype("int64")
+        out = tf.groupby(id_col, as_index=False, sort=False).agg(
+            n_terms=("term", "size"), min_df=("df", "min"),
+            sum_df=("df", "sum"))
+        for c in ("n_terms", "min_df", "sum_df"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.map_batches(_stats, batch_format="pandas")

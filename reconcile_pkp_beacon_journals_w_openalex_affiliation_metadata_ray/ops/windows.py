@@ -234,3 +234,30 @@ def funnel_counts(events_ds, stages, user_col: str = "user_id",
     out = parts.groupby(["depth", "stage"], as_index=False)["n_users"].sum()
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("depth").reset_index(drop=True)
+
+
+def throttle_events(events_ds, key: str = "user_id", ts: str = "ts",
+                    min_gap_seconds: float = 60.0, num_buckets: int = 64):
+    """Rapid-fire event suppression (stream throttle/debounce family):
+    keep an event iff it is its key's FIRST event or arrived at least
+    ``min_gap_seconds`` after the key's previous event (SQL: lag(ts)
+    over (partition by key order by ts, event_id)). Same one-shuffle
+    vectorized shape as :func:`sessionize`; the emitted ``gap_us`` is
+    integer microseconds (-1 for firsts) so the output value-hashes
+    across engines. Note the gap is measured to the previous RAW
+    event, not the previous KEPT one — that variant needs a per-key
+    sequential scan and is deliberately not this operator."""
+    gap = pd.Timedelta(seconds=min_gap_seconds)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, "event_id"], kind="mergesort")
+        key_change = g[key].ne(g[key].shift())
+        delta = g[ts].diff()
+        keep = key_change | (delta >= gap)
+        gap_us = (delta.dt.total_seconds() * 1_000_000).round()
+        out = g.loc[keep, [key, "event_id", ts]].copy()
+        out["gap_us"] = gap_us[keep].where(~key_change[keep], -1).astype("int64")
+        return out
+
+    return bucketed_map_groups(events_ds, key, per_bucket,
+                               num_buckets=num_buckets)

@@ -1077,3 +1077,43 @@ def test_dense_rank_join_ties_and_direction():
                                   ascending=not desc).astype("int64")
         assert got[["id", "v", "dr"]].sort_values("id").reset_index(
             drop=True).equals(exp[["id", "v", "dr"]])
+
+
+def test_collect_set_and_cooccurrence():
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import relational as R
+
+    df = pd.DataFrame({"g": ["u1", "u1", "u1", "u2", "u2", "u3"],
+                       "it": ["b", "a", "b", "a", "c", "a"]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (R.collect_set_strings(ds, "g", "it", out_col="s").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    assert got["s"].tolist() == ["a|b", "a|c", "a"]
+
+    co = (R.cooccurrence_pairs(ds, "g", "it").to_pandas()
+          .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+    exp = pd.DataFrame({"item_a": ["a", "a"], "item_b": ["b", "c"],
+                        "n_groups": pd.array([1, 1], dtype="int64")})
+    assert co.reset_index(drop=True).equals(exp)
+
+
+def test_throttle_events_gap_semantics():
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows as W
+
+    ts0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "event_id": [10, 11, 12, 13, 20],
+        "ts": [ts0, ts0 + pd.Timedelta(seconds=30),
+               ts0 + pd.Timedelta(seconds=90),
+               ts0 + pd.Timedelta(seconds=150), ts0]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (W.throttle_events(ds, min_gap_seconds=60).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # 11 dropped (30s after 10); 12 kept (60s after RAW 11, >= gap);
+    # 13 kept (60s after 12); firsts get gap -1
+    assert out["event_id"].tolist() == [10, 12, 13, 20]
+    assert out["gap_us"].tolist() == [-1, 60_000_000, 60_000_000, -1]
