@@ -381,6 +381,29 @@ def q_hll_distinct_users(sf_dir: str):
     })
 
 
+def q_event_type_hll(sf_dir: str):
+    """Per-GROUP HyperLogLog distinct users (ops.sketch.
+    hll_distinct_grouped): mergeable register blobs ride one coarse
+    bucketed shuffle; the estimate expression is engine-reproducible,
+    so DuckDB recomputes the per-group registers AND estimates from the
+    raw rows. Exact per-group distincts ride along for context."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.sketch import (
+        hll_distinct_grouped,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+    out = hll_distinct_grouped(ds, "event_type", "user_id", p=12)
+    exact = relational.pre_aggregated(
+        relational.distinct(ds, ["event_type", "user_id"]),
+        "event_type", counts=True, num_buckets=8).to_pandas()
+    out = out.merge(exact.rename(columns={"n": "n_exact"}), on="event_type")
+    out["hll_estimate"] = [_round_half_away(v, 4) for v in out["estimate"]]
+    out["n_exact"] = out["n_exact"].astype("int64")
+    return (out[["event_type", "m", "registers_used", "hll_estimate",
+                 "n_exact"]]
+            .sort_values("event_type", kind="mergesort").reset_index(drop=True))
+
+
 def q_cms_user_counts(sf_dir: str):
     """Count-Min-sketch point-frequency estimates for user_ids 1-25 —
     like the HLL, an APPROXIMATE sketch designed for a full value-hash
@@ -1516,6 +1539,40 @@ def q_token_blocks(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_metablock_weights(sf_dir: str):
+    """Meta-blocking pair weighting (the common-blocks / CBS scheme
+    from the blocking-graph literature): candidate pairs scored by HOW
+    MANY exact-family block keys they share; pairs with weight >= 2
+    are the high-confidence core. Built by reusing
+    ops.relational.cooccurrence_pairs over (block_key, record_id) —
+    group-bucketed self-merge, partial counts, tiny reduce. Restricted
+    to the four SQL-derivable key families (no LSH bands), so the
+    oracle re-derives the ENTIRE computation independently: keys,
+    pairs, weights, threshold."""
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import block
+
+    out = _reconcile(sf_dir)
+    _persist_linkage_artifacts(sf_dir, out)
+    keys = block.emit_block_keys(
+        out["records"], hot_keys_ref=ray.put(out["hot_keys"]))
+    exact = keys.map_batches(
+        lambda b: b.loc[~b["block_key"].str.match(r"b\d+:"),
+                        ["block_key", "record_id"]],
+        batch_format="pandas")
+    w = relational.cooccurrence_pairs(exact, "block_key", "record_id"
+                                      ).to_pandas()
+    w = w[w["n_groups"] >= 2]
+    if w.empty:
+        return pd.DataFrame({"item_a": pd.Series(dtype=object),
+                             "item_b": pd.Series(dtype=object),
+                             "n_groups": pd.Series(dtype="int64")})
+    w["n_groups"] = w["n_groups"].astype("int64")
+    return w.sort_values(["item_a", "item_b"],
+                         kind="mergesort").reset_index(drop=True)
+
+
 def q_candidate_pairs(sf_dir: str):
     """Candidate pair generation. The oracle derives the ENTIRE
     doi-family pair set independently in SQL (records self-join on
@@ -1557,6 +1614,34 @@ def q_clusters(sf_dir: str):
                                batch_format="pyarrow").to_pandas().to_parquet(
         os.path.join(tier_dir, "cluster_nodes.parquet"), index=False)
     return out["clusters"]
+
+
+def q_cluster_size_hist(sf_dir: str):
+    """Entity-cluster size distribution (the ER auditing staple:
+    over-merged mega-clusters show up as a heavy tail): per-cluster
+    sizes, then cluster counts per size — both levels via the
+    pre-aggregated combiner (the shuffle moves one row per (key,
+    batch)). The oracle recomputes the transitive closure from the
+    persisted edges/nodes AND both aggregation levels in SQL."""
+    import ray
+
+    clusters = q_clusters(sf_dir)  # also persists edges + nodes
+    ds = (clusters.select_columns(["cluster_id"])
+          if isinstance(clusters, ray.data.Dataset)
+          else ray.data.from_pandas(clusters[["cluster_id"]]))
+    sizes = relational.pre_aggregated(ds, "cluster_id", counts=True,
+                                      num_buckets=16).map_batches(
+        lambda b: pd.DataFrame({"size": b["n"].astype("int64")}),
+        batch_format="pandas")
+    hist = relational.pre_aggregated(sizes, "size", counts=True,
+                                     num_buckets=8).to_pandas()
+    if hist.empty:
+        return pd.DataFrame({"size": pd.Series(dtype="int64"),
+                             "n_clusters": pd.Series(dtype="int64")})
+    hist = hist.rename(columns={"n": "n_clusters"})
+    hist["n_clusters"] = hist["n_clusters"].astype("int64")
+    return (hist[["size", "n_clusters"]]
+            .sort_values("size", kind="mergesort").reset_index(drop=True))
 
 
 def q_mention_scoring(sf_dir: str):
@@ -1706,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_last_purchase": q_asof_last_purchase,
         "q_event_value_percentiles": q_event_value_percentiles,
         "q_hll_distinct_users": q_hll_distinct_users,
+        "q_event_type_hll": q_event_type_hll,
         "q_cms_user_counts": q_cms_user_counts,
         "q_sample_docs": q_sample_docs,
         "q_priority_revenue_bucket_join": q_priority_revenue_bucket_join,
@@ -1754,9 +1840,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phonetic_blocks": q_phonetic_blocks,
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_token_blocks": q_token_blocks,
+        "q_metablock_weights": q_metablock_weights,
         "q_candidate_pairs": q_candidate_pairs,
         "q_scored_pairs": q_scored_pairs,
         "q_clusters": q_clusters,
+        "q_cluster_size_hist": q_cluster_size_hist,
         "q_mention_scoring": q_mention_scoring,
         "q_parsing_stats": q_parsing_stats,
         "q_stats_overall": q_stats_overall,
@@ -2253,6 +2341,47 @@ def oracle_sql() -> dict[str, str]:
         # index / leading-zero rank from integer bit math (length(bin)),
         # EXACT integer harmonic sum (HUGEINT), and the identical
         # float64 estimate expression as ops/sketch.py
+        "q_event_type_hll": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 16)) AS UBIGINT) AS hv
+              FROM events),
+            b AS (
+              SELECT event_type, CAST(hv >> 52 AS BIGINT) AS reg,
+                     hv & ((1::UBIGINT << 52) - 1::UBIGINT) AS w
+              FROM h),
+            r AS (
+              SELECT event_type, reg,
+                     max(CASE WHEN w = 0::UBIGINT THEN 53
+                              ELSE 53 - length(bin(w)) END) AS mj
+              FROM b GROUP BY event_type, reg),
+            agg AS (
+              SELECT event_type, count(*) AS used,
+                     sum(CAST((1::UBIGINT << CAST(60 - mj AS INT)) AS HUGEINT)) AS s_present
+              FROM r GROUP BY event_type),
+            est AS (
+              SELECT event_type, used,
+                     CAST(s_present + (4096 - used) * (1::HUGEINT << 60) AS DOUBLE) AS s_scaled,
+                     4096 - used AS zeros
+              FROM agg),
+            raw AS (
+              SELECT event_type, used, zeros,
+                     0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * power(2.0, 60)
+                       / s_scaled AS e_raw
+              FROM est),
+            ex AS (
+              SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events GROUP BY event_type)
+            SELECT raw.event_type,
+                   CAST(4096 AS BIGINT) AS m,
+                   CAST(used AS BIGINT) AS registers_used,
+                   round(CASE WHEN e_raw <= 2.5 * 4096 AND zeros > 0
+                              THEN 4096 * ln(CAST(4096 AS DOUBLE) / zeros)
+                              ELSE e_raw END, 4) AS hll_estimate,
+                   ex.n_exact
+            FROM raw JOIN ex ON raw.event_type = ex.event_type
+        """,
         "q_hll_distinct_users": """
             WITH h AS (
               SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
@@ -2604,6 +2733,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(reach) AS dup_cluster,
                    node = min(reach) AS keep
             FROM walk GROUP BY node
+        """,
+        "q_cluster_size_hist": f"""
+            WITH RECURSIVE
+            e0 AS (SELECT left_id AS a, right_id AS b
+                   FROM read_parquet('{fdir}/match_edges.parquet')),
+            edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+            walk (node, reach) AS (
+              SELECT record_id, record_id
+              FROM read_parquet('{fdir}/cluster_nodes.parquet')
+              UNION
+              SELECT w.node, e.b
+              FROM walk w JOIN edges e ON e.a = w.reach
+            ),
+            lab AS (SELECT node, min(reach) AS cluster_id
+                    FROM walk GROUP BY node),
+            sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+                   FROM lab GROUP BY cluster_id)
+            SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sz GROUP BY size
         """,
         "q_url_canonical_dedup": rf"""
             WITH p AS (SELECT url, epoch_us(warc_ts) AS warc_ts
@@ -2990,6 +3138,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT name) AS BIGINT) AS n_names
             FROM keyed
             GROUP BY phonetic_key
+        """,
+        # meta-blocking re-derived END TO END: the four exact key
+        # families (same derivation as the q_block_keys oracle), the
+        # distinct key-record incidence, the pair self-join, the
+        # common-block counts and the >= 2 threshold
+        "q_metablock_weights": f"""
+            WITH r AS (
+              SELECT record_id, doi_norm, host_key, path_key, authors_norm,
+                     COALESCE(authors_norm[1], NULLIF(doi_norm, ''), '_') AS suffix
+              FROM read_parquet('{fdir}/records_attrs.parquet')),
+            hot AS (SELECT hot_key FROM read_parquet('{fdir}/hot_keys.parquet')),
+            an_raw AS (
+              SELECT 'an:' || unnest(authors_norm[1:3]) AS k, record_id, suffix
+              FROM r WHERE len(authors_norm) > 0),
+            keys AS (
+              SELECT 'doi:' || doi_norm AS k, record_id
+              FROM r WHERE doi_norm <> ''
+              UNION ALL
+              SELECT 'path:' || path_key, record_id
+              FROM r WHERE path_key <> ''
+              UNION ALL
+              SELECT 'host:' || host_key || '~' || suffix, record_id
+              FROM r WHERE host_key <> ''
+              UNION ALL
+              SELECT CASE WHEN k IN (SELECT hot_key FROM hot)
+                          THEN k || '~' || suffix ELSE k END, record_id
+              FROM an_raw),
+            d AS (SELECT DISTINCT k, record_id FROM keys)
+            SELECT a.record_id AS item_a, b.record_id AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM d a JOIN d b ON a.k = b.k AND a.record_id < b.record_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         # token blocking fully re-derived: unnest authors, regexp-split
         # to tokens, per-record distinct, df window [2, 10]

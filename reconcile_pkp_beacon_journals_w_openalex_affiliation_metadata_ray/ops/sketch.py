@@ -121,3 +121,52 @@ def hll_distinct(ds, col: str, p: int = DEFAULT_P) -> dict:
     for row in parts.iter_rows():
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return hll_estimate_from_registers(merged)
+
+
+def hll_distinct_grouped(ds, group_col: str, col: str, p: int = DEFAULT_P,
+                         num_buckets: int = 16) -> pd.DataFrame:
+    """Per-GROUP HyperLogLog distinct counts — the mergeable-sketch
+    pattern pushed through ONE keyed shuffle: per-batch partials are
+    (group, 2^p-byte register blob) rows (one per group PRESENT in the
+    batch, regardless of row count), the bucketed reduce elementwise-
+    maxes each group's blobs, and the same fixed float expression as
+    :func:`hll_distinct` turns registers into estimates — so even the
+    grouped approximate op is value-hash reproducible in SQL. Register
+    blobs are opaque bytes through the shuffle (no list columns — see
+    the repo's Arrow round-trip rule). Driver state: one row per
+    group."""
+    from .relational import bucketed_map_groups
+
+    def _part(b: pd.DataFrame) -> pd.DataFrame:
+        groups, blobs = [], []
+        for g, grp in b.groupby(group_col, sort=False):
+            groups.append(g)
+            blobs.append(_partial_registers(grp[col].tolist(), p).tobytes())
+        return pd.DataFrame({group_col: pd.Series(groups, dtype=object),
+                             "regs": pd.Series(blobs, dtype=object)})
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        groups, blobs = [], []
+        for k, grp in g.groupby(group_col, sort=False):
+            arrs = np.stack([np.frombuffer(x, dtype=np.uint8)
+                             for x in grp["regs"]])
+            groups.append(k)
+            blobs.append(arrs.max(axis=0).tobytes())
+        return pd.DataFrame({group_col: pd.Series(groups, dtype=object),
+                             "regs": pd.Series(blobs, dtype=object)})
+
+    merged = bucketed_map_groups(
+        ds.map_batches(_part, batch_format="pandas"), group_col, _reduce,
+        num_buckets=num_buckets).to_pandas()
+    rows = []
+    for _, r in merged.iterrows():
+        est = hll_estimate_from_registers(np.frombuffer(r["regs"],
+                                                        dtype=np.uint8))
+        rows.append({group_col: r[group_col], "m": est["m"],
+                     "registers_used": est["registers_used"],
+                     "estimate": est["estimate"]})
+    out = pd.DataFrame(rows, columns=[group_col, "m", "registers_used",
+                                      "estimate"])
+    for c in ("m", "registers_used"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col, kind="mergesort").reset_index(drop=True)
