@@ -1044,6 +1044,64 @@ def q_user_value_ranks(sf_dir: str):
             .sort_values("user_id", kind="mergesort").reset_index(drop=True))
 
 
+def q_top_types_per_user(sf_dir: str):
+    """Heavy hitters per group: each user's top-2 event types by
+    frequency (count combiner -> exact bucketed reduce ->
+    ops.relational.topk_per_group with deterministic type-ASC
+    tie-break). Oracle: row_number() window over SQL counts."""
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = relational.pre_aggregated(ds, ["user_id", "event_type"],
+                                       counts=True, num_buckets=32)
+    top = relational.topk_per_group(counts, "user_id", "n", k=2,
+                                    descending=True,
+                                    tie_break="event_type").to_pandas()
+    if top.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_type": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    top["user_id"] = top["user_id"].astype("int64")
+    top["n"] = top["n"].astype("int64")
+    return (top[["user_id", "event_type", "n"]]
+            .sort_values(["user_id", "event_type"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_value_cdf(sf_dir: str):
+    """Distributed empirical CDF of event values: per-distinct-value
+    counts (combiner + bucketed reduce), a global exclusive prefix sum
+    over the ordered distinct values (ops.relational.ordered_cumsum —
+    O(num_ranges) driver state), and percent_rank computed with the
+    single float expression cum_before / (n - 1), reproduced verbatim
+    in SQL (ties share the min-rank, exactly percent_rank()
+    semantics). Values are integer hundredths so ordering and ties are
+    engine-exact."""
+    ds = _tbl(sf_dir, "events", columns=["value"])
+
+    def _vh(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].dropna()
+        return pd.DataFrame({"vh": np.rint(
+            v.to_numpy(dtype="float64") * 100).astype("int64")})
+
+    counts = relational.pre_aggregated(
+        ds.map_batches(_vh, batch_format="pandas"), "vh", counts=True,
+        num_buckets=32)
+    scanned = relational.ordered_cumsum(counts, order_col="vh",
+                                        value_col="n",
+                                        out_col="cum_before")
+    out = scanned.to_pandas() if not isinstance(scanned, pd.DataFrame) else scanned
+    if out.empty:
+        return pd.DataFrame({"vh": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "cum_before": pd.Series(dtype="int64"),
+                             "pct": pd.Series(dtype="float64")})
+    total = int(out["n"].sum())
+    out["pct"] = out["cum_before"].astype("float64") / float(total - 1)
+    for c in ("vh", "n", "cum_before"):
+        out[c] = out[c].astype("int64")
+    return (out[["vh", "n", "cum_before", "pct"]]
+            .sort_values("vh", kind="mergesort").reset_index(drop=True))
+
+
 def q_copurchase(sf_dir: str):
     """Market-basket co-occurrence (ops.relational.cooccurrence_pairs):
     for every unordered event-type pair, how many users did both.
@@ -1644,6 +1702,65 @@ def q_cluster_size_hist(sf_dir: str):
             .sort_values("size", kind="mergesort").reset_index(drop=True))
 
 
+def q_pr_curve(sf_dir: str):
+    """Precision/recall curve over the labeled pairs — the ER
+    evaluation staple (sweep the match threshold, read off the
+    operating points). Scored pairs bucket_join the labeled table on
+    (left_id, right_id); per-score-hundredth (tp, fp) partials reduce
+    through the combiner; the cumulative curve is computed on the
+    driver over the BOUNDED score domain (<= 10001 distinct hundredths
+    — O(domain), never O(pairs)). HYBRID oracle: the (ids, score)
+    table is persisted (scores themselves independently checked by
+    q_scored_pairs), and DuckDB re-derives the join, both cumulative
+    counts and every precision/recall value."""
+    out = _reconcile(sf_dir)
+    ensure_fixtures(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+
+    def _sc(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "left_id": b["left_id"], "right_id": b["right_id"],
+            "score_h": np.rint(b["combined_score"].to_numpy(
+                dtype="float64") * 100).astype("int64")})
+
+    scored = out["scored"].map_batches(_sc, batch_format="pandas")
+    scored.to_pandas().sort_values(["left_id", "right_id"],
+                                   kind="mergesort").to_parquet(
+        os.path.join(tier_dir, "pr_scored.parquet"), index=False)
+    import ray.data as rd
+
+    labels = rd.read_parquet(os.path.join(tier_dir, "labeled_pairs.parquet"),
+                             columns=["left_id", "right_id", "is_match"])
+    total_true = int(labels.map_batches(
+        lambda b: pd.DataFrame({"n": [int(b["is_match"].sum())]}),
+        batch_format="pandas").to_pandas()["n"].sum())
+    j = relational.bucket_join(scored, labels, on=["left_id", "right_id"],
+                               num_buckets=32)
+    g = relational.pre_aggregated(
+        j.map_batches(lambda b: pd.DataFrame(
+            {"score_h": b["score_h"].astype("int64"),
+             "nt": b["is_match"].astype("int64")}), batch_format="pandas"),
+        "score_h", sums=["nt"], counts=True, num_buckets=8).to_pandas()
+    if g.empty:
+        return pd.DataFrame({"score_h": pd.Series(dtype="int64"),
+                             "tp": pd.Series(dtype="int64"),
+                             "fp": pd.Series(dtype="int64"),
+                             "fn": pd.Series(dtype="int64"),
+                             "precision": pd.Series(dtype="float64"),
+                             "recall": pd.Series(dtype="float64")})
+    g = g.sort_values("score_h", ascending=False, kind="mergesort")
+    tp = g["sum_nt"].astype("int64").cumsum()
+    fp = (g["n"] - g["sum_nt"]).astype("int64").cumsum()
+    out_df = pd.DataFrame({
+        "score_h": g["score_h"].astype("int64"),
+        "tp": tp.astype("int64"), "fp": fp.astype("int64"),
+        "fn": (total_true - tp).astype("int64")})
+    out_df["precision"] = out_df["tp"].astype("float64") / (
+        out_df["tp"] + out_df["fp"]).astype("float64")
+    out_df["recall"] = out_df["tp"].astype("float64") / float(total_true)
+    return out_df.sort_values("score_h", kind="mergesort").reset_index(drop=True)
+
+
 def q_mention_scoring(sf_dir: str):
     """Reference-parity 8-column comparison output
     (`check...openalex.py:285-289`). Persisted so the driver gets a
@@ -1777,6 +1894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_sum": q_running_sum,
         "q_user_value_ranks": q_user_value_ranks,
         "q_copurchase": q_copurchase,
+        "q_top_types_per_user": q_top_types_per_user,
+        "q_value_cdf": q_value_cdf,
         "q_user_event_types": q_user_event_types,
         "q_event_throttle": q_event_throttle,
         "q_doc_rare_tokens": q_doc_rare_tokens,
@@ -1845,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scored_pairs": q_scored_pairs,
         "q_clusters": q_clusters,
         "q_cluster_size_hist": q_cluster_size_hist,
+        "q_pr_curve": q_pr_curve,
         "q_mention_scoring": q_mention_scoring,
         "q_parsing_stats": q_parsing_stats,
         "q_stats_overall": q_stats_overall,
@@ -2189,6 +2309,31 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_top_types_per_user": """
+            WITH c AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id, event_type),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n DESC, event_type) AS rn
+              FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rn <= 2
+        """,
+        "q_value_cdf": """
+            WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS vh
+                       FROM events WHERE value IS NOT NULL),
+            g AS (SELECT vh, CAST(count(*) AS BIGINT) AS n
+                  FROM v GROUP BY vh),
+            c AS (SELECT vh, n,
+                         CAST(sum(n) OVER (ORDER BY vh) - n AS BIGINT)
+                             AS cum_before,
+                         CAST(sum(n) OVER () AS BIGINT) AS total
+                  FROM g)
+            SELECT vh, n, cum_before,
+                   CAST(cum_before AS DOUBLE) / CAST(total - 1 AS DOUBLE)
+                       AS pct
+            FROM c
         """,
         "q_copurchase": """
             WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
@@ -2733,6 +2878,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(reach) AS dup_cluster,
                    node = min(reach) AS keep
             FROM walk GROUP BY node
+        """,
+        "q_pr_curve": f"""
+            WITH s AS (SELECT left_id, right_id, score_h
+                       FROM read_parquet('{fdir}/pr_scored.parquet')),
+            l AS (SELECT left_id, right_id, is_match
+                  FROM read_parquet('{fdir}/labeled_pairs.parquet')),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS total_true
+                    FROM l WHERE is_match),
+            j AS (SELECT s.score_h, l.is_match
+                  FROM s JOIN l USING (left_id, right_id)),
+            g AS (SELECT score_h,
+                         CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nt,
+                         CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END)
+                              AS BIGINT) AS nf
+                  FROM j GROUP BY score_h),
+            c AS (SELECT score_h,
+                         CAST(sum(nt) OVER (ORDER BY score_h DESC)
+                              AS BIGINT) AS tp,
+                         CAST(sum(nf) OVER (ORDER BY score_h DESC)
+                              AS BIGINT) AS fp
+                  FROM g)
+            SELECT score_h, tp, fp,
+                   CAST(tot.total_true - tp AS BIGINT) AS fn,
+                   CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+                   CAST(tp AS DOUBLE) / CAST(tot.total_true AS DOUBLE)
+                       AS recall
+            FROM c CROSS JOIN tot
         """,
         "q_cluster_size_hist": f"""
             WITH RECURSIVE
