@@ -532,6 +532,27 @@ def q_dup_clusters(sf_dir: str):
     return res.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_delta_new_docs(sf_dir: str):
+    """Incremental-ingest dedup (ops.dedup.delta_new_docs): documents
+    are deterministically split into an existing corpus (doc_id % 5
+    != 0) and today's arrivals (doc_id % 5 == 0); the op returns the
+    arrivals whose md5 content hash the corpus has never seen, via an
+    exact big-big LEFT-anti bucket_join of hashes. Fully SQL
+    re-derived (DuckDB md5 + NOT EXISTS)."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    arrivals = ds.map_batches(lambda b: b[b["doc_id"] % 5 == 0],
+                              batch_format="pandas")
+    corpus = ds.map_batches(lambda b: b[b["doc_id"] % 5 != 0],
+                            batch_format="pandas")
+    out = dedup_ops.delta_new_docs(arrivals, corpus)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "content_hash": pd.Series(dtype=object)})
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     """Exact all-pairs n-gram-Jaccard near-dups at >= 0.6 — the ground
     truth the MinHash-LSH path approximates; fully SQL-expressible, so
@@ -1042,6 +1063,39 @@ def q_user_value_ranks(sf_dir: str):
                              "dense_rank": pd.Series(dtype="int64")})
     return (out[["user_id", "total_h", "dense_rank"]]
             .sort_values("user_id", kind="mergesort").reset_index(drop=True))
+
+
+def q_skewed_join(sf_dir: str):
+    """Skew-aware hybrid join (ops.relational.skew_join): half the fact
+    rows deliberately collapse onto ONE key ('hot'); the op detects it
+    from combiner counts, broadcasts the hot dimension rows (map-side
+    join — the skewed mass never shuffles), and bucket-joins the cold
+    tail. Output equals a plain join, so the oracle is the plain SQL
+    join; the skew handling is the physical plan under test (plus the
+    op's bucket_join-equivalence unit test)."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def _k(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "k": np.where(b["user_id"] % 2 == 0, "hot",
+                          "u" + b["user_id"].astype(str))})
+
+    facts = ds.map_batches(_k, batch_format="pandas")
+    dim = relational.distinct(
+        facts.map_batches(lambda b: b[["k"]], batch_format="pandas"),
+        "k").map_batches(
+        lambda b: b.assign(klen=b["k"].str.len().astype("int64")),
+        batch_format="pandas")
+    out = relational.skew_join(facts, dim, on="k",
+                               hot_threshold=1000).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "k": pd.Series(dtype=object),
+                             "klen": pd.Series(dtype="int64")})
+    out["klen"] = out["klen"].astype("int64")
+    return (out[["event_id", "k", "klen"]]
+            .sort_values("event_id", kind="mergesort").reset_index(drop=True))
 
 
 def q_top_types_per_user(sf_dir: str):
@@ -1894,6 +1948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_sum": q_running_sum,
         "q_user_value_ranks": q_user_value_ranks,
         "q_copurchase": q_copurchase,
+        "q_skewed_join": q_skewed_join,
         "q_top_types_per_user": q_top_types_per_user,
         "q_value_cdf": q_value_cdf,
         "q_user_event_types": q_user_event_types,
@@ -1924,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_simhash": q_doc_simhash,
         "q_minhash_near_dups": q_minhash_near_dups,
         "q_dup_clusters": q_dup_clusters,
+        "q_delta_new_docs": q_delta_new_docs,
         "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_embedding_near_dups": q_embedding_near_dups,
@@ -2309,6 +2365,17 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_skewed_join": """
+            WITH f AS (
+              SELECT event_id,
+                     CASE WHEN user_id % 2 = 0 THEN 'hot'
+                          ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+              FROM events),
+            d AS (SELECT DISTINCT k, CAST(length(k) AS BIGINT) AS klen
+                  FROM f)
+            SELECT f.event_id, f.k, d.klen
+            FROM f JOIN d USING (k)
         """,
         "q_top_types_per_user": """
             WITH c AS (
@@ -2860,6 +2927,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS record_id, min(reach) AS cluster_id
             FROM walk GROUP BY node
+        """,
+        "q_delta_new_docs": """
+            WITH corpus AS (
+              SELECT md5(COALESCE(text, '')) AS h
+              FROM documents WHERE doc_id % 5 <> 0),
+            arr AS (
+              SELECT doc_id, md5(COALESCE(text, '')) AS h
+              FROM documents WHERE doc_id % 5 = 0)
+            SELECT a.doc_id, a.h AS content_hash
+            FROM arr a
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = a.h)
         """,
         # independent transitive closure over the near-dup pair graph
         # (nodes = every id in an edge; min-id labels; keep = canonical)

@@ -536,3 +536,40 @@ def canonical_keep_latest(pages_ds, url_col: str = "url", ts_col: str = "warc_ts
     partials = pages_ds.map_batches(_partial, batch_format="pandas")
     return bucketed_map_groups(partials, "canonical_url", _local,
                                num_buckets=num_buckets)
+
+
+def delta_new_docs(new_ds, corpus_ds, id_col: str = "doc_id",
+                   text_col: str = "text", num_buckets: int = 64):
+    """Incremental-ingest dedup (the daily-crawl merge): which ARRIVING
+    documents carry content the existing corpus has never seen. Both
+    sides are reduced to md5 content hashes inside map_batches; the
+    corpus side collapses to DISTINCT hashes (combiner + one bucketed
+    reduce) tagged with a marker; one big-big LEFT bucket_join keys the
+    arrival hashes against the markers and keeps the NULL-marker rows —
+    an anti join that ships only (hash, id) through the shuffle, never
+    document payloads. (A Bloom pre-filter would *drop* genuinely new
+    docs on false positives, so the anti side must be exact.)
+    Returns (id, content_hash) of the new-content arrivals."""
+    import numpy as np
+
+    from .relational import bucket_join, distinct
+
+    def _hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: batch[id_col],
+             "content_hash": batch[text_col].fillna("").map(
+                 lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())})
+
+    new_h = new_ds.map_batches(_hash, batch_format="pandas")
+    seen = distinct(
+        corpus_ds.map_batches(
+            lambda b: _hash(b)[["content_hash"]], batch_format="pandas"),
+        "content_hash", num_buckets=num_buckets).map_batches(
+        lambda b: b.assign(__seen=np.int8(1)), batch_format="pandas")
+    joined = bucket_join(new_h, seen, on="content_hash", how="left",
+                         num_buckets=num_buckets)
+    out = joined.map_batches(
+        lambda b: b.loc[b["__seen"].isna(), [id_col, "content_hash"]],
+        batch_format="pandas")
+    return _typed_or_empty(out, [(id_col, pa.int64()),
+                                 ("content_hash", pa.string())])

@@ -981,3 +981,44 @@ def collect_set_strings(ds, group_col: str, item_col: str, sep: str = "|",
         batch_format="pandas")
     return bucketed_map_groups(dedup, group_col, _per_bucket,
                                num_buckets=num_buckets)
+
+
+def skew_join(big_ds, dim_ds, on: str, hot_threshold: int = 100_000,
+              num_buckets: int = 64, how: str = "inner"):
+    """Skew-aware hybrid join of a big fact stream against a dimension:
+    the standard fix for the one-hot-key-stalls-one-reducer problem
+    that plain hash partitioning (bucket_join) hits at web scale.
+
+    1. A combiner-shaped count pass finds HOT keys (> hot_threshold
+       fact rows). The hot set is bounded by n_rows / hot_threshold —
+       scale-safe driver state by construction.
+    2. Dimension rows for hot keys are broadcast once (map-side join:
+       the skewed row mass never enters a shuffle, and no single
+       reducer owns a hot key).
+    3. The cold remainder takes the bucketed hash join as usual.
+
+    Output equals ``bucket_join(big_ds, dim_ds, on, how=how)`` for
+    inner/left joins against a unique-key dimension (equivalence is
+    unit-tested); only the physical plan differs."""
+    import ray
+
+    counts = pre_aggregated(big_ds.select_columns([on]), on, counts=True,
+                            num_buckets=min(num_buckets, 32)).to_pandas()
+    hot = set(counts.loc[counts["n"] > hot_threshold, on])
+    if not hot:
+        return bucket_join(big_ds, dim_ds, on=on, how=how,
+                           num_buckets=num_buckets)
+    hot_ref = ray.put(hot)
+    dim_hot = (dim_ds.map_batches(
+        lambda b: b[b[on].isin(ray.get(hot_ref))], batch_format="pandas")
+        .to_pandas())
+    dim_cold = dim_ds.map_batches(
+        lambda b: b[~b[on].isin(ray.get(hot_ref))], batch_format="pandas")
+    big_hot = big_ds.map_batches(
+        lambda b: b[b[on].isin(ray.get(hot_ref))], batch_format="pandas")
+    big_cold = big_ds.map_batches(
+        lambda b: b[~b[on].isin(ray.get(hot_ref))], batch_format="pandas")
+    joined_hot = broadcast_join(big_hot, dim_hot, on=on, how=how)
+    joined_cold = bucket_join(big_cold, dim_cold, on=on, how=how,
+                              num_buckets=num_buckets)
+    return joined_hot.union(joined_cold)

@@ -1117,3 +1117,33 @@ def test_throttle_events_gap_semantics():
     # 13 kept (60s after 12); firsts get gap -1
     assert out["event_id"].tolist() == [10, 12, 13, 20]
     assert out["gap_us"].tolist() == [-1, 60_000_000, 60_000_000, -1]
+
+
+def test_skew_join_equals_bucket_join():
+    """skew_join (hybrid broadcast/hash plan) must produce exactly the
+    rows of the plain bucketed hash join on a skewed key mix."""
+    import random
+
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import relational as R
+
+    rng = random.Random(11)
+    n = 2000
+    keys = ["hot" if rng.random() < 0.5 else f"k{rng.randint(0, 50)}"
+            for _ in range(n)]
+    facts = pd.DataFrame({"fid": list(range(n)), "k": keys})
+    dim = pd.DataFrame({"k": sorted(set(keys))})
+    dim["attr"] = dim["k"].str.len().astype("int64")
+    fds = ray.data.from_pandas(facts).repartition(5)
+    dds = ray.data.from_pandas(dim).repartition(2)
+    cols = ["fid", "k", "attr"]
+    got = (R.skew_join(fds, dds, on="k", hot_threshold=300).to_pandas()[cols]
+           .sort_values("fid").reset_index(drop=True))
+    exp = (R.bucket_join(ray.data.from_pandas(facts).repartition(5),
+                         ray.data.from_pandas(dim).repartition(2),
+                         on="k").to_pandas()[cols]
+           .sort_values("fid").reset_index(drop=True))
+    assert got.equals(exp)
+    # the skewed key must actually exceed the threshold (broadcast path taken)
+    assert facts["k"].value_counts()["hot"] > 300
