@@ -1756,6 +1756,34 @@ def q_cluster_size_hist(sf_dir: str):
             .sort_values("size", kind="mergesort").reset_index(drop=True))
 
 
+def q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the matched-pair graph
+    (ops.graph.pagerank_fixedpoint): 3 rounds of damped rank flow with
+    every operation in int64 floor division, so the distributed
+    iteration is BIT-EXACT against the oracle's unrolled chained-CTE
+    recomputation — an iterative graph algorithm with a full value-hash
+    oracle. Per round: one bucketed edge-score join + one combiner
+    reduce; no driver state."""
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.graph import (
+        pagerank_fixedpoint,
+    )
+
+    out = _reconcile(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    scored = out["scored"].to_pandas()
+    edges = scored.loc[scored["is_match"], ["left_id", "right_id"]]
+    edges.to_parquet(os.path.join(tier_dir, "match_edges.parquet"),
+                     index=False)
+    if edges.empty:
+        return pd.DataFrame({"node": pd.Series(dtype=object),
+                             "pagerank_fp": pd.Series(dtype="int64")})
+    pr = pagerank_fixedpoint(ray.data.from_pandas(edges), iters=3).to_pandas()
+    pr["pagerank_fp"] = pr["pagerank_fp"].astype("int64")
+    return pr.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
 def q_pr_curve(sf_dir: str):
     """Precision/recall curve over the labeled pairs — the ER
     evaluation staple (sweep the match threshold, read off the
@@ -2021,6 +2049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clusters": q_clusters,
         "q_cluster_size_hist": q_cluster_size_hist,
         "q_pr_curve": q_pr_curve,
+        "q_pagerank": q_pagerank,
         "q_mention_scoring": q_mention_scoring,
         "q_parsing_stats": q_parsing_stats,
         "q_stats_overall": q_stats_overall,
@@ -2956,6 +2985,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(reach) AS dup_cluster,
                    node = min(reach) AS keep
             FROM walk GROUP BY node
+        """,
+        # the 3 pagerank rounds unrolled as chained CTEs; pure integer
+        # floor-division arithmetic -> order-independent, bit-exact
+        "q_pagerank": f"""
+            WITH e0 AS (SELECT left_id AS a, right_id AS b
+                        FROM read_parquet('{fdir}/match_edges.parquet')),
+            e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+            d AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+                  FROM e GROUP BY a),
+            s0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS s, deg FROM d),
+            s1 AS (SELECT e.b AS node,
+                          150000000 + (85 * CAST(sum(s0.s // s0.deg) AS BIGINT)) // 100 AS s
+                   FROM e JOIN s0 ON e.a = s0.node GROUP BY e.b),
+            s1d AS (SELECT s1.node, s1.s, d.deg FROM s1 JOIN d USING (node)),
+            s2 AS (SELECT e.b AS node,
+                          150000000 + (85 * CAST(sum(s1d.s // s1d.deg) AS BIGINT)) // 100 AS s
+                   FROM e JOIN s1d ON e.a = s1d.node GROUP BY e.b),
+            s2d AS (SELECT s2.node, s2.s, d.deg FROM s2 JOIN d USING (node)),
+            s3 AS (SELECT e.b AS node,
+                          150000000 + (85 * CAST(sum(s2d.s // s2d.deg) AS BIGINT)) // 100 AS s
+                   FROM e JOIN s2d ON e.a = s2d.node GROUP BY e.b)
+            SELECT node, CAST(s AS BIGINT) AS pagerank_fp FROM s3
         """,
         "q_pr_curve": f"""
             WITH s AS (SELECT left_id, right_id, score_h

@@ -1147,3 +1147,41 @@ def test_skew_join_equals_bucket_join():
     assert got.equals(exp)
     # the skewed key must actually exceed the threshold (broadcast path taken)
     assert facts["k"].value_counts()["hot"] > 300
+
+
+def test_pagerank_fixedpoint_matches_reference_loop():
+    import random
+
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.graph import (
+        pagerank_fixedpoint,
+    )
+
+    rng = random.Random(5)
+    edges = {(f"n{rng.randint(0, 30)}", f"n{rng.randint(0, 30)}")
+             for _ in range(60)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = pd.DataFrame(edges, columns=["left_id", "right_id"])
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (pagerank_fixedpoint(ds, iters=3).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+
+    # independent plain-python reference
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    s = {v: 1_000_000_000 for v in adj}
+    for _ in range(3):
+        contrib = {v: s[v] // len(adj[v]) for v in adj}
+        s = {v: 150_000_000 + (85 * sum(contrib[u] for u in adj[v])) // 100
+             for v in adj}
+    exp = (pd.DataFrame(sorted(s.items()), columns=["node", "pagerank_fp"])
+           .astype({"pagerank_fp": "int64"}))
+    assert got.equals(exp)
+    # path graph hand-check: ends 575000000, middle 1850000000 after 1 it
+    p = pd.DataFrame([("a", "b"), ("b", "c")], columns=["left_id", "right_id"])
+    one = (pagerank_fixedpoint(ray.data.from_pandas(p), iters=1).to_pandas()
+           .sort_values("node"))
+    assert one["pagerank_fp"].tolist() == [575000000, 1850000000, 575000000]
