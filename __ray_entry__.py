@@ -1784,6 +1784,61 @@ def q_pagerank(sf_dir: str):
     return pr.sort_values("node", kind="mergesort").reset_index(drop=True)
 
 
+def q_triangles(sf_dir: str):
+    """Global triangle count over the match graph (ops.graph.
+    triangle_count: increasing-id orientation, one wedge self-join +
+    one closing join, each triangle counted once). Oracle: the 3-way
+    SQL self-join over the same normalized edge set."""
+    import ray
+
+    out = _reconcile(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    scored = out["scored"].to_pandas()
+    edges = scored.loc[scored["is_match"], ["left_id", "right_id"]]
+    edges.to_parquet(os.path.join(tier_dir, "match_edges.parquet"),
+                     index=False)
+    if edges.empty:
+        return pd.DataFrame({"n_triangles": pd.Series([0], dtype="int64")})
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.graph import (
+        triangle_count,
+    )
+
+    return triangle_count(ray.data.from_pandas(edges))
+
+
+def q_common_neighbors(sf_dir: str):
+    """Link-prediction features over the match graph (ops.graph.
+    common_neighbor_scores): common-neighbor counts via adjacency-list
+    co-occurrence + neighborhood Jaccard from one degree join. Fully
+    re-derived in SQL (self-join + degree counts + the identical
+    division)."""
+    import ray
+
+    out = _reconcile(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    scored = out["scored"].to_pandas()
+    edges = scored.loc[scored["is_match"], ["left_id", "right_id"]]
+    edges.to_parquet(os.path.join(tier_dir, "match_edges.parquet"),
+                     index=False)
+    cols = {"node_u": pd.Series(dtype=object),
+            "node_v": pd.Series(dtype=object),
+            "common": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64")}
+    if edges.empty:
+        return pd.DataFrame(cols)
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.graph import (
+        common_neighbor_scores,
+    )
+
+    res = common_neighbor_scores(ray.data.from_pandas(edges)).to_pandas()
+    if res.empty:
+        return pd.DataFrame(cols)
+    res["common"] = res["common"].astype("int64")
+    return (res[["node_u", "node_v", "common", "jaccard"]]
+            .sort_values(["node_u", "node_v"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_pr_curve(sf_dir: str):
     """Precision/recall curve over the labeled pairs — the ER
     evaluation staple (sweep the match threshold, read off the
@@ -2050,6 +2105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cluster_size_hist": q_cluster_size_hist,
         "q_pr_curve": q_pr_curve,
         "q_pagerank": q_pagerank,
+        "q_triangles": q_triangles,
+        "q_common_neighbors": q_common_neighbors,
         "q_mention_scoring": q_mention_scoring,
         "q_parsing_stats": q_parsing_stats,
         "q_stats_overall": q_stats_overall,
@@ -2985,6 +3042,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(reach) AS dup_cluster,
                    node = min(reach) AS keep
             FROM walk GROUP BY node
+        """,
+        "q_triangles": f"""
+            WITH e0 AS (SELECT left_id AS x, right_id AS y
+                        FROM read_parquet('{fdir}/match_edges.parquet')),
+            e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                  FROM e0)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e ab
+            JOIN e bc ON bc.a = ab.b
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        """,
+        "q_common_neighbors": f"""
+            WITH e0 AS (SELECT left_id AS x, right_id AS y
+                        FROM read_parquet('{fdir}/match_edges.parquet')),
+            adj AS (SELECT DISTINCT x AS src, y AS dst FROM e0
+                    UNION SELECT y, x FROM e0),
+            d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                  FROM adj GROUP BY src),
+            c AS (SELECT a.dst AS node_u, b.dst AS node_v,
+                         CAST(count(*) AS BIGINT) AS common
+                  FROM adj a JOIN adj b
+                    ON a.src = b.src AND a.dst < b.dst
+                  GROUP BY 1, 2)
+            SELECT c.node_u, c.node_v, c.common,
+                   CAST(c.common AS DOUBLE) /
+                   CAST(du.deg + dv.deg - c.common AS DOUBLE) AS jaccard
+            FROM c JOIN d du ON du.node = c.node_u
+                   JOIN d dv ON dv.node = c.node_v
         """,
         # the 3 pagerank rounds unrolled as chained CTEs; pure integer
         # floor-division arithmetic -> order-independent, bit-exact

@@ -1185,3 +1185,44 @@ def test_pagerank_fixedpoint_matches_reference_loop():
     one = (pagerank_fixedpoint(ray.data.from_pandas(p), iters=1).to_pandas()
            .sort_values("node"))
     assert one["pagerank_fp"].tolist() == [575000000, 1850000000, 575000000]
+
+
+def test_triangles_and_common_neighbors():
+    import itertools
+    import random
+
+    import ray
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.graph import (
+        common_neighbor_scores,
+        triangle_count,
+    )
+
+    rng = random.Random(13)
+    edges = {tuple(sorted((f"n{rng.randint(0, 14)}", f"n{rng.randint(0, 14)}")))
+             for _ in range(40)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = pd.DataFrame(edges, columns=["left_id", "right_id"])
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
+              if b in adj[a] and c in adj[a] and c in adj[b])
+    got = triangle_count(ds)
+    assert got["n_triangles"].tolist() == [tri]
+
+    cn = (common_neighbor_scores(ds).to_pandas()
+          .sort_values(["node_u", "node_v"]).reset_index(drop=True))
+    exp_rows = []
+    for u, v in itertools.combinations(sorted(adj), 2):
+        common = len(adj[u] & adj[v])
+        if common >= 1:
+            exp_rows.append((u, v, common,
+                             common / float(len(adj[u] | adj[v]))))
+    exp = pd.DataFrame(exp_rows,
+                       columns=["node_u", "node_v", "common", "jaccard"]
+                       ).astype({"common": "int64"})
+    assert cn.equals(exp)
