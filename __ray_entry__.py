@@ -1156,6 +1156,18 @@ def q_value_cdf(sf_dir: str):
             .sort_values("vh", kind="mergesort").reset_index(drop=True))
 
 
+def q_profile_events(sf_dir: str):
+    """Data-profiling audit (ops.relational.profile_columns) of four
+    events columns: row/null counts, EXACT distinct cardinality (one
+    melted bucketed distinct), native-ordered min/max rendered as
+    strings. Oracle: per-column UNION ALL of SQL profiling
+    aggregates."""
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "user_id", "event_type", "props"])
+    return relational.profile_columns(
+        ds, ["event_id", "user_id", "event_type", "props"])
+
+
 def q_copurchase(sf_dir: str):
     """Market-basket co-occurrence (ops.relational.cooccurrence_pairs):
     for every unordered event-type pair, how many users did both.
@@ -1756,6 +1768,48 @@ def q_cluster_size_hist(sf_dir: str):
             .sort_values("size", kind="mergesort").reset_index(drop=True))
 
 
+def q_blocking_recall(sf_dir: str):
+    """Blocking recall audit — the ER metric that catches a blocking
+    scheme silently dropping true matches: the fraction of labeled
+    TRUE pairs present in the generated candidate set. Both sides are
+    orientation-normalized, the labeled pairs LEFT-anti bucket_join
+    the candidate markers, and only (n_true, n_covered, recall)
+    scalars reach the driver. Fully SQL re-derived from the persisted
+    candidate table + the labeled fixture."""
+    import ray.data as rd
+
+    out = _reconcile(sf_dir)
+    tier_dir = _persist_linkage_artifacts(sf_dir, out)
+
+    def _norm(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": b[["left_id", "right_id"]].min(axis=1),
+            "b": b[["left_id", "right_id"]].max(axis=1)}).drop_duplicates()
+
+    labels = rd.read_parquet(
+        os.path.join(tier_dir, "labeled_pairs.parquet"),
+        columns=["left_id", "right_id", "is_match"]).map_batches(
+        lambda b: _norm(b[b["is_match"]]), batch_format="pandas")
+    cand = out["pairs"].map_batches(
+        lambda b: _norm(b).assign(__hit=np.int8(1)), batch_format="pandas")
+    cand = relational.distinct(cand, ["a", "b"]).map_batches(
+        lambda b: b.assign(__hit=np.int8(1)), batch_format="pandas")
+    truth = relational.distinct(labels, ["a", "b"])
+    joined = relational.bucket_join(truth, cand, on=["a", "b"], how="left",
+                                    num_buckets=32)
+    counts = joined.map_batches(
+        lambda b: pd.DataFrame({
+            "n_true": [np.int64(len(b))],
+            "n_covered": [np.int64(b["__hit"].notna().sum())]}),
+        batch_format="pandas").to_pandas()
+    n_true = int(counts["n_true"].sum())
+    n_cov = int(counts["n_covered"].sum())
+    return pd.DataFrame({
+        "n_true": pd.Series([n_true], dtype="int64"),
+        "n_covered": pd.Series([n_cov], dtype="int64"),
+        "recall": [float(n_cov) / float(n_true) if n_true else 0.0]})
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the matched-pair graph
     (ops.graph.pagerank_fixedpoint): 3 rounds of damped rank flow with
@@ -2032,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_value_ranks": q_user_value_ranks,
         "q_copurchase": q_copurchase,
         "q_skewed_join": q_skewed_join,
+        "q_profile_events": q_profile_events,
         "q_top_types_per_user": q_top_types_per_user,
         "q_value_cdf": q_value_cdf,
         "q_user_event_types": q_user_event_types,
@@ -2105,6 +2160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cluster_size_hist": q_cluster_size_hist,
         "q_pr_curve": q_pr_curve,
         "q_pagerank": q_pagerank,
+        "q_blocking_recall": q_blocking_recall,
         "q_triangles": q_triangles,
         "q_common_neighbors": q_common_neighbors,
         "q_mention_scoring": q_mention_scoring,
@@ -2451,6 +2507,33 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_profile_events": """
+            SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(min(event_id) AS VARCHAR) AS min_val,
+                   CAST(max(event_id) AS VARCHAR) AS max_val
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(user_id) AS BIGINT),
+                   CAST(count(DISTINCT user_id) AS BIGINT),
+                   CAST(min(user_id) AS VARCHAR),
+                   CAST(max(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(event_type) AS BIGINT),
+                   CAST(count(DISTINCT event_type) AS BIGINT),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'props', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(props) AS BIGINT),
+                   CAST(count(DISTINCT props) AS BIGINT),
+                   min(props), max(props)
+            FROM events
         """,
         "q_skewed_join": """
             WITH f AS (
@@ -3042,6 +3125,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(reach) AS dup_cluster,
                    node = min(reach) AS keep
             FROM walk GROUP BY node
+        """,
+        "q_blocking_recall": f"""
+            WITH t AS (
+              SELECT DISTINCT least(left_id, right_id) AS a,
+                              greatest(left_id, right_id) AS b
+              FROM read_parquet('{fdir}/labeled_pairs.parquet')
+              WHERE is_match),
+            c AS (
+              SELECT DISTINCT least(left_id, right_id) AS a,
+                              greatest(left_id, right_id) AS b
+              FROM read_parquet('{fdir}/candidate_pairs.parquet')),
+            j AS (SELECT t.a, t.b, c.a IS NOT NULL AS hit
+                  FROM t LEFT JOIN c USING (a, b))
+            SELECT CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_covered,
+                   CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS recall
+            FROM j
         """,
         "q_triangles": f"""
             WITH e0 AS (SELECT left_id AS x, right_id AS y

@@ -1022,3 +1022,63 @@ def skew_join(big_ds, dim_ds, on: str, hot_threshold: int = 100_000,
     joined_cold = bucket_join(big_cold, dim_cold, on=on, how=how,
                               num_buckets=num_buckets)
     return joined_hot.union(joined_cold)
+
+
+def profile_columns(ds, cols, num_buckets: int = 32):
+    """Data-profiling summary (the schema-audit pass every ingest
+    pipeline runs before trusting a new drop): per column, row count,
+    null count, EXACT distinct count, and min/max rendered as strings.
+    Works for integer and string columns (injective str rendering, so
+    distinct-of-rendered == distinct-of-values and SQL CAST(x AS
+    VARCHAR) agrees bit-for-bit).
+
+    Shape: per-batch scalar partials (n, n_null, min, max — O(batches
+    x cols) driver rows) + ONE melted (col, value) stream through the
+    bucketed distinct for the exact cardinalities. Returns one row per
+    column: (col, n, n_null, n_distinct, min_val, max_val)."""
+    import numpy as np
+
+    cols = list(cols)
+
+    def _scalars(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = b[c]
+            nn = s.dropna()
+            # min/max stay NATIVE through the reduce (string renderings
+            # of ints order wrongly: '10' < '9'); rendered once at the end
+            rows.append((c, np.int64(len(s)), np.int64(s.isna().sum()),
+                         nn.min() if len(nn) else None,
+                         nn.max() if len(nn) else None))
+        return pd.DataFrame(rows, columns=["col", "n", "n_null",
+                                           "mn", "mx"])
+
+    def _melt(b: pd.DataFrame) -> pd.DataFrame:
+        parts = [pd.DataFrame({"col": c,
+                               "val": b[c].dropna().astype(str).unique()})
+                 for c in cols]
+        out = pd.concat(parts, ignore_index=True)
+        if out.empty:
+            return pd.DataFrame({"col": pd.Series(dtype=object),
+                                 "val": pd.Series(dtype=object)})
+        return out
+
+    scalars = ds.map_batches(_scalars, batch_format="pandas").to_pandas()
+    counts = scalars.groupby("col").agg(
+        n=("n", "sum"), n_null=("n_null", "sum")).reset_index()
+    mm = (scalars.dropna(subset=["mn"]).groupby("col")
+          .agg(min_val=("mn", "min"), max_val=("mx", "max")).reset_index())
+    mm["min_val"] = mm["min_val"].map(str)
+    mm["max_val"] = mm["max_val"].map(str)
+    agg = counts.merge(mm, on="col", how="left")
+    nd = pre_aggregated(
+        distinct(ds.map_batches(_melt, batch_format="pandas"),
+                 ["col", "val"], num_buckets=num_buckets),
+        "col", counts=True, num_buckets=8).to_pandas().rename(
+        columns={"n": "n_distinct"})
+    out = agg.merge(nd, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    for c in ("n", "n_null"):
+        out[c] = out[c].astype("int64")
+    return (out[["col", "n", "n_null", "n_distinct", "min_val", "max_val"]]
+            .sort_values("col", kind="mergesort").reset_index(drop=True))
