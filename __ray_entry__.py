@@ -561,6 +561,18 @@ def q_ngram_jaccard_dups(sf_dir: str):
     return dedup_ops.ngram_jaccard_pairs(ds, jaccard_threshold=0.6)
 
 
+def q_setsim_pairs(sf_dir: str):
+    """EXACT token-set similarity self-join (>= 0.9 word-level Jaccard)
+    via prefix filtering (ops.dedup.setsim_prefix_pairs — the
+    AllPairs/PPJoin family): df-ascending global token order, per-doc
+    prefix indexing, (int rank, id)-only candidate shuffle, broadcast
+    exact verify. Prefix filtering has NO false negatives, so the
+    oracle is the strongest kind: the full quadratic all-pairs Jaccard
+    join recomputed in DuckDB must match bit-for-bit."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_ops.setsim_prefix_pairs(ds, jaccard_threshold=0.9)
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3). Per-doc simhashes and the
     emitted pair ids are persisted; the oracle recomputes Hamming =
@@ -2119,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_clusters": q_dup_clusters,
         "q_delta_new_docs": q_delta_new_docs,
         "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "q_setsim_pairs": q_setsim_pairs,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_knn_bruteforce": q_knn_bruteforce,
@@ -3047,6 +3060,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM g a JOIN g b ON a.doc_id < b.doc_id)
             SELECT left_id, right_id, round(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "q_setsim_pairs": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(list_transform(
+                       regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'),
+                       w -> lower(w)))) AS toks
+              FROM documents),
+            j AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     len(list_intersect(a.toks, b.toks)) * 1.0
+                       / len(list_distinct(a.toks || b.toks)) AS jac
+              FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+              WHERE len(a.toks) > 0 AND len(b.toks) > 0)
+            SELECT left_id, right_id, round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.9
         """,
         "q_minhash_near_dups": f"""
             WITH p AS (SELECT left_id, right_id

@@ -573,3 +573,133 @@ def delta_new_docs(new_ds, corpus_ds, id_col: str = "doc_id",
         batch_format="pandas")
     return _typed_or_empty(out, [(id_col, pa.int64()),
                                  ("content_hash", pa.string())])
+
+
+def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                        jaccard_threshold: float = 0.7, num_buckets: int = 64,
+                        max_key_width: int | None = None):
+    """EXACT token-set similarity self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08; both public), the scalable *exact* alternative to the
+    quadratic :func:`ngram_jaccard_pairs` baseline and the approximate
+    MinHash path.
+
+    Filter principle: order every document's distinct tokens by ONE
+    global total order (document frequency ascending, token
+    lexicographic tie-break — the order that makes prefixes rare), and
+    index only each document's first ``|T| - ceil(t*|T|) + 1`` tokens.
+    Any pair with token-Jaccard >= t must share at least one token
+    inside BOTH prefixes (|x∩y| >= t*|x| since union >= |x|), so
+    candidate generation over prefix tokens has NO false negatives —
+    the emitted pair set equals the full quadratic join's, verified
+    bit-for-bit by the driver oracle's all-pairs SQL recompute.
+
+    Scale shape (same discipline as the LSH ops):
+    - token df table is a combiner + bucketed reduce (O(vocab) rows),
+      broadcast ONCE as an Arrow table; workers build the token->rank
+      dict once each (plasma zero-copy per the repo's broadcast rule);
+    - the candidate shuffle carries (int64 token rank, id) ONLY —
+      rarest-first ordering keeps prefix-token buckets naturally small;
+    - verify is the broadcast-corpus pattern: exact token Jaccard per
+      candidate with a per-worker token-set cache.
+
+    ``max_key_width=None`` (default) preserves the exactness guarantee;
+    a cap makes the op approximate for pathological hot tokens (drops
+    logged — the no-silent-caps rule)."""
+    import math
+
+    import ray
+
+    from .relational import pre_aggregated
+    from .similarity_search import _round_half_away
+    from .text import _TFIDF_TOKEN_RE
+
+    out_fields = [("left_id", pa.int64()), ("right_id", pa.int64()),
+                  ("jaccard", pa.float64())]
+
+    def _tok_list(t: str) -> list:
+        # ASCII alnum runs, lowered after extraction (engine-identical
+        # lowering; same tokenization as ops.text TF-IDF so the SQL
+        # oracle reuses the proven regexp_extract_all form)
+        return sorted({w.lower() for w in _TFIDF_TOKEN_RE.findall(t or "")})
+
+    def _doc_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").map(_tok_list)
+        out = pd.DataFrame({id_col: batch[id_col].repeat(toks.str.len()),
+                            "token": [w for ws in toks for w in ws]})
+        if out.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype=batch[id_col].dtype),
+                                 "token": pd.Series(dtype=object)})
+        return out
+
+    tok_rows = docs_ds.map_batches(_doc_tokens, batch_format="pandas")
+    dfs = pre_aggregated(tok_rows, "token", counts=True,
+                         num_buckets=num_buckets).to_pandas()
+    if dfs.empty:
+        return pa.table({n: pa.array([], t) for n, t in out_fields}).to_pandas()
+    # global total order: df ascending, token ascending — ranks are the
+    # shuffle key (int64, not the token string)
+    dfs = dfs.sort_values(["n", "token"], kind="mergesort").reset_index(drop=True)
+    rank_tbl = pa.table({"token": pa.array(dfs["token"], pa.string()),
+                         "rank": pa.array(np.arange(len(dfs)), pa.int64())})
+    rank_ref = ray.put(rank_tbl)
+    _rk: dict = {}
+
+    def _rank_map() -> dict:
+        if "m" not in _rk:
+            t = ray.get(rank_ref)
+            _rk["m"] = dict(zip(t["token"].to_pylist(), t["rank"].to_pylist()))
+        return _rk["m"]
+
+    thr = float(jaccard_threshold)
+
+    def _prefix_len(n_tokens: int) -> int:
+        # ceil with a safe-side nudge: a float-error UNDER-estimate of
+        # ceil(t*n) lengthens the prefix (never shortens it), so the
+        # no-false-negative guarantee survives binary floats
+        return n_tokens - int(math.ceil(thr * n_tokens - 1e-9)) + 1
+
+    def _prefix_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        rmap = _rank_map()
+        ids, keys = [], []
+        for i, t in zip(batch[id_col], batch[text_col].fillna("")):
+            toks = _tok_list(t)
+            if not toks:
+                continue
+            ranks = sorted(rmap[w] for w in toks)
+            for r in ranks[: _prefix_len(len(ranks))]:
+                ids.append(i)
+                keys.append(r)
+        return pd.DataFrame({"band_key": pd.Series(keys, dtype="int64"),
+                             id_col: pd.Series(ids, dtype="int64")})
+
+    cand = candidate_pairs_from_keys(
+        docs_ds.map_batches(_prefix_rows, batch_format="pandas"), id_col,
+        max_band_width=max_key_width if max_key_width else 1 << 62,
+        num_buckets=num_buckets, op_name="setsim_prefix").materialize()
+    if cand.count() == 0:
+        return pa.table({n: pa.array([], t) for n, t in out_fields}).to_pandas()
+
+    corpus = pa.concat_tables(
+        [b.select([id_col, text_col])
+         for b in docs_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ).combine_chunks()
+    corpus_ref = ray.put(corpus)
+    _vs: dict = {}
+
+    def _verify(b: pd.DataFrame) -> pd.DataFrame:
+        if "idx" not in _vs:
+            t = ray.get(corpus_ref)
+            _vs["sets"] = [set(_tok_list(x)) for x in
+                           (v if v is not None else ""
+                            for v in t[text_col].to_pylist())]
+            _vs["idx"] = {v: i for i, v in enumerate(t[id_col].to_pylist())}
+        sets, idx = _vs["sets"], _vs["idx"]
+        jac = [set_jaccard(sets[idx[l]], sets[idx[r]])
+               for l, r in zip(b["left_id"], b["right_id"])]
+        out = pd.DataFrame({"left_id": b["left_id"], "right_id": b["right_id"],
+                            "jaccard": [_round_half_away(s, 6) for s in jac]})
+        return out[pd.Series(jac, index=b.index) >= thr]
+
+    out = cand.map_batches(_verify, batch_format="pandas")
+    return _typed_or_empty(out, out_fields)

@@ -1226,3 +1226,37 @@ def test_triangles_and_common_neighbors():
                        columns=["node_u", "node_v", "common", "jaccard"]
                        ).astype({"common": "int64"})
     assert cn.equals(exp)
+
+
+def test_setsim_prefix_pairs_exact_vs_bruteforce(rds):
+    """Prefix filtering is an EXACT algorithm: the emitted pair set
+    must equal the full quadratic token-Jaccard join, across thresholds
+    (including docs with empty token sets, which never pair)."""
+    rng = np.random.RandomState(31)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    texts = []
+    for i in range(25):
+        t = " ".join(words[j] for j in rng.randint(0, 10, 8))
+        texts.append(t)
+        texts.append(t + " kilo")  # high-overlap twin
+    texts += ["", "???", None]  # tokenless docs: must never appear
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    def toks(t):
+        import re
+        return {w.lower() for w in re.findall(r"[A-Za-z0-9]+", t or "")}
+
+    for thr in (0.5, 0.8):
+        got = dedup_ops.setsim_prefix_pairs(rds.from_pandas(docs),
+                                            jaccard_threshold=thr)
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        got_pairs = {(int(a), int(b)) for a, b in zip(got.left_id, got.right_id)}
+        want = set()
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                si, sj = toks(texts[i]), toks(texts[j])
+                if si and sj and len(si & sj) / len(si | sj) >= thr:
+                    want.add((i, j))
+        assert got_pairs == want, f"threshold {thr}"
+        assert len(want) >= 20
