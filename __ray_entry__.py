@@ -1416,6 +1416,62 @@ def q_extracted_text(sf_dir: str):
     return _persist_oracle_input(df, sf_dir, "extracted_text", sort_cols=["url"])
 
 
+def q_golden_record(sf_dir: str):
+    """Survivorship / record fusion (ops.fusion.fuse_records): one
+    canonical row per user from rule-based column fusion — mode
+    (most frequent, tie -> smallest) event_type, latest ts, longest
+    (tie -> smallest) props, plus the record count. One melted
+    combiner + one keyed shuffle of partials. Oracle: window-function
+    re-derivation of every rule in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        fusion,
+    )
+
+    ds = _tbl(sf_dir, "events",
+              columns=["user_id", "event_type", "ts", "props"])
+    out = fusion.fuse_records(
+        ds, "user_id",
+        {"event_type": "mode", "ts": "max", "props": "longest"})
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_type": pd.Series(dtype=object),
+                             "ts": pd.Series(dtype="datetime64[us]"),
+                             "props": pd.Series(dtype=object),
+                             "n_records": pd.Series(dtype="int64")})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["user_id"] = df["user_id"].astype("int64")
+    return df.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_fingerprint_clusters(sf_dir: str):
+    """Key-collision clustering of extracted author spellings
+    (ops.fusion.fingerprint_clusters — the OpenRefine fingerprint
+    method): case / whitespace / punctuation / token-order variants of
+    a name collide on the sorted-distinct-token key. Hybrid oracle:
+    the author column is persisted, and the ENTIRE clustering (token
+    fingerprint, counts, member list) is independently re-derived in
+    SQL from that input."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        fusion,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
+        mentions_from_extracted,
+    )
+
+    out = _reconcile(sf_dir)
+    authors = mentions_from_extracted(out["extracted"]).map_batches(
+        lambda b: b[["author"]], batch_format="pandas").to_pandas()
+    _persist_oracle_input(authors, sf_dir, "fingerprint_authors",
+                          sort_cols=["author"])
+    res = fusion.fingerprint_clusters(
+        _rd().read_parquet(
+            os.path.join(FIXTURE_ROOT, _tier(sf_dir),
+                         "fingerprint_authors.parquet")), "author")
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    return df.sort_values("fingerprint", kind="mergesort").reset_index(drop=True)
+
+
 def _with_error_class(ds, row_schema_names):
     """Swap the Python-specific parse_error_details free text for the
     normalized parse_error_class enum (derived from the details by
@@ -2103,6 +2159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_value_cdf": q_value_cdf,
         "q_user_event_types": q_user_event_types,
         "q_event_throttle": q_event_throttle,
+        "q_golden_record": q_golden_record,
+        "q_fingerprint_clusters": q_fingerprint_clusters,
         "q_doc_rare_tokens": q_doc_rare_tokens,
         "q_event_deltas": q_event_deltas,
         "q_rollup_revenue": q_rollup_revenue,
@@ -2609,6 +2667,51 @@ def oracle_sql() -> dict[str, str]:
                        AS gap_us
             FROM o
             WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) >= 60000000
+        """,
+        "q_golden_record": """
+            WITH m AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY user_id, event_type),
+            mp AS (
+              SELECT user_id, event_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, event_type) AS rn
+                FROM m) WHERE rn = 1),
+            base AS (
+              SELECT user_id, max(ts) AS ts,
+                     CAST(count(*) AS BIGINT) AS n_records
+              FROM events GROUP BY user_id),
+            lp AS (
+              SELECT user_id, props FROM (
+                SELECT user_id, props,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY len(props) DESC, props) AS rn
+                FROM events WHERE props IS NOT NULL) WHERE rn = 1)
+            SELECT b.user_id, mp.event_type, b.ts, lp.props, b.n_records
+            FROM base b
+            LEFT JOIN mp USING (user_id)
+            LEFT JOIN lp USING (user_id)
+        """,
+        "q_fingerprint_clusters": f"""
+            WITH v AS (
+              SELECT author AS value, CAST(count(*) AS BIGINT) AS n
+              FROM read_parquet('{fdir}/fingerprint_authors.parquet')
+              WHERE author IS NOT NULL GROUP BY author),
+            f AS (
+              SELECT array_to_string(list_sort(list_distinct(list_transform(
+                       regexp_extract_all(value, '[A-Za-z0-9]+'),
+                       w -> lower(w)))), ' ') AS fingerprint,
+                     value, n
+              FROM v),
+            g AS (
+              SELECT fingerprint, CAST(sum(n) AS BIGINT) AS n_values,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     string_agg(value, '|' ORDER BY value) AS members
+              FROM f WHERE fingerprint <> '' GROUP BY fingerprint)
+            SELECT fingerprint, n_values, n_distinct, members
+            FROM g WHERE n_distinct >= 2
         """,
         "q_doc_rare_tokens": """
             WITH toks AS (

@@ -1260,3 +1260,63 @@ def test_setsim_prefix_pairs_exact_vs_bruteforce(rds):
                     want.add((i, j))
         assert got_pairs == want, f"threshold {thr}"
         assert len(want) >= 20
+
+
+def test_fuse_records_rules_vs_pandas(rds):
+    """Survivorship rules (mode/max/longest + count) must equal a
+    serial pandas recompute, including all-null columns per key and
+    native-order tie-breaks."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        fusion,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.randint(0, 40, n),
+        "cat": rng.choice(["a", "b", "c", None], n),
+        "val": rng.randint(0, 1000, n).astype("int64"),
+        "s": rng.choice(["x", "yy", "zzz", "aaa", None], n),
+    })
+    got = fusion.fuse_records(rds.from_pandas(df), "k",
+                              {"cat": "mode", "val": "max", "s": "longest"})
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas()
+           ).sort_values("k").reset_index(drop=True)
+
+    rows = []
+    for k, g in df.groupby("k"):
+        cats = g["cat"].dropna()
+        if len(cats):
+            vc = cats.value_counts()
+            top = vc[vc == vc.max()].index.min()
+        else:
+            top = None
+        ss = g["s"].dropna()
+        longest = (sorted(ss, key=lambda x: (-len(x), x))[0]
+                   if len(ss) else None)
+        rows.append({"k": k, "cat": top, "val": g["val"].max(),
+                     "s": longest, "n_records": len(g)})
+    want = pd.DataFrame(rows).astype({"val": "int64", "n_records": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_fingerprint_clusters_variants(rds):
+    """Case/whitespace/token-order variants must collide; singleton
+    fingerprints are suppressed; counts and member lists exact."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        fusion,
+    )
+
+    vals = ["Jon  Smith", "jon smith", "JON SMITH", "Smith, Jon",
+            "Mary Kay", "Kay Mary", "solo name", None, "", "!!!"]
+    out = fusion.fingerprint_clusters(
+        rds.from_pandas(pd.DataFrame({"a": vals})), "a")
+    out = (out if isinstance(out, pd.DataFrame) else out.to_pandas()
+           ).sort_values("fingerprint").reset_index(drop=True)
+    want = pd.DataFrame({
+        "fingerprint": ["jon smith", "kay mary"],
+        "n_values": [4, 2], "n_distinct": [4, 2],
+        "members": ["JON SMITH|Jon  Smith|Smith, Jon|jon smith",
+                    "Kay Mary|Mary Kay"],
+    }).astype({"n_values": "int64", "n_distinct": "int64"})
+    pd.testing.assert_frame_equal(out, want)
