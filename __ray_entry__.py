@@ -1472,6 +1472,65 @@ def q_fingerprint_clusters(sf_dir: str):
     return df.sort_values("fingerprint", kind="mergesort").reset_index(drop=True)
 
 
+def q_er_contingency(sf_dir: str):
+    """Cluster-level ER evaluation (ops.er_eval.cluster_contingency):
+    predicted clusters x TRUTH clusters (distributed CC closure over
+    the labeled is_match pairs) -> integer contingency rows over the
+    labeled universe. Hybrid oracle: predicted assignment replayed from
+    its persisted parquet; the truth closure (recursive CTE), the join
+    and the counts re-derived independently in SQL. The B-cubed /
+    purity metrics computed from this table are asserted in
+    tests/test_ops.py."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+        cluster,
+    )
+
+    out = _reconcile(sf_dir)
+    pred_df = out["clusters"].to_pandas()
+    _persist_oracle_input(pred_df, sf_dir, "er_pred_clusters",
+                          sort_cols=["record_id"])
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    labels = _rd().read_parquet(
+        os.path.join(tier_dir, "labeled_pairs.parquet"),
+        columns=["left_id", "right_id", "is_match"])
+    edges = labels.map_batches(
+        lambda b: b.loc[b["is_match"], ["left_id", "right_id"]],
+        batch_format="pandas")
+    nodes = labels.map_batches(
+        lambda b: pd.DataFrame({"record_id": pd.concat(
+            [b["left_id"], b["right_id"]], ignore_index=True)}),
+        batch_format="pandas")
+    truth = cluster.connected_components(edges, nodes_ds=nodes)
+    cont = er_eval.cluster_contingency(out["clusters"], truth)
+    df = cont if isinstance(cont, pd.DataFrame) else cont.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return (df.sort_values(["pred_cluster", "true_cluster"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_uncertainty_band(sf_dir: str):
+    """Active-learning labeling sample (ops.er_eval.
+    uncertainty_band_sample): the 100 scored pairs with combined score
+    in the ambiguous [55, 85) band, ranked by a seeded md5 over the
+    pair key — per-batch partial top-k, no shuffle. Hybrid oracle: the
+    band input is persisted; the band filter, the md5 rank (DuckDB
+    md5() emits the identical hex string) and the top-k are re-derived
+    in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+
+    out = _reconcile(sf_dir)
+    df_in = out["scored"].to_pandas()[
+        ["left_id", "right_id", "combined_score"]]
+    _persist_oracle_input(df_in, sf_dir, "uncertainty_input",
+                          sort_cols=["left_id", "right_id"])
+    return er_eval.uncertainty_band_sample(out["scored"], 55.0, 85.0, 100)
+
+
 def _with_error_class(ds, row_schema_names):
     """Swap the Python-specific parse_error_details free text for the
     normalized parse_error_class enum (derived from the details by
@@ -2161,6 +2220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_throttle": q_event_throttle,
         "q_golden_record": q_golden_record,
         "q_fingerprint_clusters": q_fingerprint_clusters,
+        "q_er_contingency": q_er_contingency,
+        "q_uncertainty_band": q_uncertainty_band,
         "q_doc_rare_tokens": q_doc_rare_tokens,
         "q_event_deltas": q_event_deltas,
         "q_rollup_revenue": q_rollup_revenue,
@@ -3257,6 +3318,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(reach) AS dup_cluster,
                    node = min(reach) AS keep
             FROM walk GROUP BY node
+        """,
+        "q_er_contingency": f"""
+            WITH RECURSIVE
+            lp AS (SELECT left_id, right_id, is_match
+                   FROM read_parquet('{fdir}/labeled_pairs.parquet')),
+            e0 AS (SELECT left_id AS a, right_id AS b FROM lp WHERE is_match),
+            edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+            univ AS (SELECT left_id AS node FROM lp
+                     UNION SELECT right_id FROM lp),
+            walk (node, reach) AS (
+              SELECT node, node FROM univ
+              UNION
+              SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+            truth AS (SELECT node AS record_id, min(reach) AS true_cluster
+                      FROM walk GROUP BY node),
+            pred AS (SELECT record_id, cluster_id AS pred_cluster
+                     FROM read_parquet('{fdir}/er_pred_clusters.parquet'))
+            SELECT p.pred_cluster, t.true_cluster,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM truth t JOIN pred p USING (record_id)
+            GROUP BY p.pred_cluster, t.true_cluster
+        """,
+        "q_uncertainty_band": f"""
+            WITH s AS (
+              SELECT left_id, right_id, combined_score,
+                     md5('42:' || left_id || '|' || right_id) AS sample_rank
+              FROM read_parquet('{fdir}/uncertainty_input.parquet')
+              WHERE combined_score >= 55 AND combined_score < 85)
+            SELECT left_id, right_id, combined_score, sample_rank
+            FROM s ORDER BY sample_rank, left_id, right_id LIMIT 100
         """,
         "q_blocking_recall": f"""
             WITH t AS (

@@ -1320,3 +1320,63 @@ def test_fingerprint_clusters_variants(rds):
                     "Kay Mary|Mary Kay"],
     }).astype({"n_values": "int64", "n_distinct": "int64"})
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_cluster_contingency_and_bcubed(rds):
+    """Contingency counts vs a hand-built example, and exact B-cubed /
+    purity from the aggregated frame (perfect clustering -> all 1.0)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+
+    pred = pd.DataFrame({"record_id": list("abcdef"),
+                         "cluster_id": ["p1", "p1", "p1", "p2", "p2", "p3"]})
+    truth = pd.DataFrame({"record_id": list("abcdef"),
+                          "cluster_id": ["t1", "t1", "t2", "t2", "t2", "t3"]})
+    cont = er_eval.cluster_contingency(rds.from_pandas(pred),
+                                       rds.from_pandas(truth))
+    cont = (cont if isinstance(cont, pd.DataFrame) else cont.to_pandas()
+            ).sort_values(["pred_cluster", "true_cluster"]).reset_index(drop=True)
+    want = pd.DataFrame({"pred_cluster": ["p1", "p1", "p2", "p3"],
+                         "true_cluster": ["t1", "t2", "t2", "t3"],
+                         "n": [2, 1, 2, 1]}).astype({"n": "int64"})
+    pd.testing.assert_frame_equal(cont, want)
+
+    m = er_eval.bcubed_from_contingency(cont)
+    # by hand: precision = (1/6)(4/3 + 1/3 + 4/2 + 1/1) = 7/9
+    assert abs(m["b3_precision"] - 7 / 9) < 1e-12
+    # recall: truth sizes t1=2, t2=3, t3=1 -> (1/6)(4/2 + 1/3 + 4/3 + 1/1)
+    sq_over_truth = (4 / 2) + (1 / 3) + (4 / 3) + (1 / 1)
+    assert abs(m["b3_recall"] - sq_over_truth / 6) < 1e-12
+    assert abs(m["purity"] - (2 + 2 + 1) / 6) < 1e-12
+
+    perfect = er_eval.bcubed_from_contingency(
+        pd.DataFrame({"pred_cluster": ["x", "y"], "true_cluster": ["u", "v"],
+                      "n": [3, 2]}))
+    assert perfect["b3_f1"] == 1.0 and perfect["purity"] == 1.0
+
+
+def test_uncertainty_band_sample_partition_invariant(rds):
+    """The seeded hash-rank sample must be identical regardless of how
+    the input is partitioned, stay inside the band, and clamp to the
+    band population when k exceeds it."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"left_id": [f"l{i}" for i in range(300)],
+                       "right_id": [f"r{i}" for i in range(300)],
+                       "combined_score": rng.uniform(0, 100, 300).round(2)})
+    a = er_eval.uncertainty_band_sample(
+        rds.from_pandas(df), 40.0, 60.0, 25)
+    b = er_eval.uncertainty_band_sample(
+        rds.from_pandas(df).repartition(7), 40.0, 60.0, 25)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 25
+    assert ((a["combined_score"] >= 40) & (a["combined_score"] < 60)).all()
+    assert a["sample_rank"].is_monotonic_increasing
+
+    band_n = ((df["combined_score"] >= 40) & (df["combined_score"] < 60)).sum()
+    c = er_eval.uncertainty_band_sample(rds.from_pandas(df), 40.0, 60.0, 10_000)
+    assert len(c) == band_n
