@@ -1531,6 +1531,39 @@ def q_uncertainty_band(sf_dir: str):
     return er_eval.uncertainty_band_sample(out["scored"], 55.0, 85.0, 100)
 
 
+def q_constraint_audit(sf_dir: str):
+    """Declarative data-quality audit (ops.quality.validate_constraints)
+    over events: not-null, regex-shape, numeric-range and uniqueness
+    rules counted in one streaming pass (+ one bucketed distinct per
+    unique rule). Oracle: each rule re-expressed as a SQL aggregate."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "event_type", "value", "props"])
+    return quality.validate_constraints(ds, [
+        {"type": "not_null", "col": "props"},
+        {"type": "regex", "col": "event_type", "pattern": r"^[a-z_]+$"},
+        {"type": "range", "col": "value", "lo": 0.0, "hi": 500.0},
+        {"type": "unique", "col": "event_id"},
+    ])
+
+
+def q_gini_profile(sf_dir: str):
+    """Categorical concentration profile (ops.quality.categorical_gini)
+    of events event_type / user_id: non-null count, exact distinct,
+    integer sum of squared value counts, and Gini impurity — a fully
+    rational statistic (1 - sum_sq/n^2), so even the float column is
+    reproduced bit-for-bit by the SQL oracle from the same integers."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+    return quality.categorical_gini(ds, ["event_type", "user_id"])
+
+
 def _with_error_class(ds, row_schema_names):
     """Swap the Python-specific parse_error_details free text for the
     normalized parse_error_class enum (derived from the details by
@@ -2222,6 +2255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint_clusters": q_fingerprint_clusters,
         "q_er_contingency": q_er_contingency,
         "q_uncertainty_band": q_uncertainty_band,
+        "q_constraint_audit": q_constraint_audit,
+        "q_gini_profile": q_gini_profile,
         "q_doc_rare_tokens": q_doc_rare_tokens,
         "q_event_deltas": q_event_deltas,
         "q_rollup_revenue": q_rollup_revenue,
@@ -3318,6 +3353,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(reach) AS dup_cluster,
                    node = min(reach) AS keep
             FROM walk GROUP BY node
+        """,
+        "q_constraint_audit": """
+            SELECT 'not_null' AS rule, 'props' AS col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM events
+            UNION ALL
+            SELECT 'regex', 'event_type', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN event_type IS NULL
+                                 OR NOT regexp_matches(event_type, '^[a-z_]+$')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'range', 'value', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN value IS NULL OR value < 0.0
+                                 OR value > 500.0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'unique', 'event_id', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+            FROM events
+        """,
+        "q_gini_profile": """
+            WITH c AS (
+              SELECT 'event_type' AS col, CAST(event_type AS VARCHAR) AS value
+              FROM events WHERE event_type IS NOT NULL
+              UNION ALL
+              SELECT 'user_id', CAST(user_id AS VARCHAR)
+              FROM events WHERE user_id IS NOT NULL),
+            v AS (SELECT col, value, CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY col, value),
+            t AS (SELECT col, CAST(sum(n) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS n_distinct,
+                         CAST(sum(n * n) AS BIGINT) AS sum_sq
+                  FROM v GROUP BY col)
+            SELECT col, n, n_distinct, sum_sq,
+                   1.0 - CAST(sum_sq AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini
+            FROM t
         """,
         "q_er_contingency": f"""
             WITH RECURSIVE

@@ -1380,3 +1380,51 @@ def test_uncertainty_band_sample_partition_invariant(rds):
     band_n = ((df["combined_score"] >= 40) & (df["combined_score"] < 60)).sum()
     c = er_eval.uncertainty_band_sample(rds.from_pandas(df), 40.0, 60.0, 10_000)
     assert len(c) == band_n
+
+
+def test_validate_constraints_vs_pandas(rds):
+    """Every rule type counted against a serial recompute, including
+    NULL handling (nulls violate regex/range; nulls are excess rows for
+    unique)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    df = pd.DataFrame({
+        "id": [1, 2, 2, 3, None, 5],
+        "name": ["ok_one", "BAD", None, "fine", "also_ok", "x y"],
+        "v": [0.0, 5.0, -1.0, None, 99.0, 100.1],
+    })
+    out = quality.validate_constraints(rds.from_pandas(df), [
+        {"type": "not_null", "col": "name"},
+        {"type": "regex", "col": "name", "pattern": r"^[a-z_]+$"},
+        {"type": "range", "col": "v", "lo": 0.0, "hi": 100.0},
+        {"type": "unique", "col": "id"},
+    ])
+    want = pd.DataFrame({
+        "rule": ["not_null", "regex", "range", "unique"],
+        "col": ["name", "name", "v", "id"],
+        "n_rows": [6] * 4,
+        # regex: BAD, None, "x y" -> 3; range: -1, None, 100.1 -> 3
+        # unique: 6 rows - 4 distinct non-null (1,2,3,5) -> 2
+        "n_violations": [1, 3, 3, 2],
+    }).astype({"n_rows": "int64", "n_violations": "int64"})
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_categorical_gini_exact(rds):
+    """Integer partials and the rational gini against a hand example:
+    col with counts (3,1) over 4 rows -> gini = 1 - 10/16."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    df = pd.DataFrame({"a": ["x", "x", "x", "y", None],
+                       "b": [1, 2, 3, 4, 5]})
+    out = quality.categorical_gini(rds.from_pandas(df), ["a", "b"])
+    want = pd.DataFrame({
+        "col": ["a", "b"], "n": [4, 5], "n_distinct": [2, 5],
+        "sum_sq": [10, 5],
+        "gini": [1 - 10 / 16, 1 - 5 / 25],
+    }).astype({"n": "int64", "n_distinct": "int64", "sum_sq": "int64"})
+    pd.testing.assert_frame_equal(out, want)
