@@ -1564,6 +1564,38 @@ def q_gini_profile(sf_dir: str):
     return quality.categorical_gini(ds, ["event_type", "user_id"])
 
 
+def q_interval_self_join(sf_dir: str):
+    """Stream-stream self-join (ops.windows.interval_self_join): every
+    ordered pair of same-user events <= 15 min apart — the batch
+    expression of a bounded-state streaming join. One keyed shuffle +
+    a fully vectorized searchsorted window expansion per bucket.
+    Oracle: the quadratic SQL self-join with the identical (ts, id)
+    tie-break predicate."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        windows,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = windows.interval_self_join(ds, max_gap_seconds=900.0)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    for c in ("user_id", "left_id", "right_id", "gap_us"):
+        df[c] = df[c].astype("int64")
+    return (df.sort_values(["user_id", "left_id", "right_id"],
+                           kind="mergesort").reset_index(drop=True))
+
+
+def q_quantile_bins(sf_dir: str):
+    """Equal-frequency quartile binning of event values
+    (ops.relational.quantile_bin): exact quantile_disc edges from one
+    value-count partial pass, then a streaming searchsorted assignment.
+    Oracle: DuckDB quantile_disc edges + the identical CASE chain."""
+    ds = _tbl(sf_dir, "events", columns=["event_id", "value"])
+    out = relational.quantile_bin(ds, "value", nbins=4, id_col="event_id")
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    df["event_id"] = df["event_id"].astype("int64")
+    return df.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
 def _with_error_class(ds, row_schema_names):
     """Swap the Python-specific parse_error_details free text for the
     normalized parse_error_class enum (derived from the details by
@@ -2257,6 +2289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_uncertainty_band": q_uncertainty_band,
         "q_constraint_audit": q_constraint_audit,
         "q_gini_profile": q_gini_profile,
+        "q_interval_self_join": q_interval_self_join,
+        "q_quantile_bins": q_quantile_bins,
         "q_doc_rare_tokens": q_doc_rare_tokens,
         "q_event_deltas": q_event_deltas,
         "q_rollup_revenue": q_rollup_revenue,
@@ -3353,6 +3387,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(reach) AS dup_cluster,
                    node = min(reach) AS keep
             FROM walk GROUP BY node
+        """,
+        "q_quantile_bins": """
+            WITH e AS (
+              SELECT quantile_disc(value, 0.25) AS e1,
+                     quantile_disc(value, 0.5) AS e2,
+                     quantile_disc(value, 0.75) AS e3
+              FROM events WHERE value IS NOT NULL)
+            SELECT event_id, value,
+                   CAST(CASE WHEN value IS NULL THEN 0
+                             WHEN value <= e.e1 THEN 1
+                             WHEN value <= e.e2 THEN 2
+                             WHEN value <= e.e3 THEN 3
+                             ELSE 4 END AS BIGINT) AS bin
+            FROM events CROSS JOIN e
+        """,
+        "q_interval_self_join": """
+            SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+                   CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+            FROM events a JOIN events b ON a.user_id = b.user_id
+             AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+             AND epoch_us(b.ts) - epoch_us(a.ts) <= 900000000
         """,
         "q_constraint_audit": """
             SELECT 'not_null' AS rule, 'props' AS col,

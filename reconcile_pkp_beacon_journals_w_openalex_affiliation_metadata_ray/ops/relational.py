@@ -1082,3 +1082,43 @@ def profile_columns(ds, cols, num_buckets: int = 32):
         out[c] = out[c].astype("int64")
     return (out[["col", "n", "n_null", "n_distinct", "min_val", "max_val"]]
             .sort_values("col", kind="mergesort").reset_index(drop=True))
+
+
+def quantile_bin(ds, col: str, nbins: int = 4, id_col: str = "event_id"):
+    """Quantile (equal-frequency) binning, the standard numeric feature
+    transform: assign every row the 1-based bin of its value against
+    the EXACT global quantile edges at i/nbins (DuckDB quantile_disc
+    order statistics — same contract as :func:`global_quantile_disc`:
+    the column's distinct-value cardinality is driver-small, so ONE
+    value-count partial pass computes every edge; the corpus itself
+    never moves). Assignment is a second streaming pass: searchsorted
+    against the tiny edge array per batch — bin = first i with
+    value <= edge_i, else nbins, exactly a SQL CASE chain. NULL values
+    get bin 0. Returns (id_col, col, bin)."""
+    import numpy as np
+
+    def _part(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].dropna().value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    parts = ds.map_batches(_part, batch_format="pandas").to_pandas()
+    agg = parts.groupby("v", sort=True)["n"].sum()
+    n = int(agg.sum())
+    if n == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             col: pd.Series(dtype="float64"),
+                             "bin": pd.Series(dtype="int64")})
+    cum = agg.cumsum().to_numpy()
+    edges = np.array([
+        agg.index[int(np.searchsorted(cum, int(np.ceil(i / nbins * n) - 1) + 1))]
+        for i in range(1, nbins)])
+
+    def _assign(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col]
+        bins = np.searchsorted(edges, v.to_numpy(), side="left") + 1
+        bins = np.where(v.isna(), 0, bins)
+        return pd.DataFrame({id_col: b[id_col], col: v,
+                             "bin": bins.astype("int64")})
+
+    return ds.map_batches(_assign, batch_format="pandas")

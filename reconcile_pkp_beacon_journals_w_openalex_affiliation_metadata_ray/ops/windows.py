@@ -261,3 +261,88 @@ def throttle_events(events_ds, key: str = "user_id", ts: str = "ts",
 
     return bucketed_map_groups(events_ds, key, per_bucket,
                                num_buckets=num_buckets)
+
+
+def interval_self_join(events_ds, key: str = "user_id", ts: str = "ts",
+                       id_col: str = "event_id",
+                       max_gap_seconds: float = 900.0,
+                       num_buckets: int = 64):
+    """Stream-stream self-join within an event-time bound: every
+    ORDERED pair of same-key events at most ``max_gap_seconds`` apart
+    (left strictly earlier by (ts, id) — each unordered pair emitted
+    exactly once). Output: (key, left_id, right_id, gap_us).
+
+    This is the batch expression of a bounded-state streaming join
+    (each event joins a window of its key's recent events). Shape: one
+    coarse-bucketed shuffle co-locating each key, then a fully
+    VECTORIZED windowed pair expansion per bucket — sort by (key, ts,
+    id), bound each row's partner range with searchsorted against the
+    key-segment end, and materialize pairs with repeat/arange gathers;
+    no per-key Python call, no per-row loop. Output size is inherently
+    quadratic in per-key density within the gap — the window bound IS
+    the state bound, exactly as in a streaming engine."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .relational import bucketed_map_groups
+
+    gap_us = int(round(max_gap_seconds * 1_000_000))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, id_col], kind="mergesort")
+        t = g[ts].astype("int64").to_numpy()  # epoch ticks (us or ns)
+        unit = np.datetime_data(g[ts].dtype)[0] if len(g) else "us"
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+        t_us = t * scale if unit != "ns" else t // 1_000
+        k = g[key].to_numpy()
+        ids = g[id_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key: g[key], "left_id": g[id_col],
+                                 "right_id": g[id_col],
+                                 "gap_us": pd.Series(dtype="int64")})
+        # end of each row's key segment (keys are contiguous after sort)
+        seg_change = np.flatnonzero(k[1:] != k[:-1]) + 1
+        seg_ends = np.concatenate([seg_change, [n]])
+        seg_idx = np.searchsorted(seg_ends, np.arange(n), side="right")
+        seg_end_per_row = seg_ends[seg_idx]
+        seg_starts = np.concatenate([[0], seg_ends[:-1]])
+        # t_us is sorted only WITHIN a key segment. Lift it to one
+        # globally monotone axis: segment-relative time + seg_idx * B
+        # with B > max segment span + gap, so row i's time bound can
+        # never cross into another key's segment and ONE vectorized
+        # searchsorted bounds every row.
+        rel = t_us - t_us[seg_starts[seg_idx]]
+        span = int(rel.max()) if n else 0
+        stride = span + gap_us + 1
+        if (len(seg_ends)) * stride < (1 << 62):
+            m = rel + seg_idx * stride
+            hi = np.searchsorted(m, m + gap_us, side="right")
+        else:
+            # overflow fallback (astronomical spans x key counts in one
+            # bucket): per-segment searchsorted
+            hi = np.empty(n, dtype="int64")
+            for s, e in zip(seg_starts[np.unique(seg_idx)],
+                            seg_ends[np.unique(seg_idx)]):
+                hi[s:e] = s + np.searchsorted(
+                    t_us[s:e], t_us[s:e] + gap_us, side="right")
+        hi = np.minimum(hi, seg_end_per_row)
+        counts = hi - np.arange(n) - 1
+        counts = np.maximum(counts, 0)
+        left_idx = np.repeat(np.arange(n), counts)
+        offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        right_idx = np.arange(len(left_idx)) - np.repeat(offsets, counts) \
+            + np.repeat(np.arange(n), counts) + 1
+        return pd.DataFrame({key: k[left_idx], "left_id": ids[left_idx],
+                             "right_id": ids[right_idx],
+                             "gap_us": (t_us[right_idx]
+                                        - t_us[left_idx]).astype("int64")})
+
+    out = bucketed_map_groups(events_ds, key, per_bucket,
+                              num_buckets=num_buckets)
+    from .dedup import _typed_or_empty
+
+    return _typed_or_empty(out, [(key, pa.int64()),
+                                 ("left_id", pa.int64()),
+                                 ("right_id", pa.int64()),
+                                 ("gap_us", pa.int64())])

@@ -1428,3 +1428,67 @@ def test_categorical_gini_exact(rds):
         "gini": [1 - 10 / 16, 1 - 5 / 25],
     }).astype({"n": "int64", "n_distinct": "int64", "sum_sq": "int64"})
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_interval_self_join_vs_bruteforce(rds):
+    """Windowed self-join pairs must equal the quadratic per-key
+    recompute, including equal-timestamp tie-breaks and key isolation."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        windows,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n).astype("int64"),
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 7200, n), unit="s"),
+    })
+    df.loc[1, "ts"] = df.loc[0, "ts"]  # planted equal-ts tie
+    df.loc[1, "user_id"] = df.loc[0, "user_id"]
+
+    got = windows.interval_self_join(rds.from_pandas(df), max_gap_seconds=600)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got_t = set(map(tuple, got[["user_id", "left_id", "right_id",
+                                "gap_us"]].itertuples(index=False)))
+
+    want = set()
+    for _, a in df.iterrows():
+        for _, b in df.iterrows():
+            if a.user_id != b.user_id:
+                continue
+            if (a.ts, a.event_id) >= (b.ts, b.event_id):
+                continue
+            gap = int((b.ts - a.ts).total_seconds() * 1_000_000)
+            if gap <= 600_000_000:
+                want.add((a.user_id, a.event_id, b.event_id, gap))
+    assert got_t == want
+    assert len(want) > 50
+
+
+def test_quantile_bin_exact_edges(rds):
+    """Bin assignment must reproduce the quantile_disc CASE-chain
+    semantics (edge-inclusive), give equal-frequency quartiles on a
+    permutation input, and send NULLs to bin 0."""
+    rng = np.random.RandomState(3)
+    vals = rng.permutation(np.arange(1, 101)).astype("float64")
+    df = pd.DataFrame({"event_id": np.arange(100, dtype="int64"),
+                       "value": vals})
+    df.loc[0, "value"] = np.nan
+    out = relational.quantile_bin(rds.from_pandas(df), "value", nbins=4)
+    out = (out if isinstance(out, pd.DataFrame) else out.to_pandas()
+           ).sort_values("event_id").reset_index(drop=True)
+
+    nn = df["value"].dropna().sort_values().to_numpy()
+    n = len(nn)
+    edges = [nn[int(np.ceil(q * n)) - 1] for q in (0.25, 0.5, 0.75)]
+    exp = []
+    for v in df["value"]:
+        if np.isnan(v):
+            exp.append(0)
+        else:
+            exp.append(next((i + 1 for i, e in enumerate(edges) if v <= e), 4))
+    assert out["bin"].tolist() == exp
+    counts = out.loc[out["bin"] > 0, "bin"].value_counts()
+    assert counts.max() - counts.min() <= 1
