@@ -1596,6 +1596,71 @@ def q_quantile_bins(sf_dir: str):
     return df.sort_values("event_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_grouped_variance(sf_dir: str):
+    """Per-event-type integer-exact mean/variance profile
+    (ops.quality.grouped_moments): per-batch (n, sum, sum_sq) integer
+    partials in value-hundredths, one bucketed reduce, floats derived
+    from the same integers on both engines (bit-deterministic IEEE
+    expression). Oracle: the identical fixed-point aggregation in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    return quality.grouped_moments(ds, "event_type", "value", decimals=2)
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Per-group 3-sigma outlier rows (ops.quality.zscore_outliers):
+    pass 1 = integer-exact grouped moments, pass 2 = streaming flag
+    with the identical float64 comparison expression on both engines
+    (boundary rows agree bit-for-bit because mean/var derive from the
+    same integers). Oracle: the same fixed-point moments + flag in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return quality.zscore_outliers(ds, "event_type", "value", "event_id", k=3.0)
+
+
+def q_fd_audit(sf_dir: str):
+    """Functional-dependency audit (ops.quality.fd_audit): distinct-pair
+    combiner + bucketed per-determinant reduce; user_id->event_type is
+    violated, event_id->event_type holds. Oracle: per-dependency
+    count(DISTINCT) aggregation in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    return quality.fd_audit(ds, [("user_id", "event_type"),
+                                 ("event_id", "event_type")])
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Overlapping context-window chunking (ops.text.chunk_tokens):
+    pure per-batch flat-map, window 64 / stride 48 whitespace tokens.
+    Oracle: regexp_split_to_array + unnest(generate_series) + list
+    slicing re-derives every chunk string in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        text as text_ops,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: text_ops.chunk_tokens(b, window=64, stride=48),
+        batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "chunk_idx": pd.Series(dtype="int64"),
+                            "start_tok": pd.Series(dtype="int64"),
+                            "n_chunk_tokens": pd.Series(dtype="int64"),
+                            "chunk_text": pd.Series(dtype=object)})
+    return (out.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def _with_error_class(ds, row_schema_names):
     """Swap the Python-specific parse_error_details free text for the
     normalized parse_error_class enum (derived from the details by
@@ -2289,6 +2354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_uncertainty_band": q_uncertainty_band,
         "q_constraint_audit": q_constraint_audit,
         "q_gini_profile": q_gini_profile,
+        "q_grouped_variance": q_grouped_variance,
+        "q_zscore_outliers": q_zscore_outliers,
+        "q_fd_audit": q_fd_audit,
+        "q_chunk_tokens": q_chunk_tokens,
         "q_interval_self_join": q_interval_self_join,
         "q_quantile_bins": q_quantile_bins,
         "q_doc_rare_tokens": q_doc_rare_tokens,
@@ -3449,6 +3518,98 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - CAST(sum_sq AS DOUBLE)
                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini
             FROM t
+        """,
+        "q_grouped_variance": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS vh
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(vh) AS BIGINT) AS sum_s,
+                         CAST(sum(vh * vh) AS BIGINT) AS sum_sq_s
+                  FROM h GROUP BY event_type)
+            SELECT event_type, n, sum_s, sum_sq_s,
+                   CAST(sum_s AS DOUBLE)
+                     / (100.0 * CAST(n AS DOUBLE)) AS mean,
+                   CAST(sum_sq_s AS DOUBLE)
+                     / (10000.0 * CAST(n AS DOUBLE))
+                   - (CAST(sum_s AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)))
+                   * (CAST(sum_s AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)))
+                       AS var_pop
+            FROM t
+        """,
+        "q_zscore_outliers": """
+            WITH h AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS vh
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(vh) AS BIGINT) AS sum_s,
+                         CAST(sum(vh * vh) AS BIGINT) AS sum_sq_s
+                  FROM h GROUP BY event_type),
+            m AS (SELECT event_type,
+                         CAST(sum_s AS DOUBLE)
+                           / (100.0 * CAST(n AS DOUBLE)) AS mean,
+                         CAST(sum_sq_s AS DOUBLE)
+                           / (10000.0 * CAST(n AS DOUBLE))
+                         - (CAST(sum_s AS DOUBLE)
+                              / (100.0 * CAST(n AS DOUBLE)))
+                         * (CAST(sum_s AS DOUBLE)
+                              / (100.0 * CAST(n AS DOUBLE))) AS var_pop
+                  FROM t)
+            SELECT h.event_id, h.event_type, h.vh AS value_h
+            FROM h JOIN m ON m.event_type = h.event_type
+            WHERE (CAST(h.vh AS DOUBLE) / 100.0 - m.mean)
+                * (CAST(h.vh AS DOUBLE) / 100.0 - m.mean)
+                > 9.0 * m.var_pop
+            ORDER BY h.event_id
+        """,
+        "q_fd_audit": """
+            SELECT 'user_id' AS lhs, 'event_type' AS rhs,
+                   CAST(count(*) AS BIGINT) AS n_lhs_groups,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating,
+                   CAST(max(nd) AS BIGINT) AS max_distinct_rhs,
+                   CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS holds
+            FROM (SELECT user_id, count(DISTINCT event_type) AS nd
+                  FROM events
+                  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  GROUP BY user_id)
+            UNION ALL
+            SELECT 'event_id', 'event_type',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(max(nd) AS BIGINT),
+                   CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                        THEN 1 ELSE 0 END AS BIGINT)
+            FROM (SELECT event_id, count(DISTINCT event_type) AS nd
+                  FROM events
+                  WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+                  GROUP BY event_id)
+        """,
+        "q_chunk_tokens": r"""
+            WITH s AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            c AS (SELECT doc_id, toks,
+                         unnest(generate_series(
+                             0, CAST(len(toks) - 1 AS BIGINT), 48))
+                             AS start_tok
+                  FROM s)
+            SELECT doc_id,
+                   CAST(start_tok // 48 AS BIGINT) AS chunk_idx, start_tok,
+                   CAST(least(len(toks) - start_tok, 64) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(
+                       toks[CAST(start_tok + 1 AS BIGINT)
+                            :CAST(least(start_tok + 64, len(toks)) AS BIGINT)],
+                       ' ') AS chunk_text
+            FROM c
+            ORDER BY doc_id, chunk_idx
         """,
         "q_er_contingency": f"""
             WITH RECURSIVE

@@ -106,7 +106,8 @@ def run_bench() -> dict:
     for name in ("q_pricing_summary", "q_docs_exact_dedup", "q_knn_bruteforce",
                  "q_doc_quality", "q_minhash_near_dups", "q_sessionize",
                  "q_parse_records_openalex", "q_user_value_ranks",
-                 "q_delta_new_docs", "q_event_type_hll"):
+                 "q_delta_new_docs", "q_event_type_hll", "q_setsim_pairs",
+                 "q_interval_self_join", "q_golden_record"):
         t0 = time.time()
         res = entrymod.queries()[name](sf_dir)
         if hasattr(res, "count"):

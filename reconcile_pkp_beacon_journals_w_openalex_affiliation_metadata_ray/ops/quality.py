@@ -84,6 +84,153 @@ def validate_constraints(ds, rules, num_buckets: int = 64) -> pd.DataFrame:
                                          "n_violations": "int64"})
 
 
+def grouped_moments(ds, group_col: str, value_col: str, decimals: int = 2,
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Per-group mean and population variance, integer-exact: values
+    are fixed-point (``decimals`` places, e.g. currency/score columns),
+    so each batch emits integer partials (n, sum, sum-of-squares) in
+    scaled units; a bucketed reduce sums them per group; mean/variance
+    are then float expressions over the SAME integers on both engines:
+
+        mean    = sum_s   / (scale   * n)
+        var_pop = sum_sq_s / (scale^2 * n) - mean * mean
+
+    IEEE float64 evaluation of identical expression trees is
+    bit-deterministic, so the driver oracle reproduces the floats
+    verbatim (same discipline as :func:`categorical_gini`). ONE keyed
+    shuffle of O(groups x batches) partial rows — never raw values —
+    makes this the scale shape for a 100-TB profile pass. Result is
+    O(groups), driver-side by design."""
+    scale = 10 ** decimals
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[group_col, value_col]].dropna()
+        vh = np.rint(b[value_col].to_numpy(dtype="float64")
+                     * scale).astype("int64")
+        g = pd.DataFrame({group_col: b[group_col].to_numpy(), "__vh": vh,
+                          "__sq": vh * vh})
+        agg = g.groupby(group_col, sort=False).agg(
+            n=("__vh", "size"), sum_s=("__vh", "sum"), sum_sq_s=("__sq", "sum"))
+        return agg.reset_index().astype(
+            {"n": "int64", "sum_s": "int64", "sum_sq_s": "int64"})
+
+    from .relational import bucketed_map_groups
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(group_col, sort=False, as_index=False)
+                [["n", "sum_s", "sum_sq_s"]].sum()
+                .astype({"n": "int64", "sum_s": "int64", "sum_sq_s": "int64"}))
+
+    parts = bucketed_map_groups(
+        ds.map_batches(_partial, batch_format="pandas"), [group_col],
+        _reduce, num_buckets=num_buckets).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "sum_s": pd.Series(dtype="int64"),
+                             "sum_sq_s": pd.Series(dtype="int64"),
+                             "mean": pd.Series(dtype="float64"),
+                             "var_pop": pd.Series(dtype="float64")})
+    tot = parts.astype({"n": "int64", "sum_s": "int64", "sum_sq_s": "int64"})
+    n = tot["n"].astype("float64")
+    tot["mean"] = tot["sum_s"].astype("float64") / (float(scale) * n)
+    tot["var_pop"] = (tot["sum_sq_s"].astype("float64")
+                      / (float(scale * scale) * n)
+                      - tot["mean"] * tot["mean"])
+    return (tot.sort_values(group_col, kind="mergesort")
+            .reset_index(drop=True)
+            [[group_col, "n", "sum_s", "sum_sq_s", "mean", "var_pop"]])
+
+
+def zscore_outliers(ds, group_col: str, value_col: str, id_col: str,
+                    k: float = 3.0, decimals: int = 2,
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Per-group z-score outlier detection: two passes, both streaming.
+    Pass 1 is :func:`grouped_moments` (integer partials -> bit-exact
+    per-group mean/var_pop floats). Pass 2 broadcasts the tiny moments
+    frame and flags rows where ``(v - mean)^2 > k^2 * var_pop`` — the
+    comparison is evaluated in float64 from the SAME integers with the
+    SAME expression tree on both engines, so even boundary rows agree
+    bit-for-bit. Returns ONLY the outlier rows (id, group, value in
+    scaled integer units) — outliers are rare by construction, so the
+    result is driver-small while the input streams.
+
+    The moments frame is closure-captured (it is O(groups) and small);
+    for million-group keys route the join through
+    ``ops.relational.bucket_join`` instead."""
+    scale = 10 ** decimals
+    moments = grouped_moments(ds, group_col, value_col, decimals=decimals,
+                              num_buckets=num_buckets)
+    mean = dict(zip(moments[group_col], moments["mean"]))
+    var = dict(zip(moments[group_col], moments["var_pop"]))
+    kk = float(k) * float(k)
+    vh_col = f"{value_col}_h"
+
+    def _flag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, group_col, value_col]].dropna()
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              group_col: pd.Series(dtype=object),
+                              vh_col: pd.Series(dtype="int64")})
+        if b.empty:
+            return empty
+        vh = np.rint(b[value_col].to_numpy(dtype="float64")
+                     * scale).astype("int64")
+        g = b[group_col].to_numpy()
+        mu = np.array([mean.get(x, np.nan) for x in g], dtype="float64")
+        va = np.array([var.get(x, np.nan) for x in g], dtype="float64")
+        d = vh / float(scale) - mu
+        keep = d * d > kk * va
+        out = pd.DataFrame({id_col: b[id_col].to_numpy()[keep],
+                            group_col: g[keep], vh_col: vh[keep]})
+        return out if len(out) else empty
+
+    res = ds.map_batches(_flag, batch_format="pandas").to_pandas()
+    if res.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             group_col: pd.Series(dtype=object),
+                             vh_col: pd.Series(dtype="int64")})
+    res[id_col] = res[id_col].astype("int64")
+    res[vh_col] = res[vh_col].astype("int64")
+    return res.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+
+
+def fd_audit(ds, dependencies, num_buckets: int = 64) -> pd.DataFrame:
+    """Functional-dependency audit: for each ``(lhs_col, rhs_col)``
+    dependency, count determinant groups and violations (an lhs value
+    mapping to >1 distinct rhs). Rows with NULL on either side are
+    excluded (SQL join semantics). Scale shape per dependency: ONE
+    per-batch distinct-pair combiner (the shuffle moves (lhs, rhs)
+    DISTINCT pairs, never raw rows), one bucketed per-lhs reduce (all
+    rhs of an lhs land in one bucket), then O(buckets) integer partials
+    summed on the driver. Result is O(dependencies)."""
+    results = []
+    for lhs, rhs in dependencies:
+        def _pairs(b: pd.DataFrame, l=lhs, r=rhs) -> pd.DataFrame:
+            return b[[l, r]].dropna().drop_duplicates()
+
+        def _reduce(g: pd.DataFrame, l=lhs, r=rhs) -> pd.DataFrame:
+            nd = g.drop_duplicates().groupby(l, sort=False)[r].size()
+            return pd.DataFrame({
+                "n_lhs": [np.int64(len(nd))],
+                "n_violating": [np.int64(int((nd > 1).sum()))],
+                "max_rhs": [np.int64(int(nd.max()) if len(nd) else 0)]})
+
+        from .relational import bucketed_map_groups
+
+        parts = bucketed_map_groups(
+            ds.map_batches(_pairs, batch_format="pandas"), [lhs],
+            _reduce, num_buckets=num_buckets).to_pandas()
+        results.append({
+            "lhs": lhs, "rhs": rhs,
+            "n_lhs_groups": int(parts["n_lhs"].sum()) if len(parts) else 0,
+            "n_violating": int(parts["n_violating"].sum()) if len(parts) else 0,
+            "max_distinct_rhs": int(parts["max_rhs"].max()) if len(parts) else 0,
+            "holds": int(parts["n_violating"].sum() == 0) if len(parts) else 1})
+    return pd.DataFrame(results).astype(
+        {"n_lhs_groups": "int64", "n_violating": "int64",
+         "max_distinct_rhs": "int64", "holds": "int64"})
+
+
 def categorical_gini(ds, cols, num_buckets: int = 64) -> pd.DataFrame:
     """Per-column categorical concentration: (col, n non-null rows,
     n_distinct, sum of squared value counts, gini) where

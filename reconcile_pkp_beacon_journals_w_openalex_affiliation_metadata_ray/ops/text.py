@@ -430,3 +430,33 @@ def rare_token_stats(ds, id_col: str = "doc_id", text_col: str = "text",
         return out
 
     return ds.map_batches(_stats, batch_format="pandas")
+
+
+def chunk_tokens(batch: pd.DataFrame, window: int = 64, stride: int = 48,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> pd.DataFrame:
+    """Overlapping fixed-token-window chunking (LLM context-window
+    prep): each document is split into whitespace tokens and re-emitted
+    as windows of ``window`` tokens starting every ``stride`` tokens
+    (starts = 0, stride, 2*stride, ... while start < n_tokens; the last
+    window may be short). Documents with no tokens emit nothing. Docs
+    are atomic rows, so this is a pure per-batch flat-map — no shuffle;
+    at 100 TB the output fan-out is bounded by window/stride and the
+    stage streams. Token rule matches :func:`token_counts` (str.split
+    == SQL regexp_split_to_array on trimmed text)."""
+    ids, idxs, starts, lens, texts = [], [], [], [], []
+    for i, t in zip(batch[id_col], batch[text_col].fillna("")):
+        toks = t.split()
+        n = len(toks)
+        for ci, s in enumerate(range(0, n, stride)):
+            w = toks[s:s + window]
+            ids.append(i)
+            idxs.append(ci)
+            starts.append(s)
+            lens.append(len(w))
+            texts.append(" ".join(w))
+    return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                         "chunk_idx": pd.Series(idxs, dtype="int64"),
+                         "start_tok": pd.Series(starts, dtype="int64"),
+                         "n_chunk_tokens": pd.Series(lens, dtype="int64"),
+                         "chunk_text": pd.Series(texts, dtype=object)})

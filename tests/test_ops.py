@@ -1430,6 +1430,94 @@ def test_categorical_gini_exact(rds):
     pd.testing.assert_frame_equal(out, want)
 
 
+def test_grouped_moments_exact(rds):
+    """Fixed-point grouped mean/variance against hand-computed integers:
+    group x has values 1.00, 3.00 -> mean 2.0, var_pop 1.0; NULL value
+    and NULL group rows are excluded."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    df = pd.DataFrame({"g": ["x", "x", "y", None, "y"],
+                       "v": [1.00, 3.00, 2.50, 9.0, None]})
+    out = quality.grouped_moments(rds.from_pandas(df), "g", "v", decimals=2)
+    want = pd.DataFrame({
+        "g": ["x", "y"], "n": [2, 1], "sum_s": [400, 250],
+        "sum_sq_s": [100 * 100 + 300 * 300, 250 * 250],
+        "mean": [400.0 / 200.0, 250.0 / 100.0],
+        "var_pop": [100000.0 / 20000.0 - 2.0 * 2.0,
+                    62500.0 / 10000.0 - 2.5 * 2.5],
+    }).astype({"n": "int64", "sum_s": "int64", "sum_sq_s": "int64"})
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_grouped_moments_empty_schema(rds):
+    """Empty input must return the typed empty frame (schema stability)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    df = pd.DataFrame({"g": pd.Series(dtype=object),
+                       "v": pd.Series(dtype="float64")})
+    out = quality.grouped_moments(rds.from_pandas(df), "g", "v")
+    assert list(out.columns) == ["g", "n", "sum_s", "sum_sq_s",
+                                 "mean", "var_pop"]
+    assert len(out) == 0
+
+
+def test_zscore_outliers_flags_planted(rds):
+    """A planted extreme value must be flagged; the tight cluster must
+    not. Group stats: values 10.00 x5 + one 99.99 -> the big one is the
+    only point with (v-mean)^2 > 9*var."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    vals = [10.0 + 0.01 * (i % 3) for i in range(30)] + [99.99]
+    df = pd.DataFrame({"id": np.arange(33, dtype="int64"),
+                       "g": ["a"] * 31 + ["b"] * 2,
+                       "v": vals + [5.0, 5.0]})
+    out = quality.zscore_outliers(rds.from_pandas(df), "g", "v", "id", k=3.0)
+    assert out["id"].tolist() == [30]
+    assert out["v_h"].tolist() == [9999]
+    # zero-variance group b: no flags (d*d > 0 is false for identical values)
+
+
+def test_fd_audit_held_and_violated(rds):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 3, None],
+                       "y": ["a", "b", "c", "c", None, "d"],
+                       "u": [10, 11, 20, 20, 30, 40]})
+    out = quality.fd_audit(rds.from_pandas(df), [("k", "y"), ("u", "y")])
+    row0 = out.iloc[0]  # k->y: k=1 maps to {a,b} -> violated
+    assert (row0["n_lhs_groups"], row0["n_violating"],
+            row0["max_distinct_rhs"], row0["holds"]) == (2, 1, 2, 0)
+    row1 = out.iloc[1]  # u->y holds (u=30 row dropped: NULL y)
+    assert (row1["n_lhs_groups"], row1["n_violating"],
+            row1["max_distinct_rhs"], row1["holds"]) == (4, 0, 1, 1)
+
+
+def test_chunk_tokens_hand_example():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        text as text_ops,
+    )
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b  c d e f g", "  x y ", ""]})
+    out = text_ops.chunk_tokens(df, window=5, stride=3)
+    assert out["doc_id"].tolist() == [1, 1, 1, 2]
+    assert out["start_tok"].tolist() == [0, 3, 6, 0]
+    assert out["chunk_text"].tolist() == ["a b c d e", "d e f g", "g", "x y"]
+    assert out["n_chunk_tokens"].tolist() == [5, 4, 1, 2]
+    # empty batch keeps the schema
+    empty = text_ops.chunk_tokens(df.iloc[0:0])
+    assert list(empty.columns) == ["doc_id", "chunk_idx", "start_tok",
+                                   "n_chunk_tokens", "chunk_text"]
+
+
 def test_interval_self_join_vs_bruteforce(rds):
     """Windowed self-join pairs must equal the quadratic per-key
     recompute, including equal-timestamp tie-breaks and key isolation."""
