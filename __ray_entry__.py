@@ -573,6 +573,23 @@ def q_setsim_pairs(sf_dir: str):
     return dedup_ops.setsim_prefix_pairs(ds, jaccard_threshold=0.9)
 
 
+def q_edit_distance_join(sf_dir: str):
+    """Blocked Levenshtein similarity self-join over part names (<= 3
+    edits within a (p_type, p_brand) block): all pairs of a block are
+    generated in ONE coarse bucket, length-bound pre-filtered, and the
+    survivors run through the Myers bit-parallel bulk kernel
+    (ops.dedup.edit_distance_self_join; property-tested bit-exact with
+    the scalar DP). STRONGEST oracle class: DuckDB recomputes the
+    entire blocked join independently with its native levenshtein()."""
+    ds = _tbl(sf_dir, "part",
+              columns=["p_partkey", "p_name", "p_type", "p_brand"])
+    out = dedup_ops.edit_distance_self_join(
+        ds, ["p_type", "p_brand"], "p_name", "p_partkey", max_dist=3)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    return (df.sort_values(["left_id", "right_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3). Per-doc simhashes and the
     emitted pair ids are persisted; the oracle recomputes Hamming =
@@ -2389,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_delta_new_docs": q_delta_new_docs,
         "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
         "q_setsim_pairs": q_setsim_pairs,
+        "q_edit_distance_join": q_edit_distance_join,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_knn_bruteforce": q_knn_bruteforce,
@@ -3362,6 +3380,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM g a JOIN g b ON a.doc_id < b.doc_id)
             SELECT left_id, right_id, round(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "q_edit_distance_join": """
+            SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b
+              ON a.p_type = b.p_type AND a.p_brand = b.p_brand
+             AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+            ORDER BY left_id, right_id
         """,
         "q_setsim_pairs": """
             WITH tk AS (

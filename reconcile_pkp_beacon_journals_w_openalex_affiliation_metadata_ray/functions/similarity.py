@@ -241,6 +241,91 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def levenshtein_bulk(pairs: list) -> list:
+    """Levenshtein distances for MANY (a, b) pairs at once — bit-exact
+    with :func:`levenshtein`, via Myers' bit-parallel algorithm (Myers
+    1999, public) run as numpy uint64 vector steps ACROSS the batch:
+    one (Eq&Pv)+Pv carry step per text POSITION for the whole chunk.
+    The shorter string is the pattern; its 128-slot char-mask array is
+    shared with the InDel kernel's cache. Ragged text lengths are
+    handled with an active mask (a finished pair's registers freeze —
+    unlike the LCS kernel, a zero Eq column is NOT a no-op for
+    Levenshtein). Pairs that are non-ASCII or whose shorter string
+    exceeds 63 chars fall back to the scalar DP."""
+    import numpy as np
+
+    n = len(pairs)
+    out = [0] * n
+    fast = []
+    for i, (a, b) in enumerate(pairs):
+        if a == b:
+            continue
+        if not a or not b:
+            out[i] = len(a) or len(b)
+            continue
+        if len(a) > len(b):
+            a, b = b, a
+        if len(a) <= 63 and a.isascii() and b.isascii():
+            fast.append((i, a, b))
+        else:
+            out[i] = levenshtein(a, b)
+    if not fast:
+        return out
+    fast.sort(key=lambda t: len(t[2]))
+    for lo in range(0, len(fast), 8192):
+        _lev_chunk(fast[lo : lo + 8192], out, np)
+    return out
+
+
+def _lev_chunk(fast: list, out: list, np) -> None:
+    k = len(fast)
+    lmax = max(len(b) for _, _, b in fast)
+    buf = bytearray(k * lmax)
+    pm_rows = [None] * k
+    la = np.empty(k, dtype=np.uint64)
+    lb = np.empty(k, dtype=np.int64)
+    for r, (_, a, b) in enumerate(fast):
+        def _build(a=a):
+            slots = [0] * 128
+            for pos, ch in enumerate(a):
+                slots[ord(ch)] |= 1 << pos
+            return np.array(slots, dtype=np.uint64)
+
+        pm_rows[r] = _PM_ARR_CACHE.get_or_build(a, _build, cost=1100)
+        la[r] = len(a)
+        lb[r] = len(b)
+        buf[r * lmax : r * lmax + len(b)] = b.encode("ascii")
+    codes = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(k, lmax)
+    pm_flat = np.concatenate(pm_rows)
+    pmx = pm_flat[(np.arange(k, dtype=np.int64)[:, None] * 128) + codes]
+    one = np.uint64(1)
+    hb = one << (la - one)  # high bit at pattern position m-1
+    pv = np.full(k, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    mv = np.zeros(k, dtype=np.uint64)
+    score = la.astype(np.int64)
+    # carries out of bit m-1 live in bits >= m and only ever propagate
+    # UPWARD (add) — they never feed back below m, so unmasked 64-bit
+    # registers are exact for m <= 63 (the shifted-in Ph bit needs m+1)
+    for j in range(lmax):
+        act = j < lb
+        eq = pmx[:, j]
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        delta = ((ph & hb) != 0).astype(np.int64) - (
+            (mh & hb) != 0).astype(np.int64)
+        ph = (ph << one) | one
+        mh = mh << one
+        npv = mh | ~(xv | ph)
+        nmv = ph & xv
+        score = np.where(act, score + delta, score)
+        pv = np.where(act, npv, pv)
+        mv = np.where(act, nmv, mv)
+    for r, (i, _, _) in enumerate(fast):
+        out[i] = int(score[r])
+
+
 def levenshtein_ratio(a: str, b: str) -> float:
     """Normalized Levenshtein similarity x100: 1 - dist/max(len)."""
     if not a and not b:

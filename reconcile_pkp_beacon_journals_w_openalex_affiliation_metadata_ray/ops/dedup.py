@@ -703,3 +703,70 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
     out = cand.map_batches(_verify, batch_format="pandas")
     return _typed_or_empty(out, out_fields)
+
+
+def edit_distance_self_join(ds, key_cols, text_col: str, id_col: str,
+                            max_dist: int = 3, num_buckets: int = 32):
+    """Blocked Levenshtein similarity self-join: every pair of records
+    that shares the blocking key(s) and has edit distance <= max_dist
+    on ``text_col``. The ER string-join staple the reference's
+    DOI/host blocking sidesteps (its fuzzy compare is InDel-only,
+    `check..._openalex.py:163`); public design: Gravano et al. 2001
+    (length + blocking pre-filters never drop a true pair).
+
+    Scale shape: the shuffle moves only (key, id, text) rows — the
+    caller prunes columns at the read; all pairs of a key are generated
+    inside ONE coarse bucket (bucketed_map_groups — all rows of a key
+    co-locate), pre-filtered by the length lower bound
+    ``|len(a)-len(b)| <= max_dist`` (numpy, no kernel calls), and the
+    surviving candidates run through the Myers bit-parallel bulk
+    kernel (functions.similarity.levenshtein_bulk — bit-exact with the
+    scalar DP, property-tested). Heavily-skewed blocking keys should be
+    refined upstream, same discipline as stages.block; pair volume per
+    key is O(k^2) BY DEFINITION of the operator, so key choice is the
+    scale lever. Output: (left_id, right_id, dist), left_id < right_id.
+    """
+    from ..functions.similarity import levenshtein_bulk
+    from .relational import bucketed_map_groups
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    empty = pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                          "right_id": pd.Series(dtype="int64"),
+                          "dist": pd.Series(dtype="int64")})
+
+    def _project(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[key_cols + [id_col, text_col]].copy()
+        out[text_col] = out[text_col].fillna("")
+        return out
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby(key_cols, sort=False):
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp[id_col].to_numpy(dtype="int64")
+            texts = grp[text_col].to_numpy()
+            lens = grp[text_col].str.len().to_numpy(dtype="int64")
+            ii, jj = np.triu_indices(n, k=1)
+            keep = np.abs(lens[ii] - lens[jj]) <= max_dist
+            ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                continue
+            d = np.asarray(levenshtein_bulk(
+                list(zip(texts[ii], texts[jj]))), dtype="int64")
+            hit = d <= max_dist
+            if not hit.any():
+                continue
+            li, ri = ids[ii[hit]], ids[jj[hit]]
+            lo = np.minimum(li, ri)
+            hi = np.maximum(li, ri)
+            frames.append(pd.DataFrame({"left_id": lo, "right_id": hi,
+                                        "dist": d[hit]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    out = bucketed_map_groups(ds.map_batches(_project, batch_format="pandas"),
+                              key_cols, _pairs, num_buckets=num_buckets)
+    return _typed_or_empty(out, [("left_id", pa.int64()),
+                                 ("right_id", pa.int64()),
+                                 ("dist", pa.int64())])

@@ -447,6 +447,34 @@ def test_indel_ratios_bulk_bit_exact_with_scalar():
         assert s == indel_ratio(a, b), (a, b, s)
 
 
+def test_levenshtein_bulk_bit_exact_with_scalar():
+    """The Myers bit-parallel batch kernel must equal the scalar DP on
+    every input class: empties, equal strings, ASCII fast path,
+    non-ASCII fallback, >63-char pattern fallback, ragged lengths."""
+    import random
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.similarity import (
+        levenshtein,
+        levenshtein_bulk,
+    )
+
+    rng = random.Random(41)
+    alphabet = "abcdef xy,."
+    cases = [("", ""), ("a", ""), ("", "b"), ("same str", "same str"),
+             ("café au lait", "cafe du lait"),
+             ("日本語テキスト", "日本語のテキスト"),
+             ("x" * 70, "x" * 40 + "y" * 40),
+             ("x" * 63, "x" * 63 + "y"),
+             ("kitten", "sitting")]
+    for _ in range(3000):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 70)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 90)))
+        cases.append((a, b))
+    got = levenshtein_bulk(cases)
+    for (a, b), d in zip(cases, got):
+        assert d == levenshtein(a, b), (a, b, d)
+
+
 def test_phonetic_key_known_values():
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.textnorm import (
         phonetic_key,

@@ -1518,6 +1518,45 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_edit_distance_self_join_vs_bruteforce(rds):
+    """Blocked Levenshtein join must equal the quadratic per-block
+    recompute: pairs cross blocks never emit, ids are ordered, the
+    length pre-filter drops nothing that qualifies."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.similarity import (
+        levenshtein,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        dedup,
+    )
+
+    df = pd.DataFrame({
+        "id": np.arange(8, dtype="int64"),
+        "blk": ["a", "a", "a", "a", "b", "b", "b", "c"],
+        "name": ["red bolt", "hot bolt", "red bolts", "green widget",
+                 "red bolt", "blue gear", "blue gears", "lone row"]})
+    out = dedup.edit_distance_self_join(
+        rds.from_pandas(df), "blk", "name", "id", max_dist=3)
+    got = (out.to_pandas() if not isinstance(out, pd.DataFrame) else out)
+    got = got.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    want = []
+    for _, g in df.groupby("blk"):
+        rows = list(g.itertuples())
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = levenshtein(rows[i].name, rows[j].name)
+                if d <= 3:
+                    lo, hi = sorted((rows[i].id, rows[j].id))
+                    want.append((lo, hi, d))
+    want = pd.DataFrame(sorted(want), columns=["left_id", "right_id", "dist"]
+                        ).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # empty input keeps the typed schema
+    e = dedup.edit_distance_self_join(
+        rds.from_pandas(df.iloc[0:0]), "blk", "name", "id")
+    e = e.to_pandas() if not isinstance(e, pd.DataFrame) else e
+    assert list(e.columns) == ["left_id", "right_id", "dist"] and len(e) == 0
+
+
 def test_interval_self_join_vs_bruteforce(rds):
     """Windowed self-join pairs must equal the quadratic per-key
     recompute, including equal-timestamp tie-breaks and key isolation."""
