@@ -1489,6 +1489,49 @@ def q_fingerprint_clusters(sf_dir: str):
     return df.sort_values("fingerprint", kind="mergesort").reset_index(drop=True)
 
 
+def q_fs_weights(sf_dir: str):
+    """Fellegi–Sunter m/u probability estimation over the labeled pairs
+    (ops.er_eval.fs_mu_weights): boolean agreement indicators
+    (doi_equal; author/inst InDel score >= 90) bucket_join the truth
+    labels, per-batch integer combiners, O(features) result with
+    m = P(agree|match) and u = P(agree|non-match) as single IEEE
+    divisions of exact integer counts. HYBRID oracle: the per-pair
+    (scores, doi_equal) table is persisted (the scores themselves are
+    independently checked by q_scored_pairs); DuckDB re-derives the
+    agreement booleans, the label join, every count and both ratios."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+
+    out = _reconcile(sf_dir)
+
+    def _feat(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "left_id": b["left_id"], "right_id": b["right_id"],
+            "author_score": b["author_score"],
+            "inst_score": b["inst_score"],
+            "doi_equal": b["doi_equal"].astype(bool)})
+
+    pairs_df = out["scored"].map_batches(
+        _feat, batch_format="pandas").to_pandas()
+    _persist_oracle_input(pairs_df, sf_dir, "fs_pairs",
+                          sort_cols=["left_id", "right_id"])
+    import ray.data as rd
+
+    pairs = rd.from_pandas(pairs_df).map_batches(
+        lambda b: pd.DataFrame({
+            "left_id": b["left_id"], "right_id": b["right_id"],
+            "doi_agree": b["doi_equal"].astype(bool),
+            "author_agree": b["author_score"] >= 90.0,
+            "inst_agree": b["inst_score"] >= 90.0}),
+        batch_format="pandas")
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    labels = rd.read_parquet(os.path.join(tier_dir, "labeled_pairs.parquet"),
+                             columns=["left_id", "right_id", "is_match"])
+    return er_eval.fs_mu_weights(
+        pairs, labels, ["author_agree", "doi_agree", "inst_agree"])
+
+
 def q_er_contingency(sf_dir: str):
     """Cluster-level ER evaluation (ops.er_eval.cluster_contingency):
     predicted clusters x TRUTH clusters (distributed CC closure over
@@ -2368,6 +2411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_golden_record": q_golden_record,
         "q_fingerprint_clusters": q_fingerprint_clusters,
         "q_er_contingency": q_er_contingency,
+        "q_fs_weights": q_fs_weights,
         "q_uncertainty_band": q_uncertainty_band,
         "q_constraint_audit": q_constraint_audit,
         "q_gini_profile": q_gini_profile,
@@ -3736,6 +3780,55 @@ def oracle_sql() -> dict[str, str]:
                           150000000 + (85 * CAST(sum(s2d.s // s2d.deg) AS BIGINT)) // 100 AS s
                    FROM e JOIN s2d ON e.a = s2d.node GROUP BY e.b)
             SELECT node, CAST(s AS BIGINT) AS pagerank_fp FROM s3
+        """,
+        "q_fs_weights": f"""
+            WITH p AS (SELECT left_id, right_id,
+                              doi_equal AS doi_agree,
+                              author_score >= 90.0 AS author_agree,
+                              inst_score >= 90.0 AS inst_agree
+                       FROM read_parquet('{fdir}/fs_pairs.parquet')),
+            l AS (SELECT left_id, right_id, is_match
+                  FROM read_parquet('{fdir}/labeled_pairs.parquet')),
+            j AS (SELECT p.doi_agree, p.author_agree, p.inst_agree,
+                         l.is_match
+                  FROM p JOIN l USING (left_id, right_id)),
+            per AS (
+              SELECT 'author_agree' AS feature,
+                     CAST(sum(CASE WHEN author_agree AND is_match
+                              THEN 1 ELSE 0 END) AS BIGINT) AS m_num,
+                     CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                          AS BIGINT) AS m_den,
+                     CAST(sum(CASE WHEN author_agree AND NOT is_match
+                              THEN 1 ELSE 0 END) AS BIGINT) AS u_num,
+                     CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+                          AS BIGINT) AS u_den
+              FROM j
+              UNION ALL
+              SELECT 'doi_agree',
+                     CAST(sum(CASE WHEN doi_agree AND is_match
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                     CAST(sum(CASE WHEN doi_agree AND NOT is_match
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM j
+              UNION ALL
+              SELECT 'inst_agree',
+                     CAST(sum(CASE WHEN inst_agree AND is_match
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                     CAST(sum(CASE WHEN inst_agree AND NOT is_match
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM j)
+            SELECT feature, m_num, m_den, u_num, u_den,
+                   CAST(m_num AS DOUBLE) / CAST(m_den AS DOUBLE) AS m,
+                   CAST(u_num AS DOUBLE) / CAST(u_den AS DOUBLE) AS u
+            FROM per ORDER BY feature
         """,
         "q_pr_curve": f"""
             WITH s AS (SELECT left_id, right_id, score_h

@@ -116,3 +116,73 @@ def uncertainty_band_sample(pairs_ds, lo: float, hi: float, k: int,
     out = (parts.sort_values(["__rank"] + id_cols, kind="mergesort").head(k)
            .rename(columns={"__rank": "sample_rank"}).reset_index(drop=True))
     return out
+
+
+def fs_mu_weights(pairs_ds, labels_ds, feature_cols,
+                  num_buckets: int = 32) -> pd.DataFrame:
+    """Fellegi–Sunter m/u probability estimation (Fellegi & Sunter
+    1969, public — the founding record-linkage decision model): join
+    candidate-pair boolean feature-agreement indicators to ground-truth
+    labels, then for each feature i estimate
+
+        m_i = P(feature agrees | true match)      = m_num / m_den
+        u_i = P(feature agrees | true non-match)  = u_num / u_den
+
+    as EXACT integer-count ratios (one IEEE division each, so the
+    floats are bit-reproducible by any engine given the same integers;
+    log-likelihood weights are left to the caller — libm log parity
+    across engines is NOT guaranteed, the counts are the contract).
+
+    Scale shape: ONE bucketed hash join on (left_id, right_id) — the
+    labeled set is usually small but this path handles big-big — then
+    a per-batch integer combiner emitting O(features) partial rows per
+    batch; the driver sums O(features x batches) integers. The pair
+    corpus itself never collects.
+
+    ``pairs_ds`` must carry left_id, right_id + boolean feature
+    columns; ``labels_ds`` must carry left_id, right_id, is_match."""
+    import numpy as np
+
+    from .relational import bucket_join
+
+    feature_cols = list(feature_cols)
+    lab = labels_ds.map_batches(
+        lambda b: pd.DataFrame({"left_id": b["left_id"],
+                                "right_id": b["right_id"],
+                                "__label": b["is_match"].astype(bool)}),
+        batch_format="pandas")
+    j = bucket_join(pairs_ds, lab, on=["left_id", "right_id"],
+                    num_buckets=num_buckets)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        lb = b["__label"].to_numpy(dtype=bool)
+        nm, nu = int(lb.sum()), int((~lb).sum())
+        rows = []
+        for f in feature_cols:
+            ag = b[f].to_numpy(dtype=bool)
+            rows.append((f, int((ag & lb).sum()), nm,
+                         int((ag & ~lb).sum()), nu))
+        return pd.DataFrame(rows, columns=["feature", "m_num", "m_den",
+                                           "u_num", "u_den"])
+
+    parts = j.map_batches(_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        tot = pd.DataFrame({"feature": feature_cols,
+                            "m_num": 0, "m_den": 0,
+                            "u_num": 0, "u_den": 0})
+    else:
+        tot = (parts.groupby("feature", as_index=False)
+               [["m_num", "m_den", "u_num", "u_den"]].sum())
+        tot = (pd.DataFrame({"feature": feature_cols})
+               .merge(tot, on="feature", how="left").fillna(0))
+    tot = tot.astype({"m_num": "int64", "m_den": "int64",
+                      "u_num": "int64", "u_den": "int64"})
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tot["m"] = np.where(tot["m_den"] > 0,
+                            tot["m_num"].astype("float64")
+                            / tot["m_den"].astype("float64"), np.nan)
+        tot["u"] = np.where(tot["u_den"] > 0,
+                            tot["u_num"].astype("float64")
+                            / tot["u_den"].astype("float64"), np.nan)
+    return (tot.sort_values("feature", kind="mergesort")
+            .reset_index(drop=True))

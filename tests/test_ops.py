@@ -1518,6 +1518,30 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_fs_mu_weights_hand_counts(rds):
+    """Fellegi-Sunter m/u estimation against hand counts: 3 labeled
+    matches (2 with name agreement), 2 labeled non-matches (1 agrees),
+    one unlabeled pair that must not contribute (inner join)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+
+    pairs = pd.DataFrame({
+        "left_id": ["a", "b", "c", "d", "e", "z"],
+        "right_id": ["a2", "b2", "c2", "d2", "e2", "z2"],
+        "name_agree": [True, True, False, True, False, True]})
+    labels = pd.DataFrame({
+        "left_id": ["a", "b", "c", "d", "e"],
+        "right_id": ["a2", "b2", "c2", "d2", "e2"],
+        "is_match": [True, True, True, False, False]})
+    out = er_eval.fs_mu_weights(rds.from_pandas(pairs),
+                                rds.from_pandas(labels), ["name_agree"])
+    r = out.iloc[0]
+    assert (r["feature"], r["m_num"], r["m_den"], r["u_num"],
+            r["u_den"]) == ("name_agree", 2, 3, 1, 2)
+    assert r["m"] == 2.0 / 3.0 and r["u"] == 0.5
+
+
 def test_edit_distance_self_join_vs_bruteforce(rds):
     """Blocked Levenshtein join must equal the quadratic per-block
     recompute: pairs cross blocks never emit, ids are ordered, the
