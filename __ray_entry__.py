@@ -450,6 +450,30 @@ def q_doc_token_counts(sf_dir: str):
     return ds.map_batches(text_ops.token_counts, batch_format="pandas")
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (ops.text.ngram_contamination): docs
+    with doc_id % 97 == 0 act as the 'benchmark' corpus; every other
+    doc is flagged when it shares a word 5-gram with it. Benchmark
+    grams reduce to ONE broadcast Arrow table; the candidate corpus
+    streams. Oracle: DuckDB re-derives both gram sets (split + list
+    slicing), the semi-join and the distinct-hit counts from scratch."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        text as t_ops,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = ds.map_batches(lambda b: b[b["doc_id"] % 97 == 0],
+                           batch_format="pandas")
+    cand = ds.map_batches(lambda b: b[b["doc_id"] % 97 != 0],
+                          batch_format="pandas")
+    out = t_ops.ngram_contamination(cand, bench, n=5).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "n_hits": pd.Series(dtype="int64"),
+                            "contaminated": pd.Series(dtype=bool)})
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_doc_fingerprints(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text_ops.fingerprints, batch_format="pandas").select_columns(
@@ -2442,6 +2466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_exact_dedup": q_docs_exact_dedup,
         "q_doc_token_counts": q_doc_token_counts,
         "q_doc_fingerprints": q_doc_fingerprints,
+        "q_decontaminate": q_decontaminate,
         "q_doc_quality": q_doc_quality,
         "q_doc_lang_id": q_doc_lang_id,
         "q_doc_simhash": q_doc_simhash,
@@ -3660,6 +3685,35 @@ def oracle_sql() -> dict[str, str]:
                   FROM events
                   WHERE event_id IS NOT NULL AND event_type IS NOT NULL
                   GROUP BY event_id)
+        """,
+        "q_decontaminate": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            bg AS (
+              SELECT DISTINCT array_to_string(
+                         toks[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)],
+                         ' ') AS g
+              FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+              WHERE doc_id % 97 = 0),
+            eg AS (
+              SELECT doc_id, array_to_string(
+                         toks[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)],
+                         ' ') AS g
+              FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+              WHERE doc_id % 97 <> 0),
+            hits AS (SELECT e.doc_id,
+                            CAST(count(DISTINCT e.g) AS BIGINT) AS n_hits
+                     FROM eg e JOIN bg ON bg.g = e.g
+                     GROUP BY e.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+            ORDER BY d.doc_id
         """,
         "q_chunk_tokens": r"""
             WITH s AS (

@@ -460,3 +460,65 @@ def chunk_tokens(batch: pd.DataFrame, window: int = 64, stride: int = 48,
                          "start_tok": pd.Series(starts, dtype="int64"),
                          "n_chunk_tokens": pd.Series(lens, dtype="int64"),
                          "chunk_text": pd.Series(texts, dtype=object)})
+
+
+# per-worker decoded benchmark-gram set, keyed by the ObjectRef hex —
+# the Arrow table rides plasma zero-copy; the Python set is built once
+# per worker, not once per batch
+_BENCH_SET_CACHE: dict = {}
+
+
+def ngram_contamination(docs_ds, bench_ds, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5):
+    """Benchmark decontamination — the training-data hygiene pass every
+    LLM corpus needs (public practice: GPT-3 appendix C / PaLM /
+    FineWeb decontamination): flag every candidate document sharing at
+    least one word ``n``-gram with a benchmark/eval corpus. Returns one
+    row per candidate doc: (id, n_hits = count of DISTINCT benchmark
+    grams it contains, contaminated).
+
+    Scale shape: the benchmark side is SMALL BY DEFINITION (eval sets
+    are MBs while the corpus is TBs) — its distinct grams reduce
+    through a per-batch set combiner + one bucketed distinct, then ride
+    the object store ONCE as an Arrow table (`ray.put`, zero-copy to
+    every worker; the Python set is decoded once per worker, cached).
+    The candidate corpus streams through a stateless flag stage — no
+    shuffle touches it. If the benchmark gram set ever outgrows worker
+    heap, swap the broadcast for ops.relational.bloom_semi_join on the
+    gram column (same no-false-negative contract requires a verify
+    pass there)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from .relational import distinct
+
+    def _grams_of(t: str) -> set:
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def _bench_grams(b: pd.DataFrame) -> pd.DataFrame:
+        out = set()
+        for t in b[text_col].fillna(""):
+            out |= _grams_of(t)
+        return pd.DataFrame({"g": sorted(out)})
+
+    gdf = distinct(bench_ds.map_batches(_bench_grams, batch_format="pandas"),
+                   ["g"]).to_pandas()
+    if gdf.empty or "g" not in gdf.columns:
+        gdf = pd.DataFrame({"g": pd.Series(dtype=object)})
+    gref = ray.put(pa.table({"g": pa.array(gdf["g"], type=pa.string())}))
+
+    def _flag(b: pd.DataFrame) -> pd.DataFrame:
+        key = gref.hex()
+        gs = _BENCH_SET_CACHE.get(key)
+        if gs is None:
+            gs = set(ray.get(gref).column("g").to_pylist())
+            _BENCH_SET_CACHE.clear()
+            _BENCH_SET_CACHE[key] = gs
+        hits = [len(_grams_of(t) & gs) for t in b[text_col].fillna("")]
+        h = np.asarray(hits, dtype="int64")
+        return pd.DataFrame({id_col: b[id_col].astype("int64").to_numpy(),
+                             "n_hits": h, "contaminated": h > 0})
+
+    return docs_ds.map_batches(_flag, batch_format="pandas")

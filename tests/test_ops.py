@@ -1518,6 +1518,28 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_ngram_contamination_planted(rds):
+    """A doc sharing a 5-gram with the benchmark must flag (n_hits
+    counts DISTINCT shared grams); clean and short docs must not."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        text as t_ops,
+    )
+
+    bench = pd.DataFrame({"doc_id": [100],
+                          "text": ["alpha beta gamma delta epsilon zeta"]})
+    cand = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["x alpha beta gamma delta epsilon y",  # 1 shared gram
+                 "totally clean text with many words here",
+                 "alpha beta gamma delta epsilon zeta",  # 2 shared grams
+                 "short"]})
+    out = t_ops.ngram_contamination(
+        rds.from_pandas(cand), rds.from_pandas(bench), n=5
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_hits"].tolist() == [1, 0, 2, 0]
+    assert out["contaminated"].tolist() == [True, False, True, False]
+
+
 def test_fs_mu_weights_hand_counts(rds):
     """Fellegi-Sunter m/u estimation against hand counts: 3 labeled
     matches (2 with name agreement), 2 labeled non-matches (1 agrees),
