@@ -1059,6 +1059,18 @@ def q_sessionize(sf_dir: str):
     return windows.sessionize(ds, gap_minutes=30.0)
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD type-2 history build over the events change log
+    (ops.windows.scd2_history): per-user validity intervals
+    (valid_from/valid_to), versions and is_current via ONE bucketed
+    keyed shuffle + vectorized shift/cumcount. Oracle: lead() /
+    row_number() window functions over the same ordering in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return windows.scd2_history(ds)
+
+
 def q_tumbling_window(sf_dir: str):
     """1-hour tumbling event-time windows per event_type."""
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
@@ -2420,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_funnel": q_event_funnel,
         "q_nation_revenue": q_nation_revenue,
         "q_sessionize": q_sessionize,
+        "q_scd2_history": q_scd2_history,
         "q_event_sessions": q_event_sessions,
         "q_tumbling_window": q_tumbling_window,
         "q_hopping_window": q_hopping_window,
@@ -3263,6 +3276,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN sess s ON e.user_id = s.user_id
                        AND e.ts BETWEEN s.session_start AND s.session_end
+        """,
+        "q_scd2_history": """
+            SELECT user_id, event_id, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WHERE user_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, version
         """,
         "q_sessionize": """
             WITH ordered AS (

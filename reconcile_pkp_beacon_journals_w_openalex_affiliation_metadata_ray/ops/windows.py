@@ -346,3 +346,36 @@ def interval_self_join(events_ds, key: str = "user_id", ts: str = "ts",
                                  ("left_id", pa.int64()),
                                  ("right_id", pa.int64()),
                                  ("gap_us", pa.int64())])
+
+
+def scd2_history(events_ds, key: str = "user_id", ts: str = "ts",
+                 id_col: str = "event_id", num_buckets: int = 64):
+    """Slowly-changing-dimension type-2 history build (Kimball's SCD2,
+    public): per key, order change records by (ts, id) and stamp each
+    with its validity interval — valid_from = its own timestamp,
+    valid_to = the NEXT record's timestamp (NaT on the current row) —
+    plus a 1-based version number and an is_current flag. This is the
+    warehouse-standard way to turn a change log into a temporally
+    queryable dimension.
+
+    Scale shape: one coarse-bucketed keyed shuffle (all rows of a key
+    co-bucketed), then a single vectorized pass per bucket — sort by
+    (key, ts, id), groupby(key).shift(-1) for the closing timestamp,
+    cumcount for versions. No per-key Python call at any cardinality.
+    Rows with NULL key are dropped (SQL PARTITION BY semantics)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[key]).sort_values([key, ts, id_col],
+                                               kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        out = pd.DataFrame({
+            key: g[key].to_numpy(),
+            id_col: g[id_col].astype("int64").to_numpy(),
+            "valid_from": g[ts].to_numpy(),
+            "valid_to": grp[ts].shift(-1).to_numpy(),
+            "version": (grp.cumcount() + 1).astype("int64").to_numpy()})
+        out["is_current"] = out["valid_to"].isna()
+        return out
+
+    return bucketed_map_groups(events_ds, key, per_bucket,
+                               num_buckets=num_buckets)

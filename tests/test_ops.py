@@ -1518,6 +1518,30 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_scd2_history_hand_example(rds):
+    """Intervals must chain per key (valid_to = next valid_from),
+    versions restart per key, last row per key is current, NULL keys
+    drop, equal-ts ties order by event_id."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        windows,
+    )
+
+    t = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1.0, 1.0, 1.0, 2.0, None],
+        "event_id": [11, 10, 12, 20, 30],
+        "ts": [t, t, t + pd.Timedelta("1h"), t, t]})
+    out = (windows.scd2_history(rds.from_pandas(df)).to_pandas()
+           .sort_values(["user_id", "version"]).reset_index(drop=True))
+    assert out["event_id"].tolist() == [10, 11, 12, 20]
+    assert out["version"].tolist() == [1, 2, 3, 1]
+    assert out["is_current"].tolist() == [False, False, True, True]
+    # interval chaining: row k's valid_to equals row k+1's valid_from
+    assert out.loc[0, "valid_to"] == out.loc[1, "valid_from"]
+    assert out.loc[1, "valid_to"] == out.loc[2, "valid_from"]
+    assert pd.isna(out.loc[2, "valid_to"]) and pd.isna(out.loc[3, "valid_to"])
+
+
 def test_ngram_contamination_planted(rds):
     """A doc sharing a 5-gram with the benchmark must flag (n_hits
     counts DISTINCT shared grams); clean and short docs must not."""
