@@ -1327,6 +1327,43 @@ def q_kmeans_assign(sf_dir: str):
     return kmeans_assign(ds, centroids)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embeddings table
+    (ops.dedup.semantic_dedup): k-means coarse clusters (k=8, seeded),
+    then per-cluster rounded-cosine >= 0.95 against any lower-id
+    member drops the row. The driver's random embeddings have no true
+    near-dups (max cosine ~0.5), so exact duplicates of vec_id < 20
+    are planted (id + 1000000, same convention as
+    q_embedding_near_dups) — they MUST all drop. HYBRID oracle:
+    centroids persisted; DuckDB independently re-derives every
+    assignment (rounded dist2 rank), every within-cluster cosine pair
+    and the survivor set over the same planted union."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        dedup as d_ops,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.clustering import (
+        kmeans_fit,
+    )
+
+    base = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _plant(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["vec_id"], 20))
+        return sub.set_column(sub.schema.get_field_index("vec_id"), "vec_id",
+                              pc.add(sub["vec_id"], 1_000_000))
+
+    ds = base.union(base.map_batches(_plant, batch_format="pyarrow"))
+    centroids = kmeans_fit(ds, k=8, iters=5, seed=42)
+    cent_df = pd.DataFrame({
+        "cluster": pd.Series(range(len(centroids)), dtype="int64"),
+        "centroid": [list(map(float, c)) for c in centroids],
+    })
+    _persist_oracle_input(cent_df, sf_dir, "semdedup_centroids")
+    out = d_ops.semantic_dedup(ds, centroids, threshold=0.95)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    return df.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_bloom_semijoin(sf_dir: str):
     """Bloom-pruned big-big semi-join (lineitem ⋉ large parts), then
     returnflag revenue totals. Exercises the verify='join' scale path:
@@ -2464,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": q_stratified_sample,
         "q_bloom_semijoin": q_bloom_semijoin,
         "q_kmeans_assign": q_kmeans_assign,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_distinct_langs": q_distinct_langs,
         "q_customers_without_orders": q_customers_without_orders,
@@ -3363,6 +3401,40 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
             FROM r WHERE rn = 1
+        """,
+        "q_semantic_dedup": f"""
+            WITH emb AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings
+              WHERE vec_id < 20),
+            c AS (
+              SELECT cluster, CAST(centroid AS DOUBLE[]) AS centroid
+              FROM read_parquet('{fdir}/semdedup_centroids.parquet')),
+            d AS (
+              SELECT e.vec_id, c.cluster,
+                     round(list_sum(list_transform(
+                       list_zip(CAST(e.embedding AS DOUBLE[]), c.centroid),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS dist2
+              FROM emb e CROSS JOIN c),
+            a AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist2, cluster) AS rn
+                FROM d) WHERE rn = 1),
+            v AS (
+              SELECT a.vec_id, a.cluster,
+                     CAST(e.embedding AS DOUBLE[]) AS ve
+              FROM a JOIN emb e USING (vec_id)),
+            dup AS (
+              SELECT DISTINCT x.vec_id
+              FROM v x JOIN v y
+                ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+              WHERE round(list_cosine_similarity(y.ve, x.ve), 4) >= 0.95)
+            SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS cluster,
+                   v.vec_id NOT IN (SELECT vec_id FROM dup) AS is_kept
+            FROM v ORDER BY v.vec_id
         """,
         "q_bloom_semijoin": """
             SELECT l_returnflag,

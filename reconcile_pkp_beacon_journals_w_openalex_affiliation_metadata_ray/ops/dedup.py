@@ -770,3 +770,81 @@ def edit_distance_self_join(ds, key_cols, text_col: str, id_col: str,
     return _typed_or_empty(out, [("left_id", pa.int64()),
                                  ("right_id", pa.int64()),
                                  ("dist", pa.int64())])
+
+
+def semantic_dedup(emb_ds, centroids, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   num_buckets: int = 32, ndigits: int = 4):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): coarse-cluster the embedding space, then drop any vector
+    whose rounded cosine similarity to a LOWER-ID vector in the same
+    cluster reaches ``threshold``. The lower-id rule (not chain-greedy)
+    is deterministic and recursion-free, so a SQL EXISTS reproduces it
+    verbatim; at high thresholds the two rules rarely differ.
+
+    Scale shape: assignment is a stateless per-batch pass against the
+    broadcast centroid matrix (same rounded-dist2 rank rule as
+    clustering.kmeans_assign, so an oracle re-derives it from persisted
+    centroids); ONE keyed shuffle moves (cluster, id, packed float64
+    bytes) — list columns don't survive pandas shuffles, so vectors
+    ride as fixed-width binary — and each cluster computes one
+    normalized gram matrix. Per-cluster pair volume is (n/k)^2: k is
+    the scale lever, exactly as in the public SemDeDup recipe (they use
+    k ~ n/1000). Cosines are rounded half-away at ``ndigits`` BEFORE
+    the threshold compare on both engines."""
+    import ray
+
+    from .clustering import _dist2_sequential, _mat
+    from .relational import bucketed_map_groups
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_ref = ray.put(cent)
+    scale = 10.0 ** ndigits
+
+    def _assign_pack(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "cluster": pd.Series(dtype="int64"),
+                              "packed": pd.Series(dtype=object)})
+        if b.empty:
+            return empty
+        c = ray.get(cent_ref)
+        x = _mat(b[vec_col])
+        d2 = _dist2_sequential(x, c)
+        d2r = np.floor(d2 * 1e6 + 0.5) / 1e6
+        lab = np.argmin(d2r, axis=1)
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64").to_numpy(),
+            "cluster": lab.astype("int64"),
+            "packed": [row.tobytes() for row in x]})
+
+    assigned = emb_ds.map_batches(_assign_pack, batch_format="pandas")
+
+    def _per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cl, grp in g.groupby("cluster", sort=False):
+            ids = grp[id_col].to_numpy(dtype="int64")
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            raw = grp["packed"].to_numpy()[order]
+            mat = np.frombuffer(b"".join(raw), dtype=np.float64).reshape(
+                len(ids), -1)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            nm = mat / norms
+            sims = nm @ nm.T
+            simsr = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
+            dup_of_earlier = np.tril(simsr >= threshold, k=-1).any(axis=1)
+            frames.append(pd.DataFrame({
+                id_col: ids, "cluster": np.full(len(ids), cl, dtype="int64"),
+                "is_kept": ~dup_of_earlier}))
+        if not frames:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "is_kept": pd.Series(dtype=bool)})
+        return pd.concat(frames, ignore_index=True)
+
+    out = bucketed_map_groups(assigned, "cluster", _per_cluster,
+                              num_buckets=num_buckets)
+    return _typed_or_empty(out, [(id_col, pa.int64()),
+                                 ("cluster", pa.int64()),
+                                 ("is_kept", pa.bool_())])

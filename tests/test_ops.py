@@ -1518,6 +1518,29 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_semantic_dedup_planted(rds):
+    """Exact-duplicate vectors in the same cluster must drop (lower id
+    wins); orthogonal vectors must survive; drops never cross
+    clusters even for identical vectors (assignment is deterministic,
+    so identical vectors share a cluster by construction)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        dedup,
+    )
+
+    e1, e2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    df = pd.DataFrame({
+        "vec_id": pd.Series([1, 2, 3, 4, 5], dtype="int64"),
+        "embedding": [e1, e1, e2, [0.0, 0.999, 0.04, 0.0], e2]})
+    cents = np.array([e1, e2], dtype="float64")
+    out = dedup.semantic_dedup(rds.from_pandas(df), cents, threshold=0.95)
+    got = (out.to_pandas() if not isinstance(out, pd.DataFrame) else out)
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    # 1 kept, 2 dup of 1; 3 kept, 4 cos~0.999 dup of 3, 5 dup of 3
+    assert got["vec_id"].tolist() == [1, 2, 3, 4, 5]
+    assert got["is_kept"].tolist() == [True, False, True, False, False]
+    assert got["cluster"].tolist() == [0, 0, 1, 1, 1]
+
+
 def test_scd2_history_hand_example(rds):
     """Intervals must chain per key (valid_to = next valid_from),
     versions restart per key, last row per key is current, NULL keys
