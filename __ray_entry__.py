@@ -729,6 +729,26 @@ def q_doc_splits(sf_dir: str):
     return ds.map_batches(text_ops.hash_split, batch_format="pandas")
 
 
+def q_lang_resample(sf_dir: str):
+    """Temperature-balanced language resampling (alpha = 0.5 mixing;
+    ops.text.temperature_resample): per-lang sqrt(n_min/n) keep rates,
+    deterministic md5 coin per doc. Oracle: DuckDB recomputes the
+    counts, every rate (sqrt + division are IEEE-correctly-rounded on
+    both engines) and every 52-bit hash coin."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        text as t_ops,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = t_ops.temperature_resample(ds).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "lang": pd.Series(dtype=object),
+                            "rate": pd.Series(dtype="float64"),
+                            "kept": pd.Series(dtype=bool)})
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_frame_sample(sf_dir: str):
     """Multimodal frame sampling plumbing: binary payload -> every 4th
     1 KiB frame + metadata (codec-free stand-in; chunk arithmetic is
@@ -1757,6 +1777,32 @@ def q_zscore_outliers(sf_dir: str):
     return quality.zscore_outliers(ds, "event_type", "value", "event_id", k=3.0)
 
 
+def q_impute_median(sf_dir: str):
+    """Per-group exact-median imputation (ops.quality.
+    impute_group_median): rows with event_id % 53 == 0 are treated as
+    missing (the driver's events table has no real NULLs — planted
+    missingness, deterministic and SQL-reproducible) and filled with
+    their event_type's quantile_disc median of the REMAINING rows.
+    The imputed value is an observed value — no averaging — so float
+    parity is inherent. Oracle: quantile_disc + CASE join in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    ds = _tbl(sf_dir, "events",
+              columns=["event_id", "event_type", "value"]).map_batches(
+        lambda b: b.assign(__missing=b["event_id"] % 53 == 0),
+        batch_format="pandas")
+    out = quality.impute_group_median(
+        ds, "event_type", "value", "event_id").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                            "event_type": pd.Series(dtype=object),
+                            "value": pd.Series(dtype="float64"),
+                            "was_imputed": pd.Series(dtype=bool)})
+    return out.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_fd_audit(sf_dir: str):
     """Functional-dependency audit (ops.quality.fd_audit): distinct-pair
     combiner + bucketed per-determinant reduce; user_id->event_type is
@@ -2492,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_variance": q_grouped_variance,
         "q_zscore_outliers": q_zscore_outliers,
         "q_fd_audit": q_fd_audit,
+        "q_impute_median": q_impute_median,
         "q_chunk_tokens": q_chunk_tokens,
         "q_interval_self_join": q_interval_self_join,
         "q_quantile_bins": q_quantile_bins,
@@ -2535,6 +2582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_media": q_decode_media,
         "q_frame_sample": q_frame_sample,
         "q_doc_splits": q_doc_splits,
+        "q_lang_resample": q_lang_resample,
         "q_split_leakage": q_split_leakage,
         "q_url_canonical_dedup": q_url_canonical_dedup,
         "q_pii_scrub": q_pii_scrub,
@@ -3487,6 +3535,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_doc_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "q_doc_lang_id": _lang_id_sql(),
+        "q_lang_resample": """
+            WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                       FROM documents WHERE lang IS NOT NULL
+                       GROUP BY lang),
+            m AS (SELECT min(n) AS nmin FROM c),
+            r AS (SELECT c.lang,
+                         sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE))
+                             AS rate
+                  FROM c CROSS JOIN m),
+            h AS (SELECT doc_id, lang,
+                         CAST(concat('0x', substr(md5(concat('resample:',
+                              CAST(doc_id AS VARCHAR))), 1, 13)) AS UBIGINT)
+                             AS hv
+                  FROM documents WHERE lang IS NOT NULL)
+            SELECT h.doc_id, h.lang, r.rate,
+                   CAST(h.hv AS DOUBLE) / 4503599627370496.0 < r.rate AS kept
+            FROM h JOIN r USING (lang)
+            ORDER BY h.doc_id
+        """,
         "q_doc_splits": """
             SELECT doc_id,
                    CASE WHEN b < 229 THEN 'train'
@@ -3756,6 +3823,19 @@ def oracle_sql() -> dict[str, str]:
                 * (CAST(h.vh AS DOUBLE) / 100.0 - m.mean)
                 > 9.0 * m.var_pop
             ORDER BY h.event_id
+        """,
+        "q_impute_median": """
+            WITH e AS (SELECT event_id, event_type, value,
+                              event_id % 53 = 0 AS was_missing
+                       FROM events),
+            med AS (SELECT event_type, quantile_disc(value, 0.5) AS m
+                    FROM e WHERE NOT was_missing GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.was_missing THEN med.m
+                        ELSE e.value END AS value,
+                   e.was_missing AS was_imputed
+            FROM e LEFT JOIN med USING (event_type)
+            ORDER BY e.event_id
         """,
         "q_fd_audit": """
             SELECT 'user_id' AS lhs, 'event_type' AS rhs,

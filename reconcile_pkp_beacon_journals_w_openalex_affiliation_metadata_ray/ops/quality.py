@@ -280,3 +280,50 @@ def categorical_gini(ds, cols, num_buckets: int = 64) -> pd.DataFrame:
     tot["gini"] = 1.0 - tot["sum_sq"].astype("float64") / (nf * nf)
     return (tot.sort_values("col", kind="mergesort").reset_index(drop=True)
             [["col", "n", "n_distinct", "sum_sq", "gini"]])
+
+
+def impute_group_median(ds, group_col: str, value_col: str, id_col: str,
+                        missing_col: str = "__missing",
+                        num_buckets: int = 32) -> "pd.DataFrame":
+    """Missing-value imputation with the per-group EXACT median
+    (quantile_disc semantics — the imputed value is an actual observed
+    value of the group, so cross-engine float parity is inherent; no
+    averaging). Input batches must carry a boolean ``missing_col``
+    marking rows to impute; non-missing rows pass through unchanged.
+
+    Two streaming passes: (1) per-group median of the NON-missing
+    values via relational.group_quantiles (one keyed shuffle of the
+    non-missing values only); (2) the tiny (group -> median) table
+    closure-captures into a stateless fill pass over the full input —
+    the corpus never shuffles. Groups that are entirely missing impute
+    NaN (SQL NULL). Returns a Dataset of
+    (id, group, value, was_imputed)."""
+    import numpy as np
+
+    from .relational import group_quantiles
+
+    nonmiss = ds.map_batches(
+        lambda b: b.loc[~b[missing_col], [group_col, value_col]],
+        batch_format="pandas")
+    med = group_quantiles(nonmiss, group_col, value_col,
+                          qs=(0.5,), num_buckets=num_buckets).to_pandas()
+    medians = (dict(zip(med[group_col], med["q50"]))
+               if not med.empty and "q50" in med.columns else {})
+
+    def _fill(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              group_col: pd.Series(dtype=object),
+                              value_col: pd.Series(dtype="float64"),
+                              "was_imputed": pd.Series(dtype=bool)})
+        if b.empty:
+            return empty
+        miss = b[missing_col].to_numpy(dtype=bool)
+        fill = b[group_col].map(medians).to_numpy(dtype="float64")
+        v = b[value_col].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64").to_numpy(),
+            group_col: b[group_col].to_numpy(),
+            value_col: np.where(miss, fill, v),
+            "was_imputed": miss})
+
+    return ds.map_batches(_fill, batch_format="pandas")

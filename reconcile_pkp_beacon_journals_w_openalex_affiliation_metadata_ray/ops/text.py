@@ -522,3 +522,59 @@ def ngram_contamination(docs_ds, bench_ds, id_col: str = "doc_id",
                              "n_hits": h, "contaminated": h > 0})
 
     return docs_ds.map_batches(_flag, batch_format="pandas")
+
+
+def temperature_resample(docs_ds, group_col: str = "lang",
+                         id_col: str = "doc_id", seed: str = "resample",
+                         num_buckets: int = 16):
+    """Temperature-based group rebalancing — the multilingual
+    data-mixing recipe (mBERT / XLM-R exponential smoothing, public,
+    at temperature alpha = 0.5): group g is downsampled at rate
+
+        rate_g = sqrt(n_min / n_g)
+
+    so the smallest group is fully kept and head groups shrink toward
+    balance. The keep decision is a deterministic md5 coin per id
+    (first 13 hex digits / 2^52 < rate) — stable under resharding and
+    bit-reproducible in SQL: sqrt and float division are correctly
+    rounded per IEEE-754, and the 52-bit hash fraction is exact, so
+    both engines flag identical rows (the reason this uses sqrt rather
+    than a general pow(x, alpha), which libm does NOT correctly round).
+
+    Scale shape: group counts reduce through the per-batch combiner of
+    relational.pre_aggregated (O(groups x batches) partial rows); the
+    tiny rate table closure-captures into a stateless streaming flag
+    pass. The corpus itself never shuffles. Output: one row per doc
+    (id, group, rate, kept)."""
+    import math
+
+    from .relational import pre_aggregated
+
+    counts = pre_aggregated(
+        docs_ds.map_batches(lambda b: b[[group_col]].dropna(),
+                            batch_format="pandas"),
+        [group_col], counts=True, num_buckets=num_buckets).to_pandas()
+    if counts.empty:
+        rates = {}
+    else:
+        nmin = int(counts["n"].min())
+        rates = {g: math.sqrt(float(nmin) / float(n))
+                 for g, n in zip(counts[group_col], counts["n"])}
+
+    def _flag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, group_col]].dropna()
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              group_col: pd.Series(dtype=object),
+                              "rate": pd.Series(dtype="float64"),
+                              "kept": pd.Series(dtype=bool)})
+        if b.empty:
+            return empty
+        frac = b[id_col].map(lambda v: int(hashlib.md5(
+            f"{seed}:{v}".encode("utf-8")).hexdigest()[:13], 16)
+            / 4503599627370496.0).to_numpy(dtype="float64")
+        rate = b[group_col].map(rates).to_numpy(dtype="float64")
+        return pd.DataFrame({id_col: b[id_col].astype("int64").to_numpy(),
+                             group_col: b[group_col].to_numpy(),
+                             "rate": rate, "kept": frac < rate})
+
+    return docs_ds.map_batches(_flag, batch_format="pandas")

@@ -1518,6 +1518,51 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_temperature_resample_rates(rds):
+    """Rates must be sqrt(n_min/n_g): the smallest group keeps rate
+    1.0 (every member kept — hash frac < 1.0 always); a 4x bigger
+    group gets rate 0.5; flags are the deterministic md5 coin."""
+    import hashlib as _h
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        text as t_ops,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(10, dtype="int64"),
+                       "lang": ["xx"] * 2 + ["yy"] * 8})
+    out = (t_ops.temperature_resample(rds.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[out.lang == "xx", "rate"].eq(1.0).all()
+    assert out.loc[out.lang == "xx", "kept"].all()
+    assert out.loc[out.lang == "yy", "rate"].eq(0.5).all()
+    for _, r in out[out.lang == "yy"].iterrows():
+        frac = int(_h.md5(f"resample:{r.doc_id}".encode()).hexdigest()[:13],
+                   16) / 4503599627370496.0
+        assert bool(r.kept) == (frac < 0.5)
+
+
+def test_impute_group_median_hand(rds):
+    """Missing rows take the quantile_disc median of the non-missing
+    rows of their group (even count -> LOWER middle value); clean rows
+    pass through untouched."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype="int64"),
+        "g": ["a"] * 5 + ["b"],
+        "v": [10.0, 20.0, 30.0, 40.0, 999.0, 7.0],
+        "__missing": [False, False, False, False, True, False]})
+    out = (quality.impute_group_median(rds.from_pandas(df), "g", "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # non-missing of a: [10,20,30,40] -> quantile_disc(0.5) = 20 (ceil(2)-1)
+    assert out.loc[4, "v"] == 20.0 and bool(out.loc[4, "was_imputed"])
+    assert out.loc[:3, "v"].tolist() == [10.0, 20.0, 30.0, 40.0]
+    assert not out.loc[:3, "was_imputed"].any()
+    assert out.loc[5, "v"] == 7.0
+
+
 def test_semantic_dedup_planted(rds):
     """Exact-duplicate vectors in the same cluster must drop (lower id
     wins); orthogonal vectors must survive; drops never cross
