@@ -1777,6 +1777,20 @@ def q_zscore_outliers(sf_dir: str):
     return quality.zscore_outliers(ds, "event_type", "value", "event_id", k=3.0)
 
 
+def q_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift between the click and view
+    value distributions (ops.quality.ks_drift): exact integer KS over
+    the fixed-point value domain — (value, side-count) partials only
+    through one bucketed reduce. Oracle: the identical integer
+    cumulative-difference expression via SQL window functions."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    return quality.ks_drift(ds, "event_type", "value", "click", "view")
+
+
 def q_impute_median(sf_dir: str):
     """Per-group exact-median imputation (ops.quality.
     impute_group_median): rows with event_id % 53 == 0 are treated as
@@ -2539,6 +2553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zscore_outliers": q_zscore_outliers,
         "q_fd_audit": q_fd_audit,
         "q_impute_median": q_impute_median,
+        "q_ks_drift": q_ks_drift,
         "q_chunk_tokens": q_chunk_tokens,
         "q_interval_self_join": q_interval_self_join,
         "q_quantile_bins": q_quantile_bins,
@@ -3823,6 +3838,36 @@ def oracle_sql() -> dict[str, str]:
                 * (CAST(h.vh AS DOUBLE) / 100.0 - m.mean)
                 > 9.0 * m.var_pop
             ORDER BY h.event_id
+        """,
+        "q_ks_drift": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vh
+                       FROM events
+                       WHERE event_type IN ('click', 'view')
+                         AND value IS NOT NULL),
+            tot AS (SELECT CAST(sum(CASE WHEN event_type = 'click'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                           CAST(sum(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                    FROM e),
+            g AS (SELECT vh,
+                         CAST(sum(CASE WHEN event_type = 'click'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                         CAST(sum(CASE WHEN event_type = 'view'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                  FROM e GROUP BY vh),
+            c AS (SELECT vh,
+                         sum(ca) OVER (ORDER BY vh) AS cum_a,
+                         sum(cb) OVER (ORDER BY vh) AS cum_b
+                  FROM g)
+            SELECT 'click' AS type_a, 'view' AS type_b,
+                   tot.na AS n_a, tot.nb AS n_b,
+                   CAST(max(abs(cum_a * tot.nb - cum_b * tot.na))
+                        AS BIGINT) AS d_num,
+                   CAST(max(abs(cum_a * tot.nb - cum_b * tot.na)) AS DOUBLE)
+                     / (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE))
+                       AS ks
+            FROM c CROSS JOIN tot GROUP BY tot.na, tot.nb
         """,
         "q_impute_median": """
             WITH e AS (SELECT event_id, event_type, value,

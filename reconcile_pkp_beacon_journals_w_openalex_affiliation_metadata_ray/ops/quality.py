@@ -327,3 +327,72 @@ def impute_group_median(ds, group_col: str, value_col: str, id_col: str,
             "was_imputed": miss})
 
     return ds.map_batches(_fill, batch_format="pandas")
+
+
+def ks_drift(ds, group_col: str, value_col: str, type_a: str, type_b: str,
+             decimals: int = 2, num_buckets: int = 32) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the value
+    distributions of two groups — the standard distribution-shift
+    monitor for data pipelines. Values are fixed-point (``decimals``),
+    so the statistic is computed EXACTLY in integers:
+
+        D = max over distinct values v of |cum_a(v)*n_b - cum_b(v)*n_a|
+        ks = D / (n_a * n_b)        (one IEEE division at the end)
+
+    which both engines reproduce bit-for-bit. Scale shape: per-batch
+    integer partial counts per distinct scaled value (the shuffle moves
+    (value, side-count) partials, never rows), ONE bucketed reduce,
+    then the cumulative-max scan runs on the driver over the DISTINCT
+    value domain — O(distinct values), which for fixed-point telemetry
+    is bounded (10^decimals x range), not O(rows). For unbounded
+    domains route the scan through relational.ordered_cumsum instead.
+    Returns one row: (type_a, type_b, n_a, n_b, d_num, ks)."""
+    scale = 10 ** decimals
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[group_col].isin([type_a, type_b])][[group_col, value_col]]
+        b = b.dropna()
+        empty = pd.DataFrame({"vh": pd.Series(dtype="int64"),
+                              "ca": pd.Series(dtype="int64"),
+                              "cb": pd.Series(dtype="int64")})
+        if b.empty:
+            return empty
+        vh = np.rint(b[value_col].to_numpy(dtype="float64")
+                     * scale).astype("int64")
+        is_a = (b[group_col] == type_a).to_numpy()
+        g = pd.DataFrame({"vh": vh,
+                          "ca": is_a.astype("int64"),
+                          "cb": (~is_a).astype("int64")})
+        return (g.groupby("vh", sort=False, as_index=False)[["ca", "cb"]]
+                .sum().astype({"vh": "int64", "ca": "int64", "cb": "int64"}))
+
+    from .relational import bucketed_map_groups
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("vh", sort=False, as_index=False)[["ca", "cb"]]
+                .sum().astype({"vh": "int64", "ca": "int64", "cb": "int64"}))
+
+    parts = bucketed_map_groups(
+        ds.map_batches(_partial, batch_format="pandas"), ["vh"],
+        _reduce, num_buckets=num_buckets).to_pandas()
+    out_cols = {"type_a": pd.Series(dtype=object),
+                "type_b": pd.Series(dtype=object),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+                "d_num": pd.Series(dtype="int64"),
+                "ks": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(out_cols)
+    parts = parts.sort_values("vh", kind="mergesort")
+    na = int(parts["ca"].sum())
+    nb = int(parts["cb"].sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame(out_cols)
+    cum_a = parts["ca"].cumsum().to_numpy(dtype="int64")
+    cum_b = parts["cb"].cumsum().to_numpy(dtype="int64")
+    d_num = int(np.max(np.abs(cum_a * nb - cum_b * na)))
+    return pd.DataFrame({
+        "type_a": [type_a], "type_b": [type_b],
+        "n_a": np.int64(na), "n_b": np.int64(nb),
+        "d_num": np.int64(d_num),
+        "ks": [float(d_num) / (float(na) * float(nb))]})

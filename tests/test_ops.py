@@ -1518,6 +1518,27 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_ks_drift_known_value(rds):
+    """KS against a hand case: a = {1,2}, b = {2,3} -> ECDFs differ by
+    1/2 at v=1 and v=2 -> D = max|cum_a*nb - cum_b*na| = 2, ks = 0.5.
+    Identical distributions -> ks = 0. Other event types are ignored."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        quality,
+    )
+
+    df = pd.DataFrame({"event_type": ["a", "a", "b", "b", "zz"],
+                       "value": [0.01, 0.02, 0.02, 0.03, 99.0]})
+    out = quality.ks_drift(rds.from_pandas(df), "event_type", "value",
+                           "a", "b")
+    r = out.iloc[0]
+    assert (r["n_a"], r["n_b"], r["d_num"]) == (2, 2, 2)
+    assert r["ks"] == 0.5
+    same = quality.ks_drift(rds.from_pandas(
+        pd.DataFrame({"event_type": ["a", "b"], "value": [1.0, 1.0]})),
+        "event_type", "value", "a", "b")
+    assert same.iloc[0]["ks"] == 0.0
+
+
 def test_temperature_resample_rates(rds):
     """Rates must be sqrt(n_min/n_g): the smallest group keeps rate
     1.0 (every member kept — hash frac < 1.0 always); a 4x bigger
