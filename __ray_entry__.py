@@ -614,6 +614,22 @@ def q_edit_distance_join(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_jw_join(sf_dir: str):
+    """Blocked Jaro-Winkler similarity self-join over part names
+    (>= 0.88 within (p_type, p_brand) blocks; ops.dedup.jw_self_join).
+    The from-scratch JW kernel is bit-identical to DuckDB's
+    jaro_winkler_similarity on non-empty strings (fuzz-tested), so the
+    float scores need NO rounding. STRONGEST oracle class: DuckDB
+    recomputes the entire blocked join independently."""
+    ds = _tbl(sf_dir, "part",
+              columns=["p_partkey", "p_name", "p_type", "p_brand"])
+    out = dedup_ops.jw_self_join(
+        ds, ["p_type", "p_brand"], "p_name", "p_partkey", threshold=0.88)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    return (df.sort_values(["left_id", "right_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3). Per-doc simhashes and the
     emitted pair ids are persisted; the oracle recomputes Hamming =
@@ -2589,6 +2605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard_dups": q_ngram_jaccard_dups,
         "q_setsim_pairs": q_setsim_pairs,
         "q_edit_distance_join": q_edit_distance_join,
+        "q_jw_join": q_jw_join,
         "q_simhash_near_dups": q_simhash_near_dups,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_knn_bruteforce": q_knn_bruteforce,
@@ -3626,6 +3643,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM g a JOIN g b ON a.doc_id < b.doc_id)
             SELECT left_id, right_id, round(jac, 6) AS jaccard
             FROM j WHERE jac >= 0.6
+        """,
+        "q_jw_join": """
+            SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,
+                   jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+            FROM part a JOIN part b
+              ON a.p_type = b.p_type AND a.p_brand = b.p_brand
+             AND a.p_partkey < b.p_partkey
+            WHERE length(a.p_name) > 0 AND length(b.p_name) > 0
+              AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
+            ORDER BY left_id, right_id
         """,
         "q_edit_distance_join": """
             SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,

@@ -848,3 +848,69 @@ def semantic_dedup(emb_ds, centroids, threshold: float = 0.95,
     return _typed_or_empty(out, [(id_col, pa.int64()),
                                  ("cluster", pa.int64()),
                                  ("is_kept", pa.bool_())])
+
+
+def jw_self_join(ds, key_cols, text_col: str, id_col: str,
+                 threshold: float = 0.88, num_buckets: int = 32):
+    """Blocked Jaro-Winkler similarity self-join: pairs sharing the
+    blocking key(s) with JW similarity >= threshold on ``text_col``.
+    The from-scratch kernel (functions.similarity.jaro_winkler) is
+    bit-identical to DuckDB's jaro_winkler_similarity on non-empty
+    ASCII strings (2000-pair fuzz parity; the ONLY divergence is the
+    both-empty convention — we return 1.0, DuckDB 0.0 — so empty texts
+    are excluded here), which makes the emitted float scores
+    value-hash oracle-able with NO rounding step.
+
+    Same scale shape as :func:`edit_distance_self_join` — one coarse
+    bucketed shuffle of (key, id, text), in-block pair generation via
+    triu indices. JW admits no sound length prefilter, so every
+    in-block pair is scored; the kernel memoizes on the (unordered)
+    string pair — blocked corpora draw from a bounded name pool, so
+    the per-worker memo collapses most of the quadratic cost."""
+    from ..functions.similarity import BoundedCache, jaro_winkler
+    from .relational import bucketed_map_groups
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    memo = BoundedCache(max_items=1_000_000)
+    empty = pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                          "right_id": pd.Series(dtype="int64"),
+                          "jw": pd.Series(dtype="float64")})
+
+    def _jw(a: str, b: str) -> float:
+        key = (a, b) if a <= b else (b, a)
+        return memo.get_or_build(
+            key, lambda: jaro_winkler(key[0], key[1]),
+            cost=len(a) + len(b))
+
+    def _project(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[key_cols + [id_col, text_col]].copy()
+        out[text_col] = out[text_col].fillna("")
+        return out[out[text_col].str.len() > 0]
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby(key_cols, sort=False):
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp[id_col].to_numpy(dtype="int64")
+            texts = grp[text_col].to_numpy()
+            ii, jj = np.triu_indices(n, k=1)
+            sc = np.fromiter((_jw(texts[i], texts[j])
+                              for i, j in zip(ii, jj)),
+                             dtype="float64", count=len(ii))
+            hit = sc >= threshold
+            if not hit.any():
+                continue
+            li, ri = ids[ii[hit]], ids[jj[hit]]
+            frames.append(pd.DataFrame({
+                "left_id": np.minimum(li, ri),
+                "right_id": np.maximum(li, ri),
+                "jw": sc[hit]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    out = bucketed_map_groups(ds.map_batches(_project, batch_format="pandas"),
+                              key_cols, _pairs, num_buckets=num_buckets)
+    return _typed_or_empty(out, [("left_id", pa.int64()),
+                                 ("right_id", pa.int64()),
+                                 ("jw", pa.float64())])

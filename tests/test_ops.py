@@ -1518,6 +1518,40 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_jw_self_join_vs_bruteforce(rds):
+    """Blocked JW join equals the quadratic per-block recompute; empty
+    texts are excluded (the DuckDB both-empty convention diverges)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.similarity import (
+        jaro_winkler,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        dedup,
+    )
+
+    df = pd.DataFrame({
+        "id": np.arange(7, dtype="int64"),
+        "blk": ["a", "a", "a", "b", "b", "b", "b"],
+        "name": ["martha", "marhta", "jones", "dwayne", "duane", "", ""]})
+    out = dedup.jw_self_join(rds.from_pandas(df), "blk", "name", "id",
+                             threshold=0.8)
+    got = (out.to_pandas() if not isinstance(out, pd.DataFrame) else out)
+    got = got.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    want = []
+    nz = df[df.name.str.len() > 0]
+    for _, g in nz.groupby("blk"):
+        rows = list(g.itertuples())
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                s = jaro_winkler(rows[i].name, rows[j].name)
+                if s >= 0.8:
+                    want.append((rows[i].id, rows[j].id, s))
+    want = pd.DataFrame(sorted(want), columns=["left_id", "right_id", "jw"])
+    want = want.astype({"left_id": "int64", "right_id": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    assert (0, 1) in set(zip(got.left_id, got.right_id))   # martha~marhta
+    assert (3, 4) in set(zip(got.left_id, got.right_id))   # dwayne~duane
+
+
 def test_ks_drift_known_value(rds):
     """KS against a hand case: a = {1,2}, b = {2,3} -> ECDFs differ by
     1/2 at v=1 and v=2 -> D = max|cum_a*nb - cum_b*na| = 2, ks = 0.5.
