@@ -1400,6 +1400,20 @@ def q_semantic_dedup(sf_dir: str):
     return df.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension feature-normalization stats over the embeddings
+    table (ops.clustering.embedding_dim_stats): fixed-point integer
+    partials, python-int driver merge, float mean/var derived from the
+    SAME integers. Oracle: generate_subscripts/unnest integer
+    aggregation with the identical float expressions in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.clustering import (
+        embedding_dim_stats,
+    )
+
+    ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_dim_stats(ds)
+
+
 def q_bloom_semijoin(sf_dir: str):
     """Bloom-pruned big-big semi-join (lineitem ⋉ large parts), then
     returnflag revenue totals. Exercises the verify='join' scale path:
@@ -2580,6 +2594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semijoin": q_bloom_semijoin,
         "q_kmeans_assign": q_kmeans_assign,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_embedding_dim_stats": q_embedding_dim_stats,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_distinct_langs": q_distinct_langs,
         "q_customers_without_orders": q_customers_without_orders,
@@ -3481,6 +3496,27 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
             FROM r WHERE rn = 1
+        """,
+        "q_embedding_dim_stats": """
+            WITH e AS (
+              SELECT generate_subscripts(embedding, 1) AS dim,
+                     CAST(round(unnest(CAST(embedding AS DOUBLE[]))
+                                * 1000000) AS BIGINT) AS vi
+              FROM embeddings),
+            t AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(vi) AS BIGINT) AS sum_s,
+                         CAST(sum(vi * vi) AS BIGINT) AS sum_sq_s
+                  FROM e GROUP BY dim)
+            SELECT CAST(dim AS BIGINT) AS dim, n, sum_s, sum_sq_s,
+                   CAST(sum_s AS DOUBLE)
+                     / (1000000.0 * CAST(n AS DOUBLE)) AS mean,
+                   CAST(sum_sq_s AS DOUBLE)
+                     / (1000000.0 * 1000000.0 * CAST(n AS DOUBLE))
+                   - (CAST(sum_s AS DOUBLE)
+                        / (1000000.0 * CAST(n AS DOUBLE)))
+                   * (CAST(sum_s AS DOUBLE)
+                        / (1000000.0 * CAST(n AS DOUBLE))) AS var_pop
+            FROM t ORDER BY dim
         """,
         "q_semantic_dedup": f"""
             WITH emb AS (

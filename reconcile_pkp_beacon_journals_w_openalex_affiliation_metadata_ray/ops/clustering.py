@@ -122,3 +122,59 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
         })
 
     return ds.map_batches(_assign, batch_format="pandas")
+
+
+def embedding_dim_stats(ds, vec_col: str = "embedding",
+                        scale: int = 1_000_000) -> pd.DataFrame:
+    """Per-dimension mean/variance of an embedding column — the
+    feature-normalization profile pass (what you compute before
+    whitening / standardizing vectors for ANN or training). Components
+    are quantized to ``scale`` fixed-point integers per batch, so the
+    partials are EXACT and order-independent; the driver merges
+    O(batches x dims) rows in arbitrary-precision Python ints (no
+    overflow at any corpus size) and derives mean/var_pop as float
+    expressions over the SAME integers on both engines (the
+    grouped_moments discipline — bit-deterministic IEEE evaluation).
+    No shuffle at all: dims are few, so this is a pure combiner +
+    driver-reduce. Dimensions are 1-based (SQL generate_subscripts
+    parity)."""
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "sum_s": pd.Series(dtype="int64"),
+                                 "sum_sq_s": pd.Series(dtype="int64")})
+        x = _mat(b[vec_col])
+        vi = np.rint(x * float(scale)).astype("int64")
+        d = vi.shape[1]
+        return pd.DataFrame({
+            "dim": np.arange(1, d + 1, dtype="int64"),
+            "n": np.full(d, vi.shape[0], dtype="int64"),
+            "sum_s": vi.sum(axis=0, dtype="int64"),
+            "sum_sq_s": (vi * vi).sum(axis=0, dtype="int64")})
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "sum_s": pd.Series(dtype="int64"),
+                             "sum_sq_s": pd.Series(dtype="int64"),
+                             "mean": pd.Series(dtype="float64"),
+                             "var_pop": pd.Series(dtype="float64")})
+    # python-int merge: exact even where int64 partial sums would clip
+    agg = {}
+    for dim, n, s, sq in parts.itertuples(index=False):
+        cur = agg.get(dim, (0, 0, 0))
+        agg[dim] = (cur[0] + int(n), cur[1] + int(s), cur[2] + int(sq))
+    dims = sorted(agg)
+    n = np.array([agg[d][0] for d in dims], dtype="int64")
+    s = np.array([agg[d][1] for d in dims], dtype="int64")
+    sq = np.array([agg[d][2] for d in dims], dtype="int64")
+    nf = n.astype("float64")
+    mean = s.astype("float64") / (float(scale) * nf)
+    var = (sq.astype("float64") / (float(scale) * float(scale) * nf)
+           - mean * mean)
+    return pd.DataFrame({"dim": np.array(dims, dtype="int64"),
+                         "n": n, "sum_s": s, "sum_sq_s": sq,
+                         "mean": mean, "var_pop": var})

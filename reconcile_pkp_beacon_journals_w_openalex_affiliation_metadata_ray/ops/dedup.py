@@ -685,18 +685,54 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
          for b in docs_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
     ).combine_chunks()
     corpus_ref = ray.put(corpus)
+    # vocab <= 64 -> every token SET is one uint64 bitmask and the
+    # exact Jaccard is two vectorized popcounts per pair (the synthetic
+    # small-vocab corpora that stress this op emit ~1M true pairs, and
+    # a per-pair Python set op was the dominant cost); bigger vocabs
+    # keep the per-worker set cache
+    small_vocab = len(dfs) <= 64
     _vs: dict = {}
+
+    def _popcount64(x):
+        return np.unpackbits(
+            np.ascontiguousarray(x).view(np.uint8)).reshape(len(x), 64
+                                                            ).sum(axis=1,
+                                                                  dtype="int64")
 
     def _verify(b: pd.DataFrame) -> pd.DataFrame:
         if "idx" not in _vs:
             t = ray.get(corpus_ref)
-            _vs["sets"] = [set(_tok_list(x)) for x in
-                           (v if v is not None else ""
-                            for v in t[text_col].to_pylist())]
-            _vs["idx"] = {v: i for i, v in enumerate(t[id_col].to_pylist())}
-        sets, idx = _vs["sets"], _vs["idx"]
-        jac = [set_jaccard(sets[idx[l]], sets[idx[r]])
-               for l, r in zip(b["left_id"], b["right_id"])]
+            texts = (v if v is not None else ""
+                     for v in t[text_col].to_pylist())
+            if small_vocab:
+                rmap = _rank_map()
+                masks = np.zeros(len(t), dtype=np.uint64)
+                for i, x in enumerate(texts):
+                    m = 0
+                    for w in _tok_list(x):
+                        m |= 1 << rmap[w]
+                    masks[i] = m
+                _vs["masks"] = masks
+            else:
+                _vs["sets"] = [set(_tok_list(x)) for x in texts]
+            _vs["idx"] = pd.Index(t[id_col].to_pylist())
+        idx = _vs["idx"]
+        if small_vocab:
+            li = idx.get_indexer(b["left_id"].to_numpy())
+            ri = idx.get_indexer(b["right_id"].to_numpy())
+            ml, mr = _vs["masks"][li], _vs["masks"][ri]
+            inter = _popcount64(ml & mr).astype("float64")
+            union = _popcount64(ml | mr).astype("float64")
+            # both-empty sets: set_jaccard defines 1.0
+            jac = np.where(union == 0, 1.0, inter / np.maximum(union, 1.0))
+            jr = np.sign(jac) * np.floor(np.abs(jac) * 1e6 + 0.5) / 1e6
+            out = pd.DataFrame({"left_id": b["left_id"],
+                                "right_id": b["right_id"], "jaccard": jr})
+            return out[jac >= thr]
+        sets = _vs["sets"]
+        li = idx.get_indexer(b["left_id"].to_numpy())
+        ri = idx.get_indexer(b["right_id"].to_numpy())
+        jac = [set_jaccard(sets[l], sets[r]) for l, r in zip(li, ri)]
         out = pd.DataFrame({"left_id": b["left_id"], "right_id": b["right_id"],
                             "jaccard": [_round_half_away(s, 6) for s in jac]})
         return out[pd.Series(jac, index=b.index) >= thr]

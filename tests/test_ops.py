@@ -1518,6 +1518,23 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_embedding_dim_stats_exact(rds):
+    """Per-dimension fixed-point stats against hand integers: dim 1
+    has values 1.0, 3.0 -> mean 2.0, var 1.0; dims are 1-based."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops.clustering import (
+        embedding_dim_stats,
+    )
+
+    df = pd.DataFrame({"vec_id": [1, 2],
+                       "embedding": [[1.0, 0.5], [3.0, 0.5]]})
+    out = embedding_dim_stats(rds.from_pandas(df))
+    assert out["dim"].tolist() == [1, 2]
+    assert out["n"].tolist() == [2, 2]
+    assert out["sum_s"].tolist() == [4_000_000, 1_000_000]
+    assert out["mean"].tolist() == [2.0, 0.5]
+    assert out["var_pop"].tolist() == [1.0, 0.0]
+
+
 def test_jw_self_join_vs_bruteforce(rds):
     """Blocked JW join equals the quadratic per-block recompute; empty
     texts are excluded (the DuckDB both-empty convention diverges)."""
