@@ -1612,6 +1612,33 @@ def q_fingerprint_clusters(sf_dir: str):
     return df.sort_values("fingerprint", kind="mergesort").reset_index(drop=True)
 
 
+def q_cdc_state(sf_dir: str):
+    """Change-data-capture merge (ops.fusion.cdc_apply): the events log
+    is read as a per-user changelog ('error' rows are deletes, the
+    rest upserts) and materialized to the latest live state per user —
+    per-batch keep-latest combiner, ONE bucketed argmax, deletes drop
+    the key. Oracle: row_number() keep-latest + delete filter in SQL."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        fusion,
+    )
+
+    ds = _tbl(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type", "value"])
+    ch = ds.map_batches(
+        lambda b: b.assign(
+            op=np.where(b["event_type"] == "error", "delete", "upsert"))
+        .drop(columns=["event_type"]),
+        batch_format="pandas")
+    out = fusion.cdc_apply(ch, "user_id", "ts", "event_id", "op",
+                           ["value"]).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                            "ts": pd.Series(dtype="datetime64[us]"),
+                            "event_id": pd.Series(dtype="int64"),
+                            "value": pd.Series(dtype="float64")})
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_fs_weights(sf_dir: str):
     """Fellegi–Sunter m/u probability estimation over the labeled pairs
     (ops.er_eval.fs_mu_weights): boolean agreement indicators
@@ -2576,6 +2603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint_clusters": q_fingerprint_clusters,
         "q_er_contingency": q_er_contingency,
         "q_fs_weights": q_fs_weights,
+        "q_cdc_state": q_cdc_state,
         "q_uncertainty_band": q_uncertainty_band,
         "q_constraint_audit": q_constraint_audit,
         "q_gini_profile": q_gini_profile,
@@ -4117,6 +4145,23 @@ def oracle_sql() -> dict[str, str]:
                           150000000 + (85 * CAST(sum(s2d.s // s2d.deg) AS BIGINT)) // 100 AS s
                    FROM e JOIN s2d ON e.a = s2d.node GROUP BY e.b)
             SELECT node, CAST(s AS BIGINT) AS pagerank_fp FROM s3
+        """,
+        "q_cdc_state": """
+            WITH ch AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'upsert' END AS op,
+                     value
+              FROM events WHERE user_id IS NOT NULL),
+            latest AS (
+              SELECT user_id, ts, event_id, op, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM ch) WHERE rn = 1)
+            SELECT user_id, ts, event_id, value
+            FROM latest WHERE op <> 'delete'
+            ORDER BY user_id
         """,
         "q_fs_weights": f"""
             WITH p AS (SELECT left_id, right_id,

@@ -88,6 +88,21 @@ def run_bench() -> dict:
     headline = min(runs)
     queries["reconcile_e2e"] = round(headline, 3)
 
+    # headline-only mode: the scaling legs measure the e2e pipeline
+    # alone — per-op queries would triple each child's wall time
+    # without informing the scaling ratio
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+    if headline_only:
+        return {
+            "metric": "reconcile_e2e_sec", "value": round(headline, 3),
+            "unit": "sec", "queries": queries,
+            "sf": float(os.path.basename(os.path.normpath(sf_dir)
+                                         ).replace("sf", "") or 0.1),
+            "num_cpus": num_cpus, "pages": n_pages,
+            "docs_per_sec": round(n_pages / headline, 1),
+            "clusters_rows": n_clusters,
+        }
+
     # ---- stage: extraction only (the per-document kernel) ----
     import ray.data as rd
 
@@ -138,7 +153,8 @@ def run_scaling() -> dict:
     ensure_fixtures(sf_dir)
 
     def child(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))

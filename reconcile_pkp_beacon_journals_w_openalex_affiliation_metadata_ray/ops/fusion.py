@@ -216,3 +216,41 @@ def fingerprint_clusters(ds, col: str, min_distinct: int = 2,
                                  ("n_values", pa.int64()),
                                  ("n_distinct", pa.int64()),
                                  ("members", pa.string())])
+
+
+def cdc_apply(changelog_ds, key_col: str, ts_col: str, seq_col: str,
+              op_col: str, value_cols, num_buckets: int = 64):
+    """Change-data-capture merge (the lakehouse MERGE INTO /
+    upsert-with-deletes semantic, public: Delta/Hudi/Iceberg CDC): the
+    changelog is a stream of (key, ts, seq, op, values) rows where op
+    is 'upsert' or 'delete'; the materialized table state is, per key,
+    the values of the LATEST change (ordered by ts with seq as the
+    deterministic tie-break) — unless that latest change is a delete,
+    in which case the key is absent.
+
+    Scale shape: a per-batch keep-latest combiner first (each batch
+    forwards at most one row per key, so the keyed shuffle moves
+    O(keys x batches) rows, not the raw changelog), then ONE coarse
+    bucketed reduce does the same argmax per key. Same discipline as
+    dedup.canonical_keep_latest. Output: (key, ts, seq, *value_cols),
+    live rows only."""
+    from .relational import bucketed_map_groups
+
+    value_cols = list(value_cols)
+    cols = [key_col, ts_col, seq_col, op_col] + value_cols
+
+    def _latest(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols].dropna(subset=[key_col])
+        if b.empty:
+            return b
+        b = b.sort_values([key_col, ts_col, seq_col], kind="mergesort")
+        return b.groupby(key_col, sort=False, as_index=False).tail(1)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = _latest(g)
+        live = g[g[op_col] != "delete"]
+        return live[[key_col, ts_col, seq_col] + value_cols]
+
+    return bucketed_map_groups(
+        changelog_ds.map_batches(_latest, batch_format="pandas"),
+        key_col, _reduce, num_buckets=num_buckets)

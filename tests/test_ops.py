@@ -1518,6 +1518,33 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_cdc_apply_hand_example(rds):
+    """Latest change wins per key (ts then seq tie-break); a trailing
+    delete removes the key; an earlier delete is overridden by a later
+    upsert; NULL keys drop."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        fusion,
+    )
+
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta("1h")
+    df = pd.DataFrame({
+        "k": [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 3.0, None],
+        "ts": [t, t + h, t, t + h, t, t, t + h, t],
+        "seq": [1, 2, 3, 4, 5, 6, 7, 8],
+        "op": ["upsert", "upsert", "upsert", "delete",
+               "delete", "upsert", "upsert", "upsert"],
+        "v": [10.0, 11.0, 20.0, 0.0, 0.0, 30.0, 31.0, 99.0]})
+    out = (fusion.cdc_apply(rds.from_pandas(df), "k", "ts", "seq", "op",
+                            ["v"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # key 1: latest upsert v=11; key 2: latest is delete -> gone;
+    # key 3: same-ts seq tie-break 6>5, then later upsert 7 wins
+    assert out["k"].tolist() == [1.0, 3.0]
+    assert out["v"].tolist() == [11.0, 31.0]
+    assert out["seq"].tolist() == [2, 7]
+
+
 def test_embedding_dim_stats_exact(rds):
     """Per-dimension fixed-point stats against hand integers: dim 1
     has values 1.0, 3.0 -> mean 2.0, var 1.0; dims are 1-based."""
