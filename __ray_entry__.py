@@ -1269,6 +1269,26 @@ def q_profile_events(sf_dir: str):
         ds, ["event_id", "user_id", "event_type", "props"])
 
 
+def q_graph_signatures(sf_dir: str):
+    """Per-supplier neighborhood fingerprints over the bipartite
+    supplier–part graph from lineitem (ops.graph.
+    neighborhood_signatures): md5 of the sorted distinct part list —
+    the WL-style snapshot-diff primitive. Oracle: DuckDB rebuilds the
+    canonical string with string_agg(... ORDER BY) + md5."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        graph,
+    )
+
+    ds = _tbl(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    out = graph.neighborhood_signatures(ds, "l_suppkey",
+                                        "l_partkey").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                            "degree": pd.Series(dtype="int64"),
+                            "signature": pd.Series(dtype=object)})
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
 def q_copurchase(sf_dir: str):
     """Market-basket co-occurrence (ops.relational.cooccurrence_pairs):
     for every unordered event-type pair, how many users did both.
@@ -2593,6 +2613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_sum": q_running_sum,
         "q_user_value_ranks": q_user_value_ranks,
         "q_copurchase": q_copurchase,
+        "q_graph_signatures": q_graph_signatures,
         "q_skewed_join": q_skewed_join,
         "q_profile_events": q_profile_events,
         "q_top_types_per_user": q_top_types_per_user,
@@ -3101,6 +3122,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_before AS DOUBLE) / CAST(total - 1 AS DOUBLE)
                        AS pct
             FROM c
+        """,
+        "q_graph_signatures": """
+            WITH adj AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS node,
+                              CAST(l_partkey AS BIGINT) AS nbr
+              FROM lineitem
+              WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+            agg AS (
+              SELECT node,
+                     CAST(count(*) AS BIGINT) AS degree,
+                     string_agg(CAST(nbr AS VARCHAR), ','
+                                ORDER BY nbr) AS nbrs
+              FROM adj GROUP BY node)
+            SELECT node, degree,
+                   md5(concat(CAST(node AS VARCHAR), '|', nbrs))
+                       AS signature
+            FROM agg ORDER BY node
         """,
         "q_copurchase": """
             WITH d AS (SELECT DISTINCT user_id, event_type FROM events)

@@ -1518,6 +1518,27 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_neighborhood_signatures_hand(rds):
+    """Signature = md5('node|sorted,distinct,neighbors'); degree counts
+    distinct neighbors; duplicate edges collapse; nodes with identical
+    neighborhoods but different ids get DIFFERENT signatures (id is
+    part of the label)."""
+    import hashlib as _h
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        graph,
+    )
+
+    df = pd.DataFrame({"s": [1, 1, 1, 2, 2], "d": [30, 10, 10, 10, 30]})
+    out = (graph.neighborhood_signatures(rds.from_pandas(df), "s", "d")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out["node"].tolist() == [1, 2]
+    assert out["degree"].tolist() == [2, 2]
+    assert out["signature"].tolist() == [
+        _h.md5(b"1|10,30").hexdigest(), _h.md5(b"2|10,30").hexdigest()]
+    assert out["signature"][0] != out["signature"][1]
+
+
 def test_cdc_apply_hand_example(rds):
     """Latest change wins per key (ts then seq tie-break); a trailing
     delete removes the key; an earlier delete is overridden by a later
