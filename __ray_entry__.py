@@ -1063,6 +1063,72 @@ def q_event_funnel(sf_dir: str):
     return windows.funnel_counts(ds, stages=["view", "click", "purchase"])
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-shaped 6-table star join (region -> nation -> customer
+    -> orders -> lineitem -> supplier with the local-supplier
+    condition c_nationkey = s_nationkey, region = ASIA): the two
+    driver-small dims broadcast, customers semi-join map-side, the two
+    BIG-BIG legs (orders x customer, lineitem x that) go through
+    bucket_join, supplier nationality is a map-side broadcast lookup,
+    and revenue reduces through the per-batch combiner in integer
+    cents (floor(price * (1-discount) * 100) — the identical float
+    expression both engines). Oracle: the whole star re-joined in SQL."""
+    import ray
+
+    region = _tbl(sf_dir, "region").to_pandas()
+    nation = _tbl(sf_dir, "nation").to_pandas()
+    rkey = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nat = nation[nation["n_regionkey"] == rkey]
+    nat_keys = set(int(k) for k in nat["n_nationkey"])
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = _tbl(sf_dir, "customer",
+                columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b[b["c_nationkey"].isin(nat_keys)].rename(
+            columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas")
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    oc = relational.bucket_join(orders, cust, on="o_custkey")
+    oc = oc.map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "c_nationkey"]],
+        batch_format="pandas")
+    li = _tbl(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey",
+                       "l_extendedprice", "l_discount"]).map_batches(
+        lambda b: pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "cents": np.floor(b["l_extendedprice"].to_numpy(dtype="float64")
+                              * (1.0 - b["l_discount"].to_numpy(
+                                  dtype="float64")) * 100.0).astype("int64")}),
+        batch_format="pandas")
+    j = relational.bucket_join(li, oc, on="l_orderkey")
+    supp = _tbl(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = dict(zip(supp["s_suppkey"].astype(int),
+                     supp["s_nationkey"].astype(int)))
+    s_ref = ray.put(s_nat)
+
+    def _local(b: pd.DataFrame) -> pd.DataFrame:
+        sn = b["l_suppkey"].map(ray.get(s_ref)).to_numpy(dtype="int64")
+        keep = sn == b["c_nationkey"].to_numpy(dtype="int64")
+        return b.loc[keep, ["c_nationkey", "cents"]]
+
+    agg = relational.pre_aggregated(
+        j.map_batches(_local, batch_format="pandas"),
+        keys="c_nationkey", sums=("cents",), counts=True).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                             "revenue_cents": pd.Series(dtype="int64"),
+                             "n_items": pd.Series(dtype="int64")})
+    agg["n_name"] = agg["c_nationkey"].map(nat_names)
+    out = pd.DataFrame({"n_name": agg["n_name"],
+                        "revenue_cents": agg["sum_cents"].astype("int64"),
+                        "n_items": agg["n"].astype("int64")})
+    return out.sort_values("n_name", kind="mergesort").reset_index(drop=True)
+
+
 def q_nation_revenue(sf_dir: str):
     """Chained big-big + broadcast join: orders bucket-joined to
     customer on custkey (the big-big leg — a deliberate regression
@@ -2605,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cohort_retention": q_cohort_retention,
         "q_event_funnel": q_event_funnel,
         "q_nation_revenue": q_nation_revenue,
+        "q_local_supplier_revenue": q_local_supplier_revenue,
         "q_sessionize": q_sessionize,
         "q_scd2_history": q_scd2_history,
         "q_event_sessions": q_event_sessions,
@@ -3263,6 +3330,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
             UNION ALL
             SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+        """,
+        "q_local_supplier_revenue": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1.0 - l.l_discount) * 100.0)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+            ORDER BY n.n_name
         """,
         "q_nation_revenue": """
             SELECT n_name, count(*) AS n_orders,
