@@ -2121,6 +2121,64 @@ def q_block_keys(sf_dir: str):
     return keys
 
 
+def q_suffix_blocks(sf_dir: str):
+    """Suffix blocking — the fifth ER blocking family here (suffix
+    arrays for record linkage, Aizawa & Oyama 2005, public): every
+    surname suffix of length >= 4 is a block key, so OCR-style
+    head-corruptions ('hernandez' vs 'ernandez') still co-block.
+    Explode is zero-copy pyarrow; suffix expansion memoizes on the
+    bounded surname pool; ONE coarse-bucketed shuffle of batch-deduped
+    (key, record, name) triples; blocks with >= 2 distinct records
+    survive. Oracle: suffix keys re-derived ENTIRELY in SQL from the
+    persisted record attributes (substr + generate_series)."""
+    out = _reconcile(sf_dir)
+    _persist_linkage_artifacts(sf_dir, out)
+
+    def _explode(t: pa.Table) -> pd.DataFrame:
+        sliced = pc.list_slice(t["authors_norm"], 0, 3)
+        names = pc.list_flatten(sliced).to_pandas()
+        rid = pc.take(t["record_id"], pc.list_parent_indices(sliced)).to_pandas()
+        surnames = names.str.split().str[-1].fillna("")
+        memo = {}
+
+        def _sfx(s):
+            v = memo.get(s)
+            if v is None:
+                v = [s[i:] for i in range(0, max(len(s) - 3, 0))]
+                memo[s] = v
+            return v
+
+        sfx = surnames.map(_sfx)
+        df = pd.DataFrame({
+            "block_key": [k for ks in sfx for k in ks],
+            "record_id": rid.repeat(sfx.str.len()).to_numpy(),
+            "name": names.repeat(sfx.str.len()).to_numpy()})
+        df = df.drop_duplicates()
+        if df.empty:
+            return pd.DataFrame({"block_key": pd.Series(dtype=object),
+                                 "record_id": pd.Series(dtype=object),
+                                 "name": pd.Series(dtype=object)})
+        return df
+
+    triples = out["records"].map_batches(_explode, batch_format="pyarrow")
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        agg = g.groupby("block_key", sort=False).agg(
+            n_records=("record_id", "nunique"), n_names=("name", "nunique"))
+        agg = agg[agg["n_records"] >= 2].reset_index()
+        return agg.astype({"n_records": "int64", "n_names": "int64"})
+
+    res = relational.bucketed_map_groups(triples, ["block_key"],
+                                         _per_bucket).to_pandas()
+    if res.empty:
+        res = pd.DataFrame({"block_key": pd.Series(dtype=object),
+                            "n_records": pd.Series(dtype="int64"),
+                            "n_names": pd.Series(dtype="int64")})
+    return (res.sort_values("block_key", kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_phonetic_blocks(sf_dir: str):
     """Phonetic (Soundex-style) surname blocking — a beyond-reference
     ER blocking family: the last token of each record's first-3
@@ -2770,6 +2828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_extracted_text": q_extracted_text,
         "q_block_keys": q_block_keys,
         "q_phonetic_blocks": q_phonetic_blocks,
+        "q_suffix_blocks": q_suffix_blocks,
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_token_blocks": q_token_blocks,
         "q_metablock_weights": q_metablock_weights,
@@ -4728,6 +4787,30 @@ def oracle_sql() -> dict[str, str]:
         # deleted), six per-digit regexp_replace calls collapse runs
         # (DuckDB RE2 has no backreferences), the first letter's own
         # code-run is stripped, then zero-pad to 3 digits
+        "q_suffix_blocks": rf"""
+            WITH names AS (
+              SELECT record_id, unnest(authors_norm[1:3]) AS name
+              FROM read_parquet('{fdir}/records_attrs.parquet')
+              WHERE len(authors_norm) > 0),
+            sur AS (
+              SELECT record_id, name,
+                     COALESCE(str_split_regex(trim(name), '\s+')[-1], '')
+                         AS surname
+              FROM names),
+            sfx AS (
+              SELECT DISTINCT record_id, name,
+                     substr(surname, CAST(i AS BIGINT)) AS block_key
+              FROM sur,
+                   unnest(generate_series(1, length(surname) - 3)) AS u(i)
+              WHERE length(surname) >= 4)
+            SELECT block_key,
+                   CAST(count(DISTINCT record_id) AS BIGINT) AS n_records,
+                   CAST(count(DISTINCT name) AS BIGINT) AS n_names
+            FROM sfx
+            GROUP BY block_key
+            HAVING count(DISTINCT record_id) >= 2
+            ORDER BY block_key
+        """,
         "q_phonetic_blocks": f"""
             WITH names AS (
               SELECT record_id, unnest(authors_norm[1:3]) AS name
