@@ -1768,6 +1768,46 @@ def q_fs_weights(sf_dir: str):
         pairs, labels, ["author_agree", "doi_agree", "inst_agree"])
 
 
+def q_incremental_cc(sf_dir: str):
+    """Incremental clustering maintenance (stages.cluster.
+    incremental_cc): borderline pairs the threshold rejected
+    (80 <= combined_score < threshold, not DOI-conflicted) arrive as
+    clerical adjudications, and the labeling updates over (existing
+    assignment edges) ∪ (delta edges) — O(V + ΔE), never re-touching
+    the original O(E) match set. HYBRID oracle: assignment + delta
+    edges persisted; DuckDB recomputes the ENTIRE updated closure
+    independently via a recursive CTE."""
+    out = _reconcile(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    assign = out["clusters"]
+    assign_df = assign.to_pandas().sort_values("record_id",
+                                               kind="mergesort")
+    assign_df.to_parquet(os.path.join(tier_dir, "cc_base_assign.parquet"),
+                         index=False)
+
+    def _delta(b: pd.DataFrame) -> pd.DataFrame:
+        keep = ((~b["is_match"]) & (~b["doi_conflict"])
+                & (b["combined_score"] >= 80.0))
+        return b.loc[keep, ["left_id", "right_id"]]
+
+    delta = out["scored"].map_batches(_delta, batch_format="pandas")
+    delta_df = delta.to_pandas().sort_values(["left_id", "right_id"],
+                                             kind="mergesort")
+    delta_df.to_parquet(os.path.join(tier_dir, "cc_delta_edges.parquet"),
+                        index=False)
+    import ray.data as rd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+        cluster,
+    )
+
+    upd = cluster.incremental_cc(rd.from_pandas(assign_df),
+                                 rd.from_pandas(delta_df))
+    df = upd.to_pandas() if not isinstance(upd, pd.DataFrame) else upd
+    return (df.sort_values("record_id", kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_er_contingency(sf_dir: str):
     """Cluster-level ER evaluation (ops.er_eval.cluster_contingency):
     predicted clusters x TRUTH clusters (distributed CC closure over
@@ -2748,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_golden_record": q_golden_record,
         "q_fingerprint_clusters": q_fingerprint_clusters,
         "q_er_contingency": q_er_contingency,
+        "q_incremental_cc": q_incremental_cc,
         "q_fs_weights": q_fs_weights,
         "q_cdc_state": q_cdc_state,
         "q_uncertainty_band": q_uncertainty_band,
@@ -4227,6 +4268,23 @@ def oracle_sql() -> dict[str, str]:
                        ' ') AS chunk_text
             FROM c
             ORDER BY doc_id, chunk_idx
+        """,
+        "q_incremental_cc": f"""
+            WITH RECURSIVE
+            base AS (SELECT record_id AS a, cluster_id AS b
+                     FROM read_parquet('{fdir}/cc_base_assign.parquet')),
+            ne AS (SELECT left_id AS a, right_id AS b
+                   FROM read_parquet('{fdir}/cc_delta_edges.parquet')),
+            e0 AS (SELECT a, b FROM base UNION ALL SELECT a, b FROM ne),
+            edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+            univ AS (SELECT record_id AS node
+                     FROM read_parquet('{fdir}/cc_base_assign.parquet')),
+            walk (node, reach) AS (
+              SELECT node, node FROM univ
+              UNION
+              SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach)
+            SELECT node AS record_id, min(reach) AS cluster_id
+            FROM walk GROUP BY node ORDER BY record_id
         """,
         "q_er_contingency": f"""
             WITH RECURSIVE

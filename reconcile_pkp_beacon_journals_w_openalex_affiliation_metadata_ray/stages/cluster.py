@@ -214,3 +214,33 @@ def connected_components_auto(edges_ds, nodes_ds=None,
     import ray.data as rd
 
     return rd.from_items([{"record_id": k, "cluster_id": v} for k, v in rows])
+
+
+def incremental_cc(assign_ds, new_edges_ds, num_buckets: int = 32):
+    """Delta-maintenance of a min-id clustering: given the EXISTING
+    (record_id, cluster_id) assignment and a batch of NEW match edges
+    (clerical adjudications, a fresh crawl increment), produce the
+    updated labeling WITHOUT re-running closure over the original edge
+    set. Key fact: the old assignment IS a spanning edge set — each
+    (node -> label) edge reproduces the original component exactly —
+    so closure over (assignment edges) ∪ (new edges) equals closure
+    over (all original edges) ∪ (new edges), but costs O(V + ΔE)
+    instead of O(E + ΔE). At 100 TB the match-edge set dwarfs the node
+    set, which is what makes this the incremental shape.
+
+    Routed through :func:`connected_components_auto`, so small deltas
+    take the one-pass driver union-find and huge ones fall back to the
+    distributed min-label propagation."""
+    lab_edges = assign_ds.map_batches(
+        lambda b: pd.DataFrame({"left_id": b["record_id"],
+                                "right_id": b["cluster_id"]}),
+        batch_format="pandas")
+    ne = new_edges_ds.map_batches(
+        lambda b: pd.DataFrame({"left_id": b["left_id"],
+                                "right_id": b["right_id"]}),
+        batch_format="pandas")
+    nodes = assign_ds.map_batches(
+        lambda b: pd.DataFrame({"record_id": b["record_id"]}),
+        batch_format="pandas")
+    return connected_components_auto(lab_edges.union(ne), nodes_ds=nodes,
+                                     num_buckets=num_buckets)

@@ -1518,6 +1518,30 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_incremental_cc_equals_full_recompute(rds):
+    """Closure over (old assignment edges + delta) must equal closure
+    over (ALL original edges + delta): a delta edge bridging two old
+    clusters merges them to the min label; untouched clusters keep
+    their labels; singletons survive."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import (
+        cluster,
+    )
+
+    orig_edges = [("a", "b"), ("b", "c"), ("x", "y")]  # {a,b,c} {x,y} {z}
+    nodes = ["a", "b", "c", "x", "y", "z"]
+    base = cluster.union_find(orig_edges, nodes=nodes)
+    assign = pd.DataFrame({"record_id": sorted(base),
+                           "cluster_id": [base[k] for k in sorted(base)]})
+    delta = pd.DataFrame({"left_id": ["c"], "right_id": ["x"]})
+    upd = cluster.incremental_cc(rds.from_pandas(assign),
+                                 rds.from_pandas(delta))
+    got = (upd.to_pandas() if not isinstance(upd, pd.DataFrame) else upd)
+    got = dict(zip(got["record_id"], got["cluster_id"]))
+    want = cluster.union_find(orig_edges + [("c", "x")], nodes=nodes)
+    assert got == want
+    assert got["x"] == "a" and got["y"] == "a" and got["z"] == "z"
+
+
 def test_neighborhood_signatures_hand(rds):
     """Signature = md5('node|sorted,distinct,neighbors'); degree counts
     distinct neighbors; duplicate edges collapse; nodes with identical
