@@ -1161,6 +1161,24 @@ def q_sessionize(sf_dir: str):
     return windows.sessionize(ds, gap_minutes=30.0)
 
 
+def q_trailing_count(sf_dir: str):
+    """Per-event trailing 1-hour same-user event count
+    (ops.windows.trailing_count) — the burst-detection window. Oracle:
+    SQL count(*) OVER (... RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW) with identical inclusive-boundary/peer semantics."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    ds = _tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = windows.trailing_count(ds, window="1h").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                            "user_id": pd.Series(dtype="int64"),
+                            "ts": pd.Series(dtype="datetime64[us]"),
+                            "n_trailing": pd.Series(dtype="int64")})
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
 def q_scd2_history(sf_dir: str):
     """SCD type-2 history build over the events change log
     (ops.windows.scd2_history): per-user validity intervals
@@ -2772,6 +2790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_local_supplier_revenue": q_local_supplier_revenue,
         "q_sessionize": q_sessionize,
         "q_scd2_history": q_scd2_history,
+        "q_trailing_count": q_trailing_count,
         "q_event_sessions": q_event_sessions,
         "q_tumbling_window": q_tumbling_window,
         "q_hopping_window": q_hopping_window,
@@ -3659,6 +3678,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN sess s ON e.user_id = s.user_id
                        AND e.ts BETWEEN s.session_start AND s.session_end
+        """,
+        "q_trailing_count": """
+            SELECT event_id, user_id, ts,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_trailing
+            FROM events
+            WHERE user_id IS NOT NULL
+            ORDER BY event_id
         """,
         "q_scd2_history": """
             SELECT user_id, event_id, ts AS valid_from,

@@ -379,3 +379,47 @@ def scd2_history(events_ds, key: str = "user_id", ts: str = "ts",
 
     return bucketed_map_groups(events_ds, key, per_bucket,
                                num_buckets=num_buckets)
+
+
+def trailing_count(events_ds, key: str = "user_id", ts: str = "ts",
+                   id_col: str = "event_id", window: str = "1h",
+                   num_buckets: int = 64):
+    """Per-event trailing-window count: for every event, how many
+    events of the SAME key fall in [ts - window, ts] — the rate-limit /
+    burst-detection primitive, i.e. SQL's
+    ``count(*) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    INTERVAL w PRECEDING AND CURRENT ROW)``. Boundary semantics match
+    RANGE exactly: the lower bound is INCLUSIVE and equal-timestamp
+    peers all count (even 'later' rows with the same ts).
+
+    One coarse bucketed shuffle co-locates each key's events; per
+    bucket one vectorized sort, then per key two numpy searchsorted
+    calls give every event's window span in O(n log n) — no per-event
+    Python work. Returns (id, key, ts, n_trailing)."""
+    import numpy as np
+
+    w = pd.Timedelta(window)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              key: pd.Series(dtype="int64"),
+                              ts: pd.Series(dtype="datetime64[us]"),
+                              "n_trailing": pd.Series(dtype="int64")})
+        g = g.dropna(subset=[key])
+        if g.empty:
+            return empty
+        g = g.sort_values([key, ts, id_col], kind="mergesort")
+        out = []
+        for _, grp in g.groupby(key, sort=False):
+            t = grp[ts].to_numpy()
+            hi = np.searchsorted(t, t, side="right")
+            lo = np.searchsorted(t, t - w, side="left")
+            out.append(pd.DataFrame({
+                id_col: grp[id_col].astype("int64").to_numpy(),
+                key: grp[key].to_numpy(),
+                ts: t,
+                "n_trailing": (hi - lo).astype("int64")}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return bucketed_map_groups(events_ds, key, per_bucket,
+                               num_buckets=num_buckets)

@@ -1518,6 +1518,28 @@ def test_chunk_tokens_hand_example():
                                    "n_chunk_tokens", "chunk_text"]
 
 
+def test_trailing_count_hand_example(rds):
+    """RANGE-window semantics: inclusive lower bound, equal-ts peers
+    all count; keys are isolated; NULL keys drop."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        windows,
+    )
+
+    t = pd.Timestamp("2024-01-01 12:00:00")
+    m = pd.Timedelta("1min")
+    df = pd.DataFrame({
+        "user_id": [1.0, 1.0, 1.0, 1.0, 2.0, None],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        # u1: 12:00, 12:30, 13:00 (x2 peers); u2: 12:00
+        "ts": [t, t + 30 * m, t + 60 * m, t + 60 * m, t, t]})
+    out = (windows.trailing_count(rds.from_pandas(df), window="1h")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == [1, 2, 3, 4, 5]
+    # 13:00 window [12:00, 13:00] inclusive -> all four u1 events,
+    # both equal-ts peers counted for both rows
+    assert out["n_trailing"].tolist() == [1, 2, 4, 4, 1]
+
+
 def test_incremental_cc_equals_full_recompute(rds):
     """Closure over (old assignment edges + delta) must equal closure
     over (ALL original edges + delta): a delta edge bridging two old
