@@ -111,7 +111,8 @@ def run_bench() -> dict:
         extract_pages,
     )
 
-    ds = rd.read_parquet(os.path.join(fdir, "pages.parquet"))
+    ds = rd.read_parquet(os.path.join(fdir, "pages.parquet"),
+                         columns=["url", "lang", "html"])
     n = extract_pages(ds).count()
     queries["extract_only"] = round(time.time() - t0, 3)
 

@@ -156,6 +156,12 @@ def parse_openalex_line(line: str, source_file: str = "", line_number: int = 0):
             return row
 
         openalex_id = record.get("id")
+        # TRUTHINESS on purpose (not `is not None`): the reference's
+        # `if not id: ... elif not isinstance(id, str)` chain
+        # (parse_record_data_from_files.py:210-215) means falsy
+        # non-string ids (0, 0.0, false, []) are NOT ID_INVALID_TYPE;
+        # the DuckDB oracle's id_truthy CASE reproduces the same rule.
+        # Locked by tests/test_parse_records.py::test_falsy_id_not_flagged.
         if openalex_id and not isinstance(openalex_id, str):
             if status == "OK":
                 status = "ID_INVALID_TYPE"

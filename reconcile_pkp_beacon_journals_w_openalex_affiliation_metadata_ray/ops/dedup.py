@@ -864,10 +864,21 @@ def semantic_dedup(emb_ds, centroids, threshold: float = 0.95,
             raw = grp["packed"].to_numpy()[order]
             mat = np.frombuffer(b"".join(raw), dtype=np.float64).reshape(
                 len(ids), -1)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            # DuckDB list_cosine_similarity's exact expression tree:
+            # sequential-order dot products (dimension-by-dimension
+            # accumulation, NOT numpy pairwise summation), then
+            # dot/(sqrt(aa)*sqrt(bb)) — empirically bit-identical to
+            # DuckDB on 400/400 random double vectors, vs 268/400 for
+            # dot/sqrt(aa*bb) and 93/400 for pairwise-summed dots.
+            dots = np.zeros((len(ids), len(ids)), dtype=np.float64)
+            self_dots = np.zeros(len(ids), dtype=np.float64)
+            for j in range(mat.shape[1]):
+                col = mat[:, j]
+                dots += col[:, None] * col[None, :]
+                self_dots += col * col
+            norms = np.sqrt(self_dots)
             norms[norms == 0] = 1.0
-            nm = mat / norms
-            sims = nm @ nm.T
+            sims = dots / (norms[:, None] * norms[None, :])
             simsr = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
             dup_of_earlier = np.tril(simsr >= threshold, k=-1).any(axis=1)
             frames.append(pd.DataFrame({

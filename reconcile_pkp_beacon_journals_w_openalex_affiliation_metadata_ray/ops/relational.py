@@ -1111,7 +1111,10 @@ def quantile_bin(ds, col: str, nbins: int = 4, id_col: str = "event_id"):
                              "bin": pd.Series(dtype="int64")})
     cum = agg.cumsum().to_numpy()
     edges = np.array([
-        agg.index[int(np.searchsorted(cum, int(np.ceil(i / nbins * n) - 1) + 1))]
+        # rank = ceil(i*n/nbins) in EXACT integer arithmetic — float
+        # i/nbins*n double-rounds past integer boundaries for nbins
+        # that aren't powers of two, shifting quantile_disc by one
+        agg.index[int(np.searchsorted(cum, (-(-i * n // nbins) - 1) + 1))]
         for i in range(1, nbins)])
 
     def _assign(b: pd.DataFrame) -> pd.DataFrame:

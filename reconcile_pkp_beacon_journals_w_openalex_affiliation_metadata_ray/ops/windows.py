@@ -393,9 +393,14 @@ def trailing_count(events_ds, key: str = "user_id", ts: str = "ts",
     peers all count (even 'later' rows with the same ts).
 
     One coarse bucketed shuffle co-locates each key's events; per
-    bucket one vectorized sort, then per key two numpy searchsorted
-    calls give every event's window span in O(n log n) — no per-event
-    Python work. Returns (id, key, ts, n_trailing)."""
+    bucket ONE vectorized pass — sort by (key, ts, id), lift each key
+    segment onto a disjoint monotone axis (same trick as
+    :func:`interval_self_join`: segment-relative ticks + seg_idx *
+    stride with stride > span + window, so a window can never cross
+    into a neighboring key's segment), then two whole-bucket
+    searchsorted calls. No per-key Python call at any key cardinality
+    (a per-key groupby loop is the ~40x-slow pattern the working notes
+    flag). Returns (id, key, ts, n_trailing)."""
     import numpy as np
 
     w = pd.Timedelta(window)
@@ -409,17 +414,38 @@ def trailing_count(events_ds, key: str = "user_id", ts: str = "ts",
         if g.empty:
             return empty
         g = g.sort_values([key, ts, id_col], kind="mergesort")
-        out = []
-        for _, grp in g.groupby(key, sort=False):
-            t = grp[ts].to_numpy()
-            hi = np.searchsorted(t, t, side="right")
-            lo = np.searchsorted(t, t - w, side="left")
-            out.append(pd.DataFrame({
-                id_col: grp[id_col].astype("int64").to_numpy(),
-                key: grp[key].to_numpy(),
-                ts: t,
-                "n_trailing": (hi - lo).astype("int64")}))
-        return pd.concat(out, ignore_index=True) if out else empty
+        n = len(g)
+        t = g[ts].to_numpy()
+        unit = np.datetime_data(t.dtype)[0]
+        per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        w_ticks = (w.value * per_s) // 10**9  # Timedelta.value is ns
+        ticks = t.astype("int64")
+        k = g[key].to_numpy()
+        seg_change = np.flatnonzero(k[1:] != k[:-1]) + 1
+        seg_ends = np.concatenate([seg_change, [n]])
+        seg_idx = np.searchsorted(seg_ends, np.arange(n), side="right")
+        seg_starts = np.concatenate([[0], seg_ends[:-1]])
+        rel = ticks - ticks[seg_starts[seg_idx]]
+        span = int(rel.max()) if n else 0
+        stride = span + w_ticks + 1
+        if len(seg_ends) * stride < (1 << 62):
+            m = rel + seg_idx * stride
+            hi = np.searchsorted(m, m, side="right")
+            lo = np.searchsorted(m, m - w_ticks, side="left")
+        else:  # astronomical span x key-count overflow fallback
+            hi = np.empty(n, dtype="int64")
+            lo = np.empty(n, dtype="int64")
+            for s, e in zip(seg_starts[np.unique(seg_idx)],
+                            seg_ends[np.unique(seg_idx)]):
+                hi[s:e] = s + np.searchsorted(ticks[s:e], ticks[s:e],
+                                              side="right")
+                lo[s:e] = s + np.searchsorted(ticks[s:e],
+                                              ticks[s:e] - w_ticks,
+                                              side="left")
+        return pd.DataFrame({
+            id_col: g[id_col].astype("int64").to_numpy(),
+            key: k, ts: t,
+            "n_trailing": (hi - lo).astype("int64")})
 
     return bucketed_map_groups(events_ds, key, per_bucket,
                                num_buckets=num_buckets)

@@ -32,12 +32,28 @@ def _read_parallelism() -> int:
         return 32
 
 
-def load_tables(sf_dir: str):
-    """Materialize fixture paths for a testdata tier dir."""
+# The only page columns the extract stage consumes. The input contract
+# (BASELINE.json input_hint) also carries `text` (a second full-text
+# copy) and `warc_ts`; NOT reading them halves read amplification on a
+# real Common-Crawl-style table (reference analog: the Rust filter
+# deserializes only 3 fields, main.rs:69-84). Paths that need
+# `warc_ts` (canonical keep-latest) read pages.parquet directly with
+# their own projection.
+EXTRACT_COLUMNS = ["url", "lang", "html"]
+
+
+def load_tables(sf_dir: str, page_columns=None):
+    """Materialize fixture paths for a testdata tier dir.
+
+    ``page_columns`` defaults to :data:`EXTRACT_COLUMNS` — every
+    current caller feeds the extract stage, which needs exactly those;
+    pass ``page_columns=[]``-like explicit list (or None via
+    ``page_columns=()``) only when a caller needs more."""
     import ray.data as rd
 
     fdir = ensure_fixtures(sf_dir)
     pages = rd.read_parquet(os.path.join(fdir, "pages.parquet"),
+                            columns=list(page_columns or EXTRACT_COLUMNS),
                             override_num_blocks=_read_parallelism())
     works = rd.read_parquet(os.path.join(fdir, "reference_works.parquet"))
     return fdir, pages, works
@@ -102,7 +118,8 @@ def run_reconcile_checkpointed(sf_dir: str, workdir: str):
     def records_factory():
         import ray.data as rd
 
-        pages = rd.read_parquet(pages_path, override_num_blocks=_read_parallelism())
+        pages = rd.read_parquet(pages_path, columns=list(EXTRACT_COLUMNS),
+                                override_num_blocks=_read_parallelism())
         works = rd.read_parquet(works_path)
         return records.build_records(extract_pages(pages), works)
 

@@ -1923,3 +1923,83 @@ def test_quantile_bin_exact_edges(rds):
     assert out["bin"].tolist() == exp
     counts = out.loc[out["bin"] > 0, "bin"].value_counts()
     assert counts.max() - counts.min() <= 1
+
+
+def test_quantile_bin_nonpow2_matches_duckdb(rds):
+    """ADVICE r3: nbins that aren't powers of two exercise the
+    integer-exact rank path (float i/nbins*n double-rounds past exact
+    boundaries). Compare edge-for-edge with DuckDB quantile_disc +
+    CASE-chain assignment for nbins in (3, 5, 6, 7, 10)."""
+    import duckdb
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 40, size=301).astype("float64")  # heavy ties
+    df = pd.DataFrame({"event_id": np.arange(301, dtype="int64"),
+                       "value": vals})
+    for nbins in (3, 5, 6, 7, 10):
+        out = relational.quantile_bin(rds.from_pandas(df), "value",
+                                      nbins=nbins)
+        out = (out if isinstance(out, pd.DataFrame) else out.to_pandas()
+               ).sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        qs = ", ".join(
+            f"quantile_disc(value, {i}.0/{nbins}) AS e{i}"
+            for i in range(1, nbins))
+        edges = con.execute(f"SELECT {qs} FROM df").fetchone()
+        case = " ".join(
+            f"WHEN value <= {edges[i - 1]} THEN {i}"
+            for i in range(1, nbins))
+        want = con.execute(
+            f"SELECT CASE WHEN value IS NULL THEN 0 {case} ELSE {nbins} "
+            f"END AS bin FROM df ORDER BY event_id").df()["bin"]
+        assert out["bin"].tolist() == want.tolist(), nbins
+
+
+def test_neighborhood_signatures_null_edges(rds):
+    """ADVICE r3: NULL src/dst endpoints must be DROPPED (oracle's
+    IS NOT NULL), not crash the int64 cast."""
+    import hashlib as _h
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        graph,
+    )
+
+    df = pd.DataFrame({"s": [1.0, 1.0, None, 2.0],
+                       "d": [30.0, None, 10.0, 30.0]})
+    out = (graph.neighborhood_signatures(rds.from_pandas(df), "s", "d")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out["node"].tolist() == [1, 2]
+    assert out["degree"].tolist() == [1, 1]
+    assert out["signature"].tolist() == [
+        _h.md5(b"1|30").hexdigest(), _h.md5(b"2|30").hexdigest()]
+
+
+def test_trailing_count_many_keys_vectorized(rds):
+    """The lifted-monotone-axis trailing count must agree with a
+    per-key brute force across many keys / shared timestamps (the
+    regime the old per-key Python loop handled one groupby call at a
+    time)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import windows
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.randint(0, 700, size=n).astype("int64"),
+        "ts": pd.to_datetime(
+            rng.randint(0, 3 * 3600, size=n), unit="s", origin="2024-01-01"),
+    })
+    out = (windows.trailing_count(rds.from_pandas(df), window="15min")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    w = pd.Timedelta("15min")
+    want = []
+    for _, grp in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id", sort=False):
+        t = grp["ts"].to_numpy()
+        hi = np.searchsorted(t, t, side="right")
+        lo = np.searchsorted(t, t - w, side="left")
+        want.append(pd.DataFrame({"event_id": grp["event_id"].to_numpy(),
+                                  "n": hi - lo}))
+    want = (pd.concat(want).sort_values("event_id")
+            .reset_index(drop=True))
+    assert out["n_trailing"].tolist() == want["n"].tolist()

@@ -215,3 +215,24 @@ def test_parse_records_per_file_resume(ray_session, tmp_path):
     assert (parsed3, skipped3) == (1, 1)
     ids = sorted(r["openalex_id"] for r in ds3.take_all())
     assert ids == ["W10", "W11", "W12", "Wnew"]
+
+
+def test_falsy_id_not_flagged():
+    """Reference truthiness parity (parse_record_data_from_files.py:
+    210-215): a FALSY non-string id (0, 0.0, false, [], "") is NOT
+    ID_INVALID_TYPE — `if not id: ... elif not isinstance(id, str)`.
+    The DuckDB oracle's id_truthy CASE encodes the same rule; this
+    test locks the Python side so a well-meaning `is not None`
+    "fix" can't silently break cross-engine parity (ADVICE r3
+    adjudicated: declined, reference behavior wins)."""
+    for falsy in (0, 0.0, False, [], ""):
+        r = _oa(json.dumps({"id": falsy, "primary_location":
+                            {"landing_page_url": "https://x.org/a"}}))
+        assert r["parse_status"] == "OK", falsy
+        assert r["openalex_id"] == ""
+    # truthy non-strings ARE flagged, and the id is stringified
+    for truthy, rendered in ((123, "123"), (True, "True"), ([1], "[1]")):
+        r = _oa(json.dumps({"id": truthy, "primary_location":
+                            {"landing_page_url": "https://x.org/a"}}))
+        assert r["parse_status"] == "ID_INVALID_TYPE", truthy
+        assert r["openalex_id"] == rendered
