@@ -46,6 +46,9 @@ _MH: MinHasher | None = None
 # per-worker text -> ngram_set memo (verify amortization); byte-aware
 # cap — an item count alone would not bound memory for large documents
 _GRAM_CACHE = BoundedCache(max_items=200_000, max_cost=512 << 20)
+# token SETS keyed by text (setsim verify="join"); separate from
+# _GRAM_CACHE — same keys, different value semantics (3-gram sets)
+_TOKSET_CACHE = BoundedCache(max_items=200_000, max_cost=512 << 20)
 
 
 def _typed_or_empty(ds, schema_fields):
@@ -577,7 +580,8 @@ def delta_new_docs(new_ds, corpus_ds, id_col: str = "doc_id",
 
 def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                         jaccard_threshold: float = 0.7, num_buckets: int = 64,
-                        max_key_width: int | None = None):
+                        max_key_width: int | None = None,
+                        verify: str = "broadcast"):
     """EXACT token-set similarity self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
     WWW'08; both public), the scalable *exact* alternative to the
@@ -600,8 +604,14 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
       dict once each (plasma zero-copy per the repo's broadcast rule);
     - the candidate shuffle carries (int64 token rank, id) ONLY —
       rarest-first ordering keeps prefix-token buckets naturally small;
-    - verify is the broadcast-corpus pattern: exact token Jaccard per
-      candidate with a per-worker token-set cache.
+    - two verify modes (same split as :func:`minhash_lsh_pairs`,
+      identical outputs, equivalence-tested):
+      ``verify="broadcast"`` (default) puts the corpus text table in
+      the object store ONCE and verifies candidate batches against a
+      per-worker zero-copy view; ``verify="join"`` is the no-broadcast
+      path for corpora larger than the object store — texts are
+      hash-joined onto the (far fewer) surviving candidates via
+      bucket_join, moving the corpus at most twice.
 
     ``max_key_width=None`` (default) preserves the exactness guarantee;
     a cap makes the op approximate for pathological hot tokens (drops
@@ -680,24 +690,73 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     if cand.count() == 0:
         return pa.table({n: pa.array([], t) for n, t in out_fields}).to_pandas()
 
-    corpus = pa.concat_tables(
-        [b.select([id_col, text_col])
-         for b in docs_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
-    ).combine_chunks()
-    corpus_ref = ray.put(corpus)
     # vocab <= 64 -> every token SET is one uint64 bitmask and the
     # exact Jaccard is two vectorized popcounts per pair (the synthetic
     # small-vocab corpora that stress this op emit ~1M true pairs, and
     # a per-pair Python set op was the dominant cost); bigger vocabs
     # keep the per-worker set cache
     small_vocab = len(dfs) <= 64
-    _vs: dict = {}
 
     def _popcount64(x):
         return np.unpackbits(
             np.ascontiguousarray(x).view(np.uint8)).reshape(len(x), 64
                                                             ).sum(axis=1,
                                                                   dtype="int64")
+
+    def _jac_round(jac):
+        # same value as _round_half_away(s, 6), vectorized (jac >= 0)
+        return np.floor(np.asarray(jac, dtype="float64") * 1e6 + 0.5) / 1e6
+
+    if verify == "join":
+        # no-broadcast scale path: texts ride TWO hash-partitioned
+        # bucket_joins onto the surviving candidates only (mirrors
+        # minhash_lsh_pairs verify="join"); nothing corpus-sized is
+        # ever ray.put on the driver
+        joined = _attach_payload(cand, docs_ds.map_batches(
+            lambda b: pd.DataFrame({id_col: b[id_col],
+                                    text_col: b[text_col].fillna("")}),
+            batch_format="pandas"), id_col, text_col)
+
+        def _verify_join(b: pd.DataFrame) -> pd.DataFrame:
+            # factorize pair texts so each DISTINCT text in the batch
+            # tokenizes once (a doc appears in many candidate pairs)
+            texts = pd.concat([b["__p_left_id"], b["__p_right_id"]],
+                              ignore_index=True)
+            codes, uniq = pd.factorize(texts)
+            n = len(b)
+            cl, cr = codes[:n], codes[n:]
+            if small_vocab:
+                rmap = _rank_map()
+                masks = np.zeros(len(uniq), dtype=np.uint64)
+                for i, x in enumerate(uniq):
+                    m = 0
+                    for w in _tok_list(x or ""):
+                        m |= 1 << rmap[w]
+                    masks[i] = m
+                ml, mr = masks[cl], masks[cr]
+                inter = _popcount64(ml & mr).astype("float64")
+                union = _popcount64(ml | mr).astype("float64")
+                jac = np.where(union == 0, 1.0, inter / np.maximum(union, 1.0))
+            else:
+                sets = [_TOKSET_CACHE.get_or_build(
+                    x or "", lambda x=x: set(_tok_list(x or "")),
+                    cost=len(x or "") * 60) for x in uniq]
+                jac = np.array([set_jaccard(sets[l], sets[r])
+                                for l, r in zip(cl, cr)], dtype="float64")
+            out = pd.DataFrame({"left_id": b["left_id"],
+                                "right_id": b["right_id"],
+                                "jaccard": _jac_round(jac)})
+            return out[jac >= thr]
+
+        out = joined.map_batches(_verify_join, batch_format="pandas")
+        return _typed_or_empty(out, out_fields)
+
+    corpus = pa.concat_tables(
+        [b.select([id_col, text_col])
+         for b in docs_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    ).combine_chunks()
+    corpus_ref = ray.put(corpus)
+    _vs: dict = {}
 
     def _verify(b: pd.DataFrame) -> pd.DataFrame:
         if "idx" not in _vs:

@@ -2003,3 +2003,32 @@ def test_trailing_count_many_keys_vectorized(rds):
     want = (pd.concat(want).sort_values("event_id")
             .reset_index(drop=True))
     assert out["n_trailing"].tolist() == want["n"].tolist()
+
+
+def test_setsim_verify_paths_equivalent(rds):
+    """setsim broadcast-verify and join-verify must emit identical
+    (pair, jaccard) sets — in BOTH the small-vocab (<=64 tokens,
+    bitmask popcount) and big-vocab (per-worker set cache) regimes."""
+    rng = np.random.RandomState(5)
+    small = ["alpha bravo charlie delta echo foxtrot golf hotel"]
+    small_words = ["alpha", "bravo", "charlie", "delta", "echo",
+                   "foxtrot", "golf", "hotel", "india", "juliet"]
+    big_words = [f"tok{i:03d}" for i in range(120)]  # vocab > 64
+    for words in (small_words, big_words):
+        texts = []
+        for i in range(30):
+            t = " ".join(words[j] for j in rng.randint(0, len(words), 8))
+            texts.append(t)
+            texts.append(t + " " + words[0])
+        docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ds = rds.from_pandas(docs, override_num_blocks=4)
+        a = dedup_ops.setsim_prefix_pairs(ds, jaccard_threshold=0.6,
+                                          verify="broadcast")
+        b = dedup_ops.setsim_prefix_pairs(ds, jaccard_threshold=0.6,
+                                          verify="join")
+        a = (a if isinstance(a, pd.DataFrame) else a.to_pandas()).sort_values(
+            ["left_id", "right_id"]).reset_index(drop=True)
+        b = (b if isinstance(b, pd.DataFrame) else b.to_pandas()).sort_values(
+            ["left_id", "right_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert len(a) >= 25
