@@ -93,8 +93,64 @@ class MinHasher:
         return np.minimum.reduce([self._shingle_vec(s) for s in sh]).astype(np.uint64)
 
     def signatures(self, texts) -> np.ndarray:
-        """Batch of signatures, shape (len(texts), num_perm)."""
-        return np.vstack([self.signature(t) for t in texts])
+        """Batch of signatures, shape (len(texts), num_perm) — one
+        vectorized pass, bit-identical to per-row :meth:`signature`
+        (property-tested). Per batch: distinct shingles are interned
+        once, cache misses get their permutation vectors in ONE
+        broadcast mod-p pass, and every row's min-reduce runs as a
+        single ``np.minimum.reduceat`` over the gathered matrix — no
+        per-row numpy reduce, no per-shingle Python hash on hits."""
+        import pandas as pd
+
+        n = len(texts)
+        out = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        # raw sliding windows, duplicates INCLUDED: min is idempotent,
+        # so skipping the per-text set dedup (the setcomp was ~12 us of
+        # a 23 us/doc kernel) changes nothing bit-wise; factorize
+        # dedups globally for the vector cache
+        k = self.shingle
+        sh_lists = []
+        for t in texts:
+            t = t or ""
+            if len(t) <= k:
+                sh_lists.append([t] if t else [])
+            else:
+                sh_lists.append([t[i:i + k] for i in range(len(t) - k + 1)])
+        counts = np.fromiter(map(len, sh_lists), dtype=np.int64, count=n)
+        flat_sh = [s for sh in sh_lists for s in sh]
+        if not flat_sh:
+            return out
+        # C hash-table interning (a Python dict.get loop here measured
+        # ~2.5 us per shingle occurrence — the whole kernel's cost)
+        flat_idx, uniq = pd.factorize(np.asarray(flat_sh, dtype=object))
+        distinct = uniq.tolist()
+        V = np.empty((len(distinct), self.num_perm), dtype=np.uint64)
+        miss_j, miss_x = [], []
+        for j, s in enumerate(distinct):
+            v = self._vec_cache.get(s)
+            if v is None:
+                miss_j.append(j)
+                miss_x.append(_hash64(s) % _MERSENNE)
+            else:
+                V[j] = v
+        if miss_j:
+            xs = np.array(miss_x, dtype=np.uint64)[:, None]
+            V[miss_j] = (_mulmod_p(self.a[None, :], xs)
+                         + self.b[None, :]) % np.uint64(_MERSENNE)
+            if len(self._vec_cache) + len(miss_j) >= self._CACHE_MAX:
+                self._vec_cache.clear()
+            for j in miss_j:
+                self._vec_cache[distinct[j]] = V[j]
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        nonempty = counts > 0
+        # empty texts contribute no flat rows, so consecutive nonempty
+        # offsets exactly partition the gathered matrix. np.take, NOT
+        # V[flat_idx]: int64 fancy row-gather measured 30x slower than
+        # take on this numpy build (373 ms vs 10 ms for 83k x 64)
+        out[nonempty] = np.minimum.reduceat(np.take(V, flat_idx, axis=0),
+                                            offsets[nonempty], axis=0)
+        return out
 
 
 def band_keys(signature: np.ndarray, num_bands: int) -> list:

@@ -159,10 +159,11 @@ def minhash_band_rows(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     shuffle (tested: the text payload must never ride this exchange)."""
     def _bands(batch: pd.DataFrame) -> pd.DataFrame:
         mh = _mh(num_perm)
+        texts = batch[text_col].fillna("").tolist()
+        sigs = mh.signatures(texts)  # one vectorized reduceat pass
         ids, keys = [], []
-        for i, t in zip(batch[id_col], batch[text_col].fillna("")):
-            sig = mh.signature(t)
-            for bk in band_keys(sig, num_bands):
+        for row_i, i in enumerate(batch[id_col]):
+            for bk in band_keys(sigs[row_i], num_bands):
                 ids.append(i)
                 keys.append(bk)
         return pd.DataFrame({"band_key": keys, id_col: ids})

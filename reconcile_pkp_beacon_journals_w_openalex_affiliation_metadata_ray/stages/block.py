@@ -104,6 +104,9 @@ def emit_keys_batch(batch: pa.Table, hot_keys_ref=None, num_perm=DEFAULT_NUM_PER
     paths = batch["path_key"].to_pylist()
     blobs = batch["name_blob"].to_pylist()
     authors_norm = batch["authors_norm"].to_pylist()
+    # whole-batch vectorized MinHash (one reduceat pass, bit-identical
+    # to per-row signature(); empty blobs cost nothing)
+    sigs = mh.signatures(blobs)
     keys, out_ids, has_doi = [], [], []
 
     def emit(k, rid, d):
@@ -111,7 +114,8 @@ def emit_keys_batch(batch: pa.Table, hot_keys_ref=None, num_perm=DEFAULT_NUM_PER
         out_ids.append(rid)
         has_doi.append(bool(d))
 
-    for rid, doi, host, path, blob, a_norm in zip(rids, dois, hosts, paths, blobs, authors_norm):
+    for row_i, (rid, doi, host, path, blob, a_norm) in enumerate(
+            zip(rids, dois, hosts, paths, blobs, authors_norm)):
         if doi:
             emit("doi:" + doi, rid, doi)
         if path:
@@ -128,8 +132,7 @@ def emit_keys_batch(batch: pa.Table, hot_keys_ref=None, num_perm=DEFAULT_NUM_PER
         for name in a_norm[:3]:
             emit(_refine("an:" + name, hot, a_norm, doi), rid, doi)
         if blob:
-            sig = mh.signature(blob)
-            for bk in band_keys(sig, num_bands):
+            for bk in band_keys(sigs[row_i], num_bands):
                 emit(_refine(bk, hot, a_norm, doi), rid, doi)
     return pa.table({"block_key": pa.array(keys, pa.string()),
                      "record_id": pa.array(out_ids, pa.string()),

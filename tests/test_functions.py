@@ -543,3 +543,32 @@ def test_phonetic_key_matches_sql_derivation():
     """, [names]).fetchall()
     for name, k in got:
         assert k == phonetic_key(name), name
+
+
+def test_minhash_batch_bit_identical_to_scalar():
+    """signatures() (factorize + gather + one reduceat, duplicates kept
+    since min is idempotent) must be BIT-identical to per-row
+    signature() for arbitrary unicode/empty/short texts, with shared
+    and fresh caches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.minhash import (
+        MinHasher,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.text(max_size=40), max_size=12))
+    def check(texts):
+        import numpy as np
+
+        fresh = MinHasher(8).signatures(texts)
+        warm = MinHasher(8)
+        per_row = [warm.signature(t) for t in texts]
+        again = warm.signatures(texts)  # warm-cache path
+        assert fresh.shape == (len(texts), 8)
+        for i, sig in enumerate(per_row):
+            assert (fresh[i] == sig).all()
+            assert (again[i] == sig).all()
+
+    check()
