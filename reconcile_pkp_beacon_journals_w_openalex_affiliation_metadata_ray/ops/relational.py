@@ -385,23 +385,40 @@ def pre_aggregated(ds, keys, sums=(), counts=True, num_buckets: int = 64):
     keys = [keys] if isinstance(keys, str) else list(keys)
     sums = list(sums)
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        aggs = {f"sum_{c}": (c, "sum") for c in sums}
-        if counts:
-            aggs["n"] = (keys[0], "size")
-        out = batch.groupby(keys, as_index=False, sort=False).agg(**aggs)
-        if out.empty:
-            # typed empty partial: an untyped {} frame from an empty batch
-            # drifts the stream schema (RefBundle schema-change warning)
-            # and can promote int sums to float at the reduce
-            cols = {k: batch[k] if k in batch else pd.Series(dtype=object) for k in keys}
+    def _partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native combiner: pa group_by measured 3.3x the pandas
+        # groupby-sum on string keys at 1M rows/50k keys (paired A/B,
+        # BASELINE.md §c). Null keys are dropped to match pandas
+        # groupby semantics; sums cast so the partial schema matches
+        # the typed-empty branch exactly (int sums never drift float).
+        import pyarrow.compute as pc
+
+        t = batch.select(list(dict.fromkeys(keys + sums)))
+        sum_types = {c: (pa.int64() if pa.types.is_integer(t.schema.field(c).type)
+                         else pa.float64()) for c in sums}
+        if t.num_rows:
+            mask = None
+            for k in keys:
+                v = pc.is_valid(t[k])
+                mask = v if mask is None else pc.and_(mask, v)
+            t = t.filter(mask)
+        if t.num_rows == 0:
+            cols = {k: pa.array([], t.schema.field(k).type) for k in keys}
             for c in sums:
-                dt = batch[c].dtype if c in batch else "float64"
-                cols[f"sum_{c}"] = pd.Series(dtype="int64" if pd.api.types.is_integer_dtype(dt) else "float64")
+                cols[f"sum_{c}"] = pa.array([], sum_types[c])
             if counts:
-                cols["n"] = pd.Series(dtype="int64")
-            return pd.DataFrame(cols)
-        return out
+                cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        aggs = [(c, "sum") for c in sums]
+        if counts:
+            aggs.append(([], "count_all"))
+        g = t.group_by(keys).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
+        for c in sums:
+            cols[f"sum_{c}"] = pc.cast(g[f"{c}_sum"], sum_types[c])
+        if counts:
+            cols["n"] = pc.cast(g["count_all"], pa.int64())
+        return pa.table(cols)
 
     agg_cols = {f"sum_{c}": (f"sum_{c}", "sum") for c in sums}
     if counts:
@@ -410,7 +427,8 @@ def pre_aggregated(ds, keys, sums=(), counts=True, num_buckets: int = 64):
     def _reduce(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, as_index=False, sort=False).agg(**agg_cols)
 
-    partials = ds.map_batches(_partial, batch_format="pandas")
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
     return bucketed_map_groups(partials, keys, _reduce, num_buckets=num_buckets)
 
 
@@ -511,9 +529,12 @@ def distinct(ds, cols, num_buckets: int = 64):
     measured ~0.7 ms/group, i.e. minutes at 10^5 keys; the bucketed
     path is 64 Python calls total at any cardinality.)"""
     cols = [cols] if isinstance(cols, str) else list(cols)
+    # Arrow-native in-batch combiner: group_by().aggregate([]) measured
+    # 4.6x pandas drop_duplicates on string keys at 1M rows/50k keys
+    # (paired A/B, BASELINE.md §c); null rows group like NaN rows did
     proj = ds.map_batches(
-        lambda b: b[cols].drop_duplicates(),  # in-batch combiner
-        batch_format="pandas")
+        lambda t: t.select(cols).group_by(cols).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_map_groups(proj, cols, lambda g: g.drop_duplicates(),
                                num_buckets=num_buckets)
 

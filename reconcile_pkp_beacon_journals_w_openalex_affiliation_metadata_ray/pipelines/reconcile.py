@@ -59,23 +59,63 @@ def load_tables(sf_dir: str, page_columns=None):
     return fdir, pages, works
 
 
+# broadcast the record-attribute table only while it stays under this
+# fraction of the node object store: the broadcast is one plasma copy
+# per node (workers map it zero-copy), but past this point it starts
+# crowding out the blocks the streaming executor needs in flight
+BROADCAST_OBJECT_STORE_FRACTION = 0.2
+
+
+def choose_scoring_path(records_ds) -> bool:
+    """True -> use score_pairs_shuffle (big-big bucketed join); False
+    -> broadcast scoring. Decision input: the MATERIALIZED record
+    table's in-plasma size vs the object-store budget (the packed
+    broadcast table is the same attribute columns, so size_bytes is the
+    right proxy). Falls back to broadcast when resources are unknown
+    (local/unit-test sessions)."""
+    try:
+        import ray
+
+        budget = ray.cluster_resources().get("object_store_memory")
+        size = records_ds.size_bytes()
+        if budget and size:
+            return size > BROADCAST_OBJECT_STORE_FRACTION * float(budget)
+    except Exception:
+        pass
+    return False
+
+
 def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
-                  scorer_concurrency=None, shuffle_scoring: bool = False):
+                  scorer_concurrency=None, shuffle_scoring: bool | None = None,
+                  materialize_extracted: bool = False):
     """Full pipeline over the tier's synthesized pages. Returns a dict
     of stage outputs (lazy Datasets unless noted).
 
     shuffle_scoring=True switches stage 3 to the big-big bucketed-join
     path (score_pairs_shuffle) — the configuration for corpora whose
-    record table cannot be broadcast to every node; the broadcast path
-    is the single-node / small-authority default."""
+    record table cannot be broadcast to every node; False forces the
+    broadcast path; None (default) picks automatically from the
+    materialized record table's size vs the object-store budget
+    (:func:`choose_scoring_path`). Both paths emit identical scored
+    output (equivalence-tested in tests/test_pipeline.py).
+
+    materialize_extracted=True checkpoints the extraction output in
+    the object store so DOWNSTREAM CONSUMERS of out["extracted"] don't
+    re-run the HTML parse (the driver's queries() memo uses this —
+    many queries share that stage); the default keeps the flagship
+    path fully streaming (extracted text never parked in plasma)."""
     import ray
 
     fdir, pages, works = load_tables(sf_dir)
     extracted = extract_pages(pages)
+    if materialize_extracted:
+        extracted = extracted.materialize()
     recs = records.build_records(extracted, works).materialize()  # reused 3x, small (no html)
     hot = block.find_hot_keys(recs, threshold=hot_threshold)
     hot_ref = ray.put(hot)
     pairs = block.candidate_pairs(recs, hot_keys_ref=hot_ref).materialize()
+    if shuffle_scoring is None:
+        shuffle_scoring = choose_scoring_path(recs)
     if shuffle_scoring:
         scored = score.score_pairs_shuffle(pairs, recs)
     else:

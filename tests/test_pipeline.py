@@ -380,3 +380,22 @@ def test_connected_components_long_chain_converges(ray_session):
     got = {r["record_id"]: r["cluster_id"] for r in got_ds.take_all()}
     assert set(got.values()) == {nodes[0]}
     assert len(got) == 100
+
+
+def test_choose_scoring_path_auto_switch(ray_session, monkeypatch):
+    """shuffle_scoring=None picks broadcast below the object-store
+    budget fraction and the bucketed-join path above it; forcing the
+    threshold to ~0 must flip the decision on the same table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
+        reconcile,
+    )
+
+    recs = rd.from_pandas(pd.DataFrame({
+        "record_id": [f"r{i}" for i in range(50)],
+        "x": list(range(50))})).materialize()
+    assert reconcile.choose_scoring_path(recs) is False  # tiny table
+    monkeypatch.setattr(reconcile, "BROADCAST_OBJECT_STORE_FRACTION", 0.0)
+    assert reconcile.choose_scoring_path(recs) is True
