@@ -63,11 +63,20 @@ def run_bench() -> dict:
     fdir = ensure_fixtures(sf_dir)  # cached; also warms page cache below
     import pyarrow.parquet as pq
 
-    n_pages = pq.read_metadata(os.path.join(fdir, "pages.parquet")).num_rows
+    # big tiers (sf1) write pages.parquet as a per-shard DIRECTORY
+    pages_path = os.path.join(fdir, "pages.parquet")
+    if os.path.isdir(pages_path):
+        import glob
+
+        page_files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    else:
+        page_files = [pages_path]
+    n_pages = sum(pq.read_metadata(p).num_rows for p in page_files)
     # warm OS page cache so we measure compute+shuffle, not first disk read
-    with open(os.path.join(fdir, "pages.parquet"), "rb") as f:
-        while f.read(1 << 24):
-            pass
+    for p in page_files:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     queries: dict[str, float] = {}
 

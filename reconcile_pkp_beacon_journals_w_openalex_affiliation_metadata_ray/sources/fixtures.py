@@ -57,6 +57,18 @@ FIXTURE_ROOT = "/tmp/graft_fixtures"
 # entities (works) per tier; pages ~= entities * 1.85 + 15% noise
 TIER_ENTITIES = {"sf0.001": 40, "sf0.01": 800, "sf0.1": 90000}
 
+# big tiers go through the SHARDED parallel generator (generate_sharded):
+# pages/reference_works/labeled_pairs are written as one-file-per-shard
+# parquet DIRECTORIES so generation parallelizes across processes and
+# memory stays bounded per shard. The small tiers keep the monolithic
+# generator byte-for-byte (their cached fixtures and oracle-persisted
+# inputs stay valid — no _FIXTURE_VERSION bump needed for sf1).
+BIG_TIER_ENTITIES = {"sf1": 900_000}
+_BIG_SHARDS = 16
+# the raw record files feed parse_records queries that only run at
+# sf<=0.1; cap their size at the sf0.1 scale for big tiers
+_BIG_RECORD_FILE_CAP = 90_000
+
 _FIRST = [
     "María", "José", "Ana", "Luis", "Carmen", "Juan", "Lucía", "Pedro",
     "Sofía", "Diego", "Elena", "Pablo", "Inés", "Andrés", "Björn", "Søren",
@@ -622,12 +634,314 @@ def generate(tier: str, out_dir: str) -> None:
         f.write(_FIXTURE_VERSION)
 
 
+def _journal_tables(n_entities: int):
+    """Deterministic GLOBAL journal/host assignment, identical in every
+    shard process (RandomState(42), same construction as generate()'s
+    first block): shards may differ in entities but must agree on which
+    journal lives on which host, or cross-shard blocking would see
+    phantom hosts."""
+    rng = np.random.RandomState(42)
+    n_hosts = max(8, n_entities // 25)
+    hosts = _hosts(rng, n_hosts)
+    n_journals = max(4, n_entities // 8)
+    journal_host = []
+    for j in range(n_journals):
+        r = rng.rand()
+        if r < 0.22:
+            journal_host.append(hosts[0])
+        elif r < 0.40:
+            journal_host.append(hosts[1])
+        else:
+            journal_host.append(hosts[2 + rng.randint(n_hosts - 2)])
+    journal_scheme = ["https" if rng.rand() < 0.8 else "http"
+                      for _ in range(n_journals)]
+    journal_name = [f"rev{j}" for j in range(n_journals)]
+    return hosts, n_hosts, journal_host, journal_scheme, journal_name
+
+
+def _generate_shard(tier: str, shard: int, n_shards: int, out_dir: str) -> int:
+    """One shard of a big tier: entities with GLOBAL ids in
+    [shard*N/n_shards, (shard+1)*N/n_shards) plus their sibling hard
+    negatives (sibling eids offset past N so they never collide across
+    shards), the pages for both, and the shard's labeled pairs. Same
+    distributions as generate() (authors, corruption, templates, noise
+    share); rng stream is per-shard-seeded, so the DATASET differs from
+    the monolith's bytes but the statistical shape and the
+    positive/negative pair structure are identical. Returns the page
+    count written."""
+    n_entities = BIG_TIER_ENTITIES[tier]
+    hosts, n_hosts, journal_host, journal_scheme, journal_name = \
+        _journal_tables(n_entities)
+    lo = shard * n_entities // n_shards
+    hi = (shard + 1) * n_entities // n_shards
+    rng = np.random.RandomState(100_000 + shard)
+
+    entities = []
+    for e in range(lo, hi):
+        j = rng.randint(len(journal_host))
+        n_auth = 1 + rng.randint(4)
+        authors = []
+        for _ in range(n_auth):
+            name = _person(rng)
+            insts = [_institution(rng) for _ in range(rng.randint(3))]
+            authors.append((name, insts))
+        doi = (f"10.{4000 + j % 800}/{journal_name[j]}.v{e}"
+               if rng.rand() < 0.9 else "")
+        entities.append({"eid": e, "journal": j, "doi": doi,
+                         "authors": authors})
+
+    base = list(entities)
+    for ent in base:
+        e = ent["eid"]
+        if e % 10:
+            continue
+        j = ent["journal"]
+        first = ent["authors"][0][0].split(" ")[0]
+        other_last = _LAST[(e * 7 + 3) % len(_LAST)]
+        if other_last == ent["authors"][0][0].split(" ")[-1]:
+            other_last = _LAST[(e * 7 + 13) % len(_LAST)]
+        eid = n_entities + e // 10  # globally unique sibling id space
+        entities.append({"eid": eid, "journal": j,
+                         "doi": (f"10.{4000 + j % 800}/{journal_name[j]}.v{eid}"
+                                 if rng.rand() < 0.9 else ""),
+                         "authors": [(f"{first} {other_last}",
+                                      [_institution(rng)])],
+                         "sibling_of": e})
+
+    rw_rows = {"work_id": [], "doi": [], "landing_host": [],
+               "landing_page_url": [], "authorships": []}
+    for ent in entities:
+        j = ent["journal"]
+        url = (f"{journal_scheme[j]}://{journal_host[j]}/index.php/"
+               f"{journal_name[j]}/article/view/{ent['eid']}")
+        rw_rows["work_id"].append(f"W{100000 + ent['eid']}")
+        rw_rows["doi"].append(ent["doi"])
+        rw_rows["landing_host"].append(journal_host[j])
+        rw_rows["landing_page_url"].append(url)
+        rw_rows["authorships"].append(
+            [{"raw_author_name": a, "raw_affiliation_strings": list(insts)}
+             for a, insts in ent["authors"]])
+
+    pages = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    page_entity = []
+    templates = ["meta", "ul", "both"]
+    base_ts = 1577836800_000_000
+    for ent in entities:
+        j = ent["journal"]
+        k = rng.choice([1, 2, 3], p=[0.35, 0.45, 0.20])
+        for p in range(k):
+            host = (journal_host[j] if (p == 0 or rng.rand() < 0.5)
+                    else hosts[(j + 3) % n_hosts])
+            scheme = journal_scheme[j]
+            url = (f"{scheme}://{host}/index.php/{journal_name[j]}"
+                   f"/article/view/{ent['eid']}"
+                   + (f"/version/{p}" if p else ""))
+            corrupted = [( _corrupt(rng, a), [_corrupt(rng, i) for i in insts])
+                         for a, insts in ent["authors"]]
+            include_doi = bool(ent["doi"]) and rng.rand() < 0.8
+            template = templates[rng.randint(3)]
+            lang = _LANGS[int(rng.choice(len(_LANGS), p=_LANG_P))]
+            html = _page_html(rng, template,
+                              ent["doi"] if include_doi else "",
+                              corrupted, lang, noise_tag=rng.rand() < 0.05)
+            pages["url"].append(url)
+            pages["warc_ts"].append(base_ts + (ent["eid"] * 4 + p)
+                                    * 61_000_000 + rng.randint(1000))
+            pages["html"].append(html.encode("utf-8"))
+            pages["text"].append("")
+            pages["lang"].append(lang)
+            page_entity.append(ent["eid"])
+
+    n_noise = max(4, int(0.15 * len(page_entity)))
+    for z in range(n_noise):
+        host = hosts[rng.randint(n_hosts)]
+        url = f"https://{host}/index.php/misc/issue/view/{shard}_{z}"
+        if rng.rand() < 0.3:
+            html = f"<html><body><p>Announcement {z}</p>"
+        else:
+            html = (f"<html><head><title>Issue {z}</title></head>"
+                    f"<body><div>Table of contents {z}</div></body></html>")
+        pages["url"].append(url)
+        pages["warc_ts"].append(base_ts + (n_entities * 8 + shard * n_noise
+                                           + z) * 61_000_000
+                                + rng.randint(1000))
+        pages["html"].append(html.encode("utf-8"))
+        pages["text"].append("")
+        pages["lang"].append("en")
+        page_entity.append(-1)
+
+    # ---- labeled pairs (same structure as generate()) ----
+    ent_pages: dict[int, list[int]] = {}
+    for idx, eid in enumerate(page_entity):
+        if eid >= 0:
+            ent_pages.setdefault(eid, []).append(idx)
+    lp = {"left_id": [], "right_id": [], "block_key": [], "is_match": []}
+
+    def _add_pair(lid, rid, key, match):
+        if lid > rid:
+            lid, rid = rid, lid
+        lp["left_id"].append(lid)
+        lp["right_id"].append(rid)
+        lp["block_key"].append(key)
+        lp["is_match"].append(match)
+
+    def _hostkey(j):
+        return (f"host:{journal_scheme[j]}://{journal_host[j]}:"
+                f"{443 if journal_scheme[j] == 'https' else 80}")
+
+    for ent in entities:
+        eid = ent["eid"]
+        pidx = ent_pages.get(eid, [])
+        wid = "w:" + f"W{100000 + eid}"
+        hostkey = _hostkey(ent["journal"])
+        for a_i, a in enumerate(pidx):
+            _add_pair("p:" + pages["url"][a], wid, hostkey, True)
+            for b in pidx[a_i + 1:]:
+                _add_pair("p:" + pages["url"][a], "p:" + pages["url"][b],
+                          hostkey if a_i == 0 else "transitive", True)
+        sib = ent.get("sibling_of")
+        if sib is not None:
+            for a in pidx:
+                _add_pair("p:" + pages["url"][a], f"w:W{100000 + sib}",
+                          hostkey, False)
+            _add_pair(wid, f"w:W{100000 + sib}", hostkey, False)
+            for b in ent_pages.get(sib, [])[:2]:
+                for a in pidx:
+                    _add_pair("p:" + pages["url"][a], "p:" + pages["url"][b],
+                              hostkey, False)
+    by_journal: dict[int, list] = {}
+    for ent in entities:
+        by_journal.setdefault(ent["journal"], []).append(ent)
+    for j, ents in sorted(by_journal.items()):
+        if len(ents) < 2:
+            continue
+        for _ in range(min(len(ents), 20)):
+            e1, e2 = rng.choice(len(ents), 2, replace=False)
+            a_ent, b_ent = ents[int(e1)], ents[int(e2)]
+            if (a_ent.get("sibling_of") == b_ent["eid"]
+                    or b_ent.get("sibling_of") == a_ent["eid"]):
+                continue
+            pga = ent_pages.get(a_ent["eid"], [])
+            pgb = ent_pages.get(b_ent["eid"], [])
+            if pga and pgb:
+                _add_pair("p:" + pages["url"][pga[0]],
+                          "p:" + pages["url"][pgb[0]], _hostkey(j), False)
+    seen = {}
+    for i in range(len(lp["left_id"])):
+        seen[(lp["left_id"][i], lp["right_id"][i])] = i
+    keep = sorted(seen.values())
+    lp = {k: [v[i] for i in keep] for k, v in lp.items()}
+
+    # ---- write this shard's files ----
+    tag = f"shard-{shard:03d}.parquet"
+    pq.write_table(
+        pa.table({
+            "url": pa.array(pages["url"], pa.string()),
+            "warc_ts": pa.array(pages["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(pages["html"], pa.binary()),
+            "text": pa.array(pages["text"], pa.string()),
+            "lang": pa.array(pages["lang"], pa.string()),
+        }),
+        os.path.join(out_dir, "pages.parquet", tag), row_group_size=1024)
+    auth_type = pa.list_(pa.struct(
+        [("raw_author_name", pa.string()),
+         ("raw_affiliation_strings", pa.list_(pa.string()))]))
+    pq.write_table(
+        pa.table({
+            "work_id": pa.array(rw_rows["work_id"], pa.string()),
+            "doi": pa.array(rw_rows["doi"], pa.string()),
+            "landing_host": pa.array(rw_rows["landing_host"], pa.string()),
+            "landing_page_url": pa.array(rw_rows["landing_page_url"],
+                                         pa.string()),
+            "authorships": pa.array(rw_rows["authorships"], auth_type),
+        }),
+        os.path.join(out_dir, "reference_works.parquet", tag))
+    pq.write_table(
+        pa.table({
+            "left_id": pa.array(lp["left_id"], pa.string()),
+            "right_id": pa.array(lp["right_id"], pa.string()),
+            "block_key": pa.array(lp["block_key"], pa.string()),
+            "is_match": pa.array(lp["is_match"], pa.bool_()),
+        }),
+        os.path.join(out_dir, "labeled_pairs.parquet", tag))
+    return len(pages["url"])
+
+
+def generate_sharded(tier: str, out_dir: str,
+                     n_shards: int = _BIG_SHARDS) -> None:
+    """Parallel sharded generation for big tiers (sf1): shards run in
+    a process pool (each bounded at ~1/n_shards of the corpus in
+    memory), pages/reference_works/labeled_pairs land as per-shard
+    files inside parquet DIRECTORIES (readers — ray.data.read_parquet
+    and pq.read_table — both accept directories). Journal/host tables
+    are deterministic and shared (see :func:`_journal_tables`)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    n_entities = BIG_TIER_ENTITIES[tier]
+    os.makedirs(out_dir, exist_ok=True)
+    for d in ("pages.parquet", "reference_works.parquet",
+              "labeled_pairs.parquet"):
+        os.makedirs(os.path.join(out_dir, d), exist_ok=True)
+
+    workers = min(n_shards, max(2, (os.cpu_count() or 8) * 3 // 8))
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(_generate_shard, tier, s, n_shards, out_dir)
+                for s in range(n_shards)]
+        total = sum(f.result() for f in futs)
+
+    # journal-level side tables + capped raw record files (parent-side,
+    # cheap relative to the page corpus)
+    rng = np.random.RandomState(43)
+    hosts, n_hosts, journal_host, journal_scheme, journal_name = \
+        _journal_tables(n_entities)
+    oai_rows = []
+    for j in range(len(journal_host)):
+        base = f"{journal_scheme[j]}://{journal_host[j]}"
+        suffix = ["/index.php/index/oai", "/journal/index.php/index/oai",
+                  "/oai"][rng.randint(3)]
+        oai_rows.append(base + suffix)
+        if rng.rand() < 0.3:
+            oai_rows.append(base + suffix)
+    oai_rows.append("")
+    oai_rows.append("https://decoy.example.net/no-suffix-endpoint")
+
+    from ..functions.urlkeys import strip_oai_suffix, url_key
+
+    base_set = set()
+    for u in oai_rows:
+        if u and u.strip():
+            b = strip_oai_suffix(u.strip())
+            if b:
+                base_set.add(b)
+    bu_rows = {"base_url": [], "scheme": [], "host": [], "port": []}
+    for b in sorted(base_set):
+        key = url_key(b)
+        bu_rows["base_url"].append(b)
+        bu_rows["scheme"].append(key[0] if key else "")
+        bu_rows["host"].append(key[1] if key else "")
+        bu_rows["port"].append(key[2] if key else 0)
+    pq.write_table(pa.table({"oai_url": pa.array(oai_rows, pa.string())}),
+                   os.path.join(out_dir, "oai_urls.parquet"))
+    pq.write_table(
+        pa.table({
+            "base_url": pa.array(bu_rows["base_url"], pa.string()),
+            "scheme": pa.array(bu_rows["scheme"], pa.string()),
+            "host": pa.array(bu_rows["host"], pa.string()),
+            "port": pa.array(bu_rows["port"], pa.int32()),
+        }),
+        os.path.join(out_dir, "base_urls.parquet"))
+    _generate_record_files(out_dir, min(n_entities, _BIG_RECORD_FILE_CAP))
+    with open(os.path.join(out_dir, "VERSION"), "w") as f:
+        f.write(_FIXTURE_VERSION)
+    del total  # page count is re-derived by readers; kept for debuggers
+
+
 def ensure_fixtures(sf_dir: str) -> str:
     """Idempotently materialize the fixture tables for the tier implied
     by sf_dir (basename, e.g. 'sf0.01'); returns the fixture dir.
     Cached across processes via the VERSION stamp."""
     tier = os.path.basename(os.path.normpath(sf_dir))
-    if tier not in TIER_ENTITIES:
+    if tier not in TIER_ENTITIES and tier not in BIG_TIER_ENTITIES:
         tier = "sf0.01"
     out_dir = os.path.join(FIXTURE_ROOT, tier)
     version_file = os.path.join(out_dir, "VERSION")
@@ -638,7 +952,10 @@ def ensure_fixtures(sf_dir: str) -> str:
         shutil.rmtree(out_dir, ignore_errors=True)
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    generate(tier, tmp)
+    if tier in BIG_TIER_ENTITIES:
+        generate_sharded(tier, tmp)
+    else:
+        generate(tier, tmp)
     # atomic-ish publish; a concurrent process may have won the race
     try:
         os.rename(tmp, out_dir)

@@ -104,3 +104,36 @@ def test_sample_exact_no_global_shuffle(ray_session, monkeypatch):
     # k > n clamps
     assert len(sample_exact(rd.from_pandas(src.head(7)), k=50,
                             id_col="doc_id").to_pandas()) == 7
+
+
+def test_sharded_generator_contract(ray_session, tmp_path, monkeypatch):
+    """Big-tier sharded fixtures must (a) write directory-shaped
+    pages/reference_works/labeled_pairs readable by both ray.data and
+    pyarrow, (b) keep work_ids globally unique across shards, and (c)
+    run the flagship pipeline to F1 == 1.0 on their own labeled pairs
+    at toy scale (the sf1 generator is this same path at 900k
+    entities)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import (
+        reconcile,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources import (
+        fixtures as fx,
+    )
+
+    monkeypatch.setitem(fx.BIG_TIER_ENTITIES, "sf1", 300)
+    monkeypatch.setattr(fx, "FIXTURE_ROOT", str(tmp_path))
+    out = reconcile.run_reconcile(str(tmp_path / "sf1"))
+    fdir = out["fixture_dir"]
+    shards = sorted(glob.glob(os.path.join(fdir, "pages.parquet",
+                                           "*.parquet")))
+    assert len(shards) == fx._BIG_SHARDS
+    ids = pq.read_table(os.path.join(fdir, "reference_works.parquet"),
+                        columns=["work_id"])["work_id"].to_pylist()
+    assert len(ids) == len(set(ids)) > 300  # entities + siblings, unique
+    f1 = reconcile.pairwise_f1(
+        out["clusters"], os.path.join(fdir, "labeled_pairs.parquet"))
+    assert f1["f1"] == 1.0, f1
