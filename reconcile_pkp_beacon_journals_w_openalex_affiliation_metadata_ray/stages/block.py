@@ -397,10 +397,16 @@ def candidate_pairs(records_ds, hot_keys_ref=None,
     buckets (ops.relational.bucketed_map_groups) so Python-per-group
     overhead is O(num_buckets), not O(num_keys).
 
-    The dedup shuffle only carries FUZZY-family pairs: a doi-family
-    pair is provably unique (each record has one DOI; equal DOIs -> one
-    shared key) and provably absent from fuzzy families (those prune
-    both-DOI pairs), so the doi stream bypasses dedup entirely."""
+    ONE stream: pair-gen pipes straight into the dedup shuffle. A
+    previous version split the doi family around the dedup (doi pairs
+    are provably unique) and union()ed the branches back — at sf1 that
+    stalled the stage: Ray's UnionOperator held the fuzzy branch's
+    output until ordering resolved, ~24 GB of deduped pairs piled up
+    in plasma and backpressured the dedup to ONE task at a time, and
+    the pre-dedup stream (118M rows at sf1) also had to be
+    materialized for the two-branch split. doi rows riding the dedup
+    shuffle cost ~3% extra volume; _dedup_bucket passes them through
+    unchanged (min of one key, OR of one bit)."""
     from ..ops.relational import bucketed_map_groups
 
     keys = emit_block_keys(records_ds, hot_keys_ref=hot_keys_ref)
@@ -409,11 +415,5 @@ def candidate_pairs(records_ds, hot_keys_ref=None,
         num_buckets=num_buckets)
     if not dedup:
         return pairs
-    pairs = pairs.materialize()  # consumed twice by the family split
-    doi_pairs = pairs.map_batches(
-        lambda b: b[b["families"] == FAMILY_DOI], batch_format="pandas")
-    fuzzy_pairs = pairs.map_batches(
-        lambda b: b[b["families"] != FAMILY_DOI], batch_format="pandas")
-    fuzzy_deduped = bucketed_map_groups(fuzzy_pairs, ["left_id", "right_id"],
-                                        _dedup_bucket, num_buckets=num_buckets)
-    return doi_pairs.union(fuzzy_deduped)
+    return bucketed_map_groups(pairs, ["left_id", "right_id"],
+                               _dedup_bucket, num_buckets=num_buckets)

@@ -368,9 +368,15 @@ def broadcast_records(records_ds):
             "name_blob": t["name_blob"],
         })
 
+    # pack DISTRIBUTED (the to_pylist + join loop is linear in records
+    # — at sf1's 3.2M records it pinned the driver single-threaded for
+    # minutes when run driver-side); the driver only concatenates the
+    # already-packed Arrow blocks (memcpy, no per-row Python)
+    packed = records_ds.map_batches(_pack_batch, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     tbl = pa.concat_tables(
-        [_pack_batch(b)
-         for b in records_ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+        [b for b in packed.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow")]
     ).combine_chunks()
     return ray.put(tbl)
 
