@@ -458,6 +458,16 @@ def q_doc_token_counts(sf_dir: str):
     return ds.map_batches(text_ops.token_counts, batch_format="pandas")
 
 
+def q_substring_dups(sf_dir: str):
+    """Cross-document duplicate-substring detection (hashed 40-char
+    stride-10 windows — the scalable stand-in for Lee et al. 2022
+    suffix-array substring dedup). One row per window hash seen in
+    >= 2 distinct docs. Oracle: DuckDB re-derives every window with
+    unnest(generate_series) + substr + md5 and re-aggregates."""
+    return dedup_ops.substring_duplicate_windows(
+        _tbl(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (ops.text.ngram_contamination): docs
     with doc_id % 97 == 0 act as the 'benchmark' corpus; every other
@@ -715,6 +725,18 @@ def q_knn_ivf(sf_dir: str):
     df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
     return _persist_oracle_input(df, sf_dir, "knn_ivf",
                                  sort_cols=["query_id", "rank"])
+
+
+def q_knn_lsh(sf_dir: str):
+    """Random-hyperplane (sign) LSH approximate top-5 for query vectors
+    vec_id 0..4 — the LSH-bucketed ANN variant beside brute force and
+    IVF. FULLY independent SQL oracle: DuckDB re-derives the ±1 planes
+    from md5, every bucket code via list_inner_product signs (probed
+    bit-exact with the kernel's sequential accumulation), the any-table
+    candidate union, and the exact cosine re-rank."""
+    q, qids = _query_vectors(sf_dir)
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity_search.knn_lsh(ds, q, qids, k=5, n_tables=16, n_bits=6)
 
 
 def q_label_centroids(sf_dir: str):
@@ -2850,6 +2872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_props_extract": q_event_props_extract,
         # dedup / text / similarity (training-data ops)
         "q_docs_exact_dedup": q_docs_exact_dedup,
+        "q_substring_dups": q_substring_dups,
         "q_doc_token_counts": q_doc_token_counts,
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_decontaminate": q_decontaminate,
@@ -2867,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_knn_bruteforce": q_knn_bruteforce,
         "q_knn_ivf": q_knn_ivf,
+        "q_knn_lsh": q_knn_lsh,
         "q_label_centroids": q_label_centroids,
         "q_decode_media": q_decode_media,
         "q_frame_sample": q_frame_sample,
@@ -3881,6 +3905,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
+        "q_substring_dups": """
+            WITH wins AS (
+              SELECT doc_id,
+                     md5(substr(text,
+                         CAST(unnest(generate_series(1, length(text) - 39, 10))
+                              AS INTEGER), 40)) AS win_md5
+              FROM documents
+              WHERE length(text) >= 40
+            )
+            SELECT win_md5,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM wins GROUP BY win_md5
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
         "q_doc_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -4757,6 +4796,53 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (PARTITION BY query_id
                                                  ORDER BY cos_r DESC, neighbor_id) AS rank
                        FROM sims)
+            SELECT query_id, rank, neighbor_id, cos_r AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_knn_lsh": """
+            -- planes, codes, candidates and re-rank ALL re-derived:
+            -- ±1 planes from md5 nibbles; code bits from
+            -- list_inner_product signs (sequential dot — bit-exact
+            -- with the kernel's per-dimension accumulation);
+            -- cosine re-rank identical to q_knn_bruteforce's
+            WITH dm AS (SELECT CAST(max(len(embedding)) AS INTEGER) AS dim
+                        FROM embeddings),
+            hp AS (
+              SELECT t.t AS table_id, b.b AS bit_id,
+                     list_transform(generate_series(1, dm.dim),
+                         d -> CASE WHEN substr(md5(concat('lsh:', t.t, ':',
+                                       b.b, ':', d)), 1, 1)
+                                   IN ('0','1','2','3','4','5','6','7')
+                              THEN 1.0 ELSE -1.0 END) AS vec
+              FROM generate_series(0, 15) t(t),
+                   generate_series(0, 5) b(b), dm),
+            codes AS (
+              SELECT e.vec_id, h.table_id,
+                     CAST(sum(CASE WHEN list_inner_product(
+                                  CAST(e.embedding AS DOUBLE[]), h.vec) > 0
+                              THEN 1 << h.bit_id ELSE 0 END) AS BIGINT) AS code
+              FROM embeddings e CROSS JOIN hp h
+              GROUP BY e.vec_id, h.table_id),
+            qc AS (SELECT vec_id AS query_id, table_id, code
+                   FROM codes WHERE vec_id < 5),
+            cand AS (
+              SELECT DISTINCT qc.query_id, c.vec_id AS neighbor_id
+              FROM qc JOIN codes c
+                ON c.table_id = qc.table_id AND c.code = qc.code),
+            sims AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     round(list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 4) AS cos_r
+              FROM cand
+              JOIN embeddings q ON q.vec_id = cand.query_id
+              JOIN embeddings e ON e.vec_id = cand.neighbor_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos_r,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_r DESC, neighbor_id)
+                         AS rank
+              FROM sims)
             SELECT query_id, rank, neighbor_id, cos_r AS cosine
             FROM ranked WHERE rank <= 5
         """,

@@ -85,10 +85,14 @@ def run_bench() -> dict:
     # inflate identical-code runs up to ~2x (extract_only — a pure
     # embarrassingly-parallel kernel, unchanged across rounds — swings
     # 11.5 -> 28 s between back-to-back runs); both raw timings are
-    # disclosed in queries as reconcile_e2e_run{1,2}
+    # disclosed in queries as reconcile_e2e_run{1,2}.
+    # GRAFT_E2E_RUNS=1 is for the LONG sf1 legs (>10 min each): at that
+    # length host noise averages out inside a single run, and best-of-2
+    # would double a multi-hour scaling sweep for no signal.
+    n_runs = int(os.environ.get("GRAFT_E2E_RUNS", "2"))
     runs = []
     n_clusters = 0
-    for i in (1, 2):
+    for i in range(1, n_runs + 1):
         t0 = time.time()
         out = reconcile.run_reconcile(sf_dir)
         n_clusters = out["clusters"].count()

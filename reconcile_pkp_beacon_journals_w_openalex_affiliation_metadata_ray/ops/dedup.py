@@ -1021,3 +1021,73 @@ def jw_self_join(ds, key_cols, text_col: str, id_col: str,
     return _typed_or_empty(out, [("left_id", pa.int64()),
                                  ("right_id", pa.int64()),
                                  ("jw", pa.float64())])
+
+
+def substring_duplicate_windows(docs_ds, id_col: str = "doc_id",
+                                text_col: str = "text", window: int = 40,
+                                stride: int = 10, num_buckets: int = 64):
+    """Cross-document duplicate-substring detection by hashed stride
+    windows (the scalable approximation of exact substring dedup from
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — suffix arrays there, strided fingerprints here): every
+    ``window``-char substring starting at character offsets 0, stride,
+    2*stride, ... is content-hashed; a window whose hash occurs in >= 2
+    distinct documents marks a duplicated span. Returns one row per
+    duplicated window: (win_md5, n_docs, n_occurrences).
+
+    Scale shape: the per-batch pass emits (win_md5, doc_id, cnt)
+    PARTIALS — each document lives in one row, so per-(window, doc)
+    occurrence counts are exact within the batch and the shuffle
+    carries 32-char hashes + ids, never text. One coarse-bucketed
+    reduce (bucketed_map_groups) merges partials per hash; the >= 2
+    distinct-docs filter runs inside the bucket, so singleton windows
+    (the overwhelming majority) never leave it. Window extraction is a
+    single numpy sliding_window_view over the batch's concatenated
+    ASCII buffer (one C gather for all docs); the md5 per surviving
+    window is the same C-speed kernel exact_dedup uses.
+    """
+    def _windows(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        ids = batch[id_col].to_numpy()
+        lens = texts.str.len().to_numpy(dtype=np.int64)
+        keep = lens >= window
+        if not keep.any():
+            return pd.DataFrame({"win_md5": pd.Series(dtype=object),
+                                 id_col: pd.Series(dtype=ids.dtype),
+                                 "cnt": pd.Series(dtype="int64")})
+        texts, ids, lens = texts[keep], ids[keep], lens[keep]
+        blob = "".join(texts)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        n_wins = (lens - window) // stride + 1
+        # global char offset of every window (doc-relative offsets are
+        # 0, stride, 2*stride, ... so windows never cross doc bounds)
+        rel = (np.arange(int(n_wins.sum())) -
+               np.repeat(np.cumsum(n_wins) - n_wins, n_wins)) * stride
+        offs = np.repeat(starts, n_wins) + rel
+        win_doc = np.repeat(ids, n_wins)
+        data = blob.encode("utf-8")
+        if len(data) == len(blob):  # pure ASCII: bytes == chars
+            view = np.lib.stride_tricks.sliding_window_view(
+                np.frombuffer(data, dtype=np.uint8), window)
+            wins = np.take(view, offs, axis=0).tobytes()
+            md5s = [hashlib.md5(wins[i:i + window]).hexdigest()
+                    for i in range(0, len(wins), window)]
+        else:  # non-ASCII fallback: char-addressed slices (matches
+            # SQL substr character semantics)
+            md5s = [hashlib.md5(blob[o:o + window].encode("utf-8")).hexdigest()
+                    for o in offs]
+        part = pd.DataFrame({"win_md5": md5s, id_col: win_doc})
+        return part.groupby(["win_md5", id_col], as_index=False,
+                            sort=False).agg(cnt=(id_col, "size"))
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("win_md5", as_index=False, sort=False).agg(
+            n_docs=(id_col, "nunique"), n_occurrences=("cnt", "sum"))
+        agg = agg[agg["n_docs"] >= 2]
+        return agg.astype({"n_docs": "int64", "n_occurrences": "int64"})
+
+    out = bucketed_map_groups(docs_ds.map_batches(_windows, batch_format="pandas"),
+                              "win_md5", _combine, num_buckets=num_buckets)
+    return _typed_or_empty(out, [("win_md5", pa.string()),
+                                 ("n_docs", pa.int64()),
+                                 ("n_occurrences", pa.int64())])

@@ -354,14 +354,25 @@ def range_join(left_ds, right_ds, by, left_on, right_start, right_end,
             .map_groups(_merge_bucket, batch_format="pandas"))
 
 
-def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64):
+def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
+                        max_in_blocks: int | None = None):
     """Keyed shuffle with COARSE partitions: rows are hashed into
     num_buckets buckets on key_cols (stable pandas hashing), the
     groupby runs over buckets (B Python calls total, not one per key),
     and ``fn`` receives each bucket as a DataFrame to process per-key
     with vectorized pandas internally. All rows of a key land in one
     bucket. This is the antidote to per-tiny-group map_groups overhead
-    at high key cardinality."""
+    at high key cardinality.
+
+    ``max_in_blocks`` bounds the block count entering the groupby's
+    Sort: Ray's sort emits one range partition PER INPUT BLOCK, so an
+    iterative caller (connected_components) whose round output feeds
+    the next round's input sees block counts COMPOUND round over round
+    (889 -> 1776 -> 2000+ at sf1) — thousands of sort partitions mean
+    quadratically many tiny inter-block exchanges and thousands of
+    near-empty _per_bucket tasks. A shuffle=False repartition is a
+    cheap coalesce (split/concat, no key exchange) that caps the sort
+    fan-out; bounded-depth callers don't need it."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
     def _tag(b: pd.DataFrame) -> pd.DataFrame:
@@ -371,6 +382,9 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64):
 
     def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns="__bucket"))
+
+    if max_in_blocks is not None:
+        ds = ds.repartition(max_in_blocks, shuffle=False)
 
     return (ds.map_batches(_tag, batch_format="pandas")
             .groupby("__bucket").map_groups(_per_bucket, batch_format="pandas"))

@@ -169,3 +169,95 @@ def label_centroids(emb_ds, label_col: str = "label", vec_col: str = "embedding"
         out.append({label_col: int(label), "n": total,
                     "centroid": [float(x) for x in vec]})
     return pd.DataFrame(out)
+
+
+def _lsh_hyperplanes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 sign-projection hyperplanes derived from md5 so
+    a SQL oracle can re-derive the SAME planes (md5 over
+    'lsh:{table}:{bit}:{dim_1based}', +1 when the first hex nibble is
+    0-7). Sign-random projections are a standard random-projection LSH
+    family (Charikar 2002 uses Gaussians; ±1 (Achlioptas 2003) has the
+    same cosine-LSH collision behavior)."""
+    import hashlib
+
+    planes = np.empty((n_tables * n_bits, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for b in range(n_bits):
+            row = t * n_bits + b
+            for d in range(1, dim + 1):
+                h = hashlib.md5(f"lsh:{t}:{b}:{d}".encode()).hexdigest()
+                planes[row, d - 1] = 1.0 if int(h[0], 16) < 8 else -1.0
+    return planes
+
+
+def _lsh_codes(mat: np.ndarray, planes: np.ndarray, n_tables: int,
+               n_bits: int) -> np.ndarray:
+    """Per-table bucket codes. The projection accumulates dimension-by-
+    dimension (acc += column * plane_row) — the exact IEEE expression
+    tree of DuckDB's list_inner_product (sequential dot; probed
+    bit-exact 400/400), so the SIGN of every projection — hence every
+    bucket code — matches the SQL oracle bit-for-bit."""
+    n = mat.shape[0]
+    acc = np.zeros((n, planes.shape[0]), dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc += mat[:, d:d + 1] * planes[:, d][None, :]
+    bits = acc > 0
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    return (bits.reshape(n, n_tables, n_bits) * weights).sum(axis=2)  # (n, n_tables)
+
+
+def knn_lsh(emb_ds, queries: np.ndarray, query_ids, k: int = 10,
+            n_tables: int = 8, n_bits: int = 12,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            ndigits: int = 4):
+    """Random-hyperplane (sign) LSH approximate top-k: a vector is a
+    candidate for a query iff they share a bucket code in ANY of the
+    ``n_tables`` independent tables; exact cosine re-ranks candidates.
+
+    Scale shape: the hyperplane matrix (n_tables*n_bits x dim) and the
+    queries' bucket codes are tiny — ``ray.put`` once; every batch
+    computes its own codes, ORs the per-table equality masks into one
+    candidate mask per query, and emits only its local top-k exact
+    cosines. No shuffle at all: bucket pruning happens inside the
+    streaming map, the driver merges O(num_batches * k) partials.
+    Candidate recall vs brute force is asserted in tests; result
+    correctness has a fully independent SQL oracle (DuckDB re-derives
+    planes from md5, codes via list_inner_product signs, and the
+    re-rank via list_cosine_similarity)."""
+    import ray
+
+    q64 = np.asarray(queries, dtype=np.float64)
+    dim = q64.shape[1]
+    planes = _lsh_hyperplanes(n_tables, n_bits, dim)
+    q_codes = _lsh_codes(q64, planes, n_tables, n_bits)  # (nq, n_tables)
+    qn = _normalize(q64)
+    ref = ray.put((planes, q_codes, qn))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pl, qc, qm = ray.get(ref)
+        mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
+        if mat.shape[0] == 0:
+            return pd.DataFrame({"q": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        codes = _lsh_codes(mat, pl, n_tables, n_bits)
+        unit = _normalize(mat)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.zeros(mat.shape[0], dtype=bool)
+            for t in range(n_tables):
+                mask |= codes[:, t] == qc[qi, t]
+            if not mask.any():
+                continue
+            sims = unit[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub_ids[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pd.DataFrame({"q": out_q, "neighbor_id": out_id, "cosine": out_s})
+
+    partials = emb_ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    return _rank_topk(partials, query_ids, k, ndigits)

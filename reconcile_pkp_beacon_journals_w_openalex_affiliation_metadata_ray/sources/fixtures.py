@@ -63,7 +63,10 @@ TIER_ENTITIES = {"sf0.001": 40, "sf0.01": 800, "sf0.1": 90000}
 # memory stays bounded per shard. The small tiers keep the monolithic
 # generator byte-for-byte (their cached fixtures and oracle-persisted
 # inputs stay valid — no _FIXTURE_VERSION bump needed for sf1).
-BIG_TIER_ENTITIES = {"sf1": 900_000}
+# sf0.3 exists for the big-tier SCALING pair: a 4-CPU leg at sf1 costs
+# ~3 h on this VM, so the 4x-ratio (4 vs 16 CPU) efficiency evidence
+# runs at 3x sf0.1 while sf1 carries the absolute wall-time/no-OOM proof
+BIG_TIER_ENTITIES = {"sf1": 900_000, "sf0.3": 270_000}
 _BIG_SHARDS = 16
 # the raw record files feed parse_records queries that only run at
 # sf<=0.1; cap their size at the sf0.1 scale for big tiers

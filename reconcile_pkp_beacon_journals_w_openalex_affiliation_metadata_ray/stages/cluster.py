@@ -100,11 +100,30 @@ def _fingerprint(labels_ds) -> int:
 
 
 def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
-                         num_buckets: int = 32):
+                         num_buckets: int = 32, max_blocks: int = 256,
+                         rows_per_block: int = 100_000):
     """edges (left_id, right_id) [+ optional extra nodes (record_id)]
     -> Dataset (record_id, cluster_id). Singleton nodes keep their own
     id as cluster_id. Each round = two coarse-bucketed shuffles keyed on
-    hash(node) % num_buckets (ops.relational.bucketed_map_groups)."""
+    hash(node) % num_buckets (ops.relational.bucketed_map_groups).
+
+    Two scale guards, both found by the sf1 (2.1M-page / 6.5M-edge)
+    proof run where CC rounds had grown to ~8 min each:
+    - every per-round shuffle is bounded to an ADAPTIVE block count
+      (~rows_per_block rows each, capped at ``max_blocks``, derived
+      from the materialized edge count). Ray's sort emits one range
+      partition per input block and a round's output feeds the next
+      round's input, so block counts COMPOUND (889 -> 1776 -> 2000+)
+      — turning each sort into thousands of near-empty partitions.
+      The bound is adaptive, not fixed: a fixed 192 was measured to
+      SLOW small inputs 7x (tiny test graphs were split into 192
+      near-empty blocks per round);
+    - label propagation runs over EDGE-ENDPOINT nodes only. Nodes
+      outside any edge are singletons whose label never changes; they
+      rejoin via one final min-merge shuffle instead of riding every
+      round's two shuffles (at sf1 that is ~2M rows x 2 shuffles x
+      rounds of dead weight).
+    """
     from ..ops.relational import bucketed_map_groups
 
     edges_bidir = edges_ds.map_batches(
@@ -113,18 +132,21 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
              "other": pd.concat([df["right_id"], df["left_id"]], ignore_index=True)}),
         batch_format="pandas",
     ).materialize()
+    # per-round streams are O(edges + nodes) ~ O(edges_bidir) rows
+    tgt_blocks = max(8, min(max_blocks,
+                            edges_bidir.count() // rows_per_block + 1))
+    if edges_bidir.num_blocks() > tgt_blocks:
+        edges_bidir = edges_bidir.repartition(
+            tgt_blocks, shuffle=False).materialize()
 
     node_sources = edges_bidir.map_batches(
         lambda df: pd.DataFrame({"node": df["node"]}), batch_format="pandas")
-    if nodes_ds is not None:
-        node_sources = node_sources.union(
-            nodes_ds.map_batches(lambda df: pd.DataFrame({"node": df["record_id"]}),
-                                 batch_format="pandas"))
     labels = bucketed_map_groups(
         node_sources,
         "node",
         lambda df: df.drop_duplicates().assign(label=lambda d: d["node"]),
         num_buckets=num_buckets,
+        max_in_blocks=tgt_blocks,
     ).materialize()
     prev_fp = _fingerprint(labels)
 
@@ -154,9 +176,11 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
                                      "label": pd.Series([None] * len(df), dtype=object)}),
             batch_format="pandas")
         msgs = bucketed_map_groups(tagged_labels.union(tagged_edges), "node",
-                                   _deliver_bucket, num_buckets=num_buckets)
+                                   _deliver_bucket, num_buckets=num_buckets,
+                                   max_in_blocks=tgt_blocks)
         labels = bucketed_map_groups(msgs, "node", _min_bucket,
-                                     num_buckets=num_buckets).materialize()
+                                     num_buckets=num_buckets,
+                                     max_in_blocks=tgt_blocks).materialize()
         fp = _fingerprint(labels)
         if fp == prev_fp:
             converged = True
@@ -171,6 +195,19 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
             "within max_rounds=%d; components with diameter > max_rounds are "
             "split. Raise max_rounds (rounds needed = component diameter).",
             max_rounds)
+
+    if nodes_ds is not None:
+        # singletons rejoin HERE, once: a node with edges already holds
+        # label <= its own id (its closed neighborhood includes itself),
+        # so min(cc_label, self) is a no-op for it; nodes outside every
+        # edge surface with their own id. One bounded shuffle total.
+        self_labels = nodes_ds.map_batches(
+            lambda df: pd.DataFrame({"node": df["record_id"],
+                                     "label": df["record_id"]}),
+            batch_format="pandas")
+        labels = bucketed_map_groups(labels.union(self_labels), "node",
+                                     _min_bucket, num_buckets=num_buckets,
+                                     max_in_blocks=tgt_blocks)
 
     return labels.map_batches(
         lambda df: pd.DataFrame({"record_id": df["node"], "cluster_id": df["label"]}),

@@ -2032,3 +2032,52 @@ def test_setsim_verify_paths_equivalent(rds):
             ["left_id", "right_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert len(a) >= 25
+
+
+def test_substring_duplicate_windows(rds):
+    import hashlib
+
+    # doc 0 and 1 share an identical 60-char aligned run; doc 2 is the
+    # exact dup of 0; doc 3 is unrelated; doc 4 is too short to window
+    run = "x" * 25 + "shared duplicated span of text that repeats here!" + "y" * 25
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [run, run + " trailing tail beyond", run,
+                 "completely different content with no overlap at all padded",
+                 "tiny"],
+    })
+    got = dedup_ops.substring_duplicate_windows(
+        rds.from_pandas(docs), window=40, stride=10).to_pandas()
+    # brute-force reference over the same windows
+    rows = {}
+    for did, t in zip(docs.doc_id, docs.text):
+        for o in range(0, len(t) - 40 + 1, 10):
+            h = hashlib.md5(t[o:o + 40].encode()).hexdigest()
+            rows.setdefault(h, []).append(did)
+    want = {h: (len(set(ds_)), len(ds_)) for h, ds_ in rows.items()
+            if len(set(ds_)) >= 2}
+    assert {h: (nd, no) for h, nd, no in
+            zip(got.win_md5, got.n_docs, got.n_occurrences)} == want
+    assert len(want) > 0
+    # doc 3's windows never co-occur
+    alone = {hashlib.md5(docs.text[3][o:o + 40].encode()).hexdigest()
+             for o in range(0, len(docs.text[3]) - 39, 10)}
+    assert not (set(got.win_md5) & alone)
+
+
+def test_knn_lsh_finds_planted_near_neighbors(rds):
+    rng = np.random.RandomState(5)
+    base = rng.randn(300, 16).astype("float64")
+    # plant 3 near-dups of vector 0 (cosine ~0.999) at ids 300..302
+    planted = base[0][None, :] + 0.02 * rng.randn(3, 16)
+    mat = np.vstack([base, planted])
+    ds = rds.from_pandas(pd.DataFrame({"vec_id": range(len(mat)),
+                                       "embedding": [v.tolist() for v in mat]}))
+    out = similarity_search.knn_lsh(ds, mat[:1], [0], k=5,
+                                    n_tables=16, n_bits=6)
+    got = set(out[out.query_id == 0].neighbor_id)
+    # high-cosine planted neighbors MUST collide in some table
+    assert {300, 301, 302} <= got and 0 in got
+    # and the whole result ranks identically to brute force restricted
+    # to LSH candidates: rank column is 1..n with no gaps
+    assert sorted(out["rank"].tolist()) == list(range(1, len(out) + 1))
