@@ -95,6 +95,11 @@ def run_bench() -> dict:
     for i in range(1, n_runs + 1):
         t0 = time.time()
         out = reconcile.run_reconcile(sf_dir)
+        # release the materialized pair table before the cluster count:
+        # clusters' lineage needs only `scored` (materialized) + recs,
+        # and at sf1 the pair blocks otherwise sit in plasma/spill for
+        # the whole CC phase (disk headroom on this VM is finite)
+        out.pop("pairs", None)
         n_clusters = out["clusters"].count()
         runs.append(time.time() - t0)
         queries[f"reconcile_e2e_run{i}"] = round(runs[-1], 3)

@@ -146,7 +146,6 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
         "node",
         lambda df: df.drop_duplicates().assign(label=lambda d: d["node"]),
         num_buckets=num_buckets,
-        max_in_blocks=tgt_blocks,
     ).materialize()
     prev_fp = _fingerprint(labels)
 
@@ -175,12 +174,23 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
             lambda df: pd.DataFrame({"node": df["node"], "other": df["other"],
                                      "label": pd.Series([None] * len(df), dtype=object)}),
             batch_format="pandas")
+        # no in-loop repartition of the BIG streams: an AllToAll
+        # Repartition before each Sort doubles the round's peak object
+        # volume (input+output live together) — at sf1 that spilled the
+        # disk to ENOSPC. Block growth is bounded at its SOURCES
+        # instead: tagged_edges inherits the coalesced edges_bidir and
+        # tagged_labels inherits the coalesced labels below, so each
+        # sort sees ~2x tgt_blocks inputs and emits the same.
         msgs = bucketed_map_groups(tagged_labels.union(tagged_edges), "node",
-                                   _deliver_bucket, num_buckets=num_buckets,
-                                   max_in_blocks=tgt_blocks)
+                                   _deliver_bucket, num_buckets=num_buckets)
         labels = bucketed_map_groups(msgs, "node", _min_bucket,
-                                     num_buckets=num_buckets,
-                                     max_in_blocks=tgt_blocks).materialize()
+                                     num_buckets=num_buckets).materialize()
+        if labels.num_blocks() > tgt_blocks:
+            # labels is the SMALL per-node table (one row per edge
+            # endpoint) — coalescing it is cheap and stops the
+            # one-sort-partition-per-input-block feedback loop
+            labels = labels.repartition(
+                tgt_blocks, shuffle=False).materialize()
         fp = _fingerprint(labels)
         if fp == prev_fp:
             converged = True
@@ -206,8 +216,7 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
                                      "label": df["record_id"]}),
             batch_format="pandas")
         labels = bucketed_map_groups(labels.union(self_labels), "node",
-                                     _min_bucket, num_buckets=num_buckets,
-                                     max_in_blocks=tgt_blocks)
+                                     _min_bucket, num_buckets=num_buckets)
 
     return labels.map_batches(
         lambda df: pd.DataFrame({"record_id": df["node"], "cluster_id": df["label"]}),
