@@ -191,8 +191,12 @@ def run_scaling() -> dict:
     # legs by up to ~1.5x on this VM (BASELINE.md §c) and hits the two
     # legs independently, which whipsaws the ratio; every raw child
     # timing is disclosed below, nothing is hidden by the min
-    runs_lo = [child(lo), child(lo)]
-    runs_hi = [child(hi), child(hi)]
+    # GRAFT_SCALE_CHILDREN=1 for LONG big-tier legs (sf0.3+: a 4-CPU
+    # leg runs ~40 min — noise amortizes inside one leg, and doubling
+    # children would double a >1 h sweep)
+    n_children = int(os.environ.get("GRAFT_SCALE_CHILDREN", "2"))
+    runs_lo = [child(lo) for _ in range(n_children)]
+    runs_hi = [child(hi) for _ in range(n_children)]
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
