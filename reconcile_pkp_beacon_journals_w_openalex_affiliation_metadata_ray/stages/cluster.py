@@ -168,7 +168,9 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
              "label": none(2 * len(jump))})
         return pd.concat([label_rows, jump_edges], ignore_index=True)
 
+    rounds_run = 0
     for _ in range(max_rounds):
+        rounds_run += 1
         tagged_labels = labels.map_batches(_tag_labels, batch_format="pandas")
         tagged_edges = edges_bidir.map_batches(
             lambda df: pd.DataFrame({"node": df["node"], "other": df["other"],
@@ -197,14 +199,21 @@ def connected_components(edges_ds, nodes_ds=None, max_rounds: int = 25,
             break
         prev_fp = fp
 
-    if not converged:
-        import logging
+    import logging
 
+    if not converged:
         logging.getLogger(__name__).warning(
             "connected_components: min-label propagation did not converge "
             "within max_rounds=%d; components with diameter > max_rounds are "
             "split. Raise max_rounds (rounds needed = component diameter).",
             max_rounds)
+    else:
+        # round count is the per-tier scale signal (rounds ~ log2 of
+        # the largest component's diameter with the label-jump edges;
+        # sf1 measured ~17 rounds x ~30 s)
+        logging.getLogger(__name__).info(
+            "connected_components: converged after %d rounds "
+            "(%d blocks/round target)", rounds_run, tgt_blocks)
 
     if nodes_ds is not None:
         # singletons rejoin HERE, once: a node with edges already holds
