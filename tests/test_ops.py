@@ -2081,3 +2081,22 @@ def test_knn_lsh_finds_planted_near_neighbors(rds):
     # and the whole result ranks identically to brute force restricted
     # to LSH candidates: rank column is 1..n with no gaps
     assert sorted(out["rank"].tolist()) == list(range(1, len(out) + 1))
+
+
+def test_substring_windows_non_ascii_char_semantics(rds):
+    import hashlib
+
+    # é is 2 UTF-8 bytes but ONE character: windows must be
+    # char-addressed (SQL substr semantics), so the two docs sharing a
+    # char-identical 40-char run co-block despite multibyte content
+    run = "é" * 10 + "duplicated span across both documents!" + "z" * 12
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": [run, run]})
+    got = dedup_ops.substring_duplicate_windows(
+        rds.from_pandas(docs), window=40, stride=10).to_pandas()
+    want = {}
+    for o in range(0, len(run) - 40 + 1, 10):
+        h = hashlib.md5(run[o:o + 40].encode("utf-8")).hexdigest()
+        want[h] = want.get(h, 0) + 2
+    assert {h: (2, n) for h, n in want.items()} == {
+        h: (nd, no) for h, nd, no in
+        zip(got.win_md5, got.n_docs, got.n_occurrences)}
