@@ -399,3 +399,19 @@ def test_choose_scoring_path_auto_switch(ray_session, monkeypatch):
     assert reconcile.choose_scoring_path(recs) is False  # tiny table
     monkeypatch.setattr(reconcile, "BROADCAST_OBJECT_STORE_FRACTION", 0.0)
     assert reconcile.choose_scoring_path(recs) is True
+
+
+def test_connected_components_no_edges_all_singletons(ray_session):
+    # post-refactor regression guard: propagation runs over edge
+    # endpoints only, so with ZERO edges every node must still surface
+    # through the final singleton min-merge with its own id
+    import pandas as pd
+    import ray.data as rds
+
+    edges_ds = rds.from_pandas(pd.DataFrame({"left_id": pd.Series(dtype=str),
+                                             "right_id": pd.Series(dtype=str)}))
+    nodes_ds = rds.from_pandas(pd.DataFrame({"record_id": ["a", "b", "c"]}))
+    got = cluster_mod.connected_components(edges_ds, nodes_ds=nodes_ds).to_pandas()
+    got = got.sort_values("record_id").reset_index(drop=True)
+    assert got["record_id"].tolist() == ["a", "b", "c"]
+    assert got["cluster_id"].tolist() == ["a", "b", "c"]
