@@ -2549,6 +2549,61 @@ def q_blocking_recall(sf_dir: str):
         "recall": [float(n_cov) / float(n_true) if n_true else 0.0]})
 
 
+def q_cluster_cohesion(sf_dir: str):
+    """Per-cluster cohesion audit (ops.er_eval.cluster_cohesion): edge
+    density and min/avg matched-edge score per multi-record cluster —
+    the over-merge detector (a weak bridge gluing two dense groups
+    shows up as low density + low min score). The oracle recomputes the
+    transitive closure from the persisted edges/nodes via the recursive
+    CTE AND every per-cluster aggregate in SQL; the two float columns
+    are single IEEE divisions of exact integers on both sides."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+
+    out = _reconcile(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    scored_ds = out["scored"].materialize()
+    scored = scored_ds.to_pandas()
+    scored.sort_values(["left_id", "right_id"], kind="mergesort").to_parquet(
+        os.path.join(tier_dir, "scored_pairs.parquet"), index=False)
+    scored.loc[scored["is_match"], ["left_id", "right_id"]].to_parquet(
+        os.path.join(tier_dir, "match_edges.parquet"), index=False)
+    out["records"].map_batches(lambda t: t.select(["record_id"]),
+                               batch_format="pyarrow").to_pandas().to_parquet(
+        os.path.join(tier_dir, "cluster_nodes.parquet"), index=False)
+    edges = scored_ds.map_batches(
+        lambda b: b.loc[b["is_match"], ["left_id", "combined_score"]],
+        batch_format="pandas")
+    return er_eval.cluster_cohesion(out["clusters"], edges)
+
+
+def q_score_calibration(sf_dir: str):
+    """Score-calibration table (ops.er_eval.score_calibration): per
+    5-wide score bin, empirical match precision from the labeled
+    ground-truth pairs — the audit that turns a match score into a
+    probability statement and picks thresholds with evidence. The
+    oracle replays the bin assignment, the orientation-normalized
+    label join, and the integer counts in SQL over the persisted
+    scored pairs + the labeled fixture."""
+    import ray.data as rd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+
+    out = _reconcile(sf_dir)
+    tier_dir = os.path.join(FIXTURE_ROOT, _tier(sf_dir))
+    scored_ds = out["scored"].materialize()
+    scored_ds.to_pandas().sort_values(
+        ["left_id", "right_id"], kind="mergesort").to_parquet(
+        os.path.join(tier_dir, "scored_pairs.parquet"), index=False)
+    labels = rd.read_parquet(
+        os.path.join(tier_dir, "labeled_pairs.parquet"),
+        columns=["left_id", "right_id", "is_match"])
+    return er_eval.score_calibration(scored_ds, labels, bin_width=5)
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the matched-pair graph
     (ops.graph.pagerank_fixedpoint): 3 rounds of damped rank flow with
@@ -2931,6 +2986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pr_curve": q_pr_curve,
         "q_pagerank": q_pagerank,
         "q_blocking_recall": q_blocking_recall,
+        "q_cluster_cohesion": q_cluster_cohesion,
+        "q_score_calibration": q_score_calibration,
         "q_triangles": q_triangles,
         "q_common_neighbors": q_common_neighbors,
         "q_mention_scoring": q_mention_scoring,
@@ -4554,6 +4611,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tp AS DOUBLE) / CAST(tot.total_true AS DOUBLE)
                        AS recall
             FROM c CROSS JOIN tot
+        """,
+        "q_cluster_cohesion": f"""
+            WITH RECURSIVE
+            e0 AS (SELECT left_id AS a, right_id AS b
+                   FROM read_parquet('{fdir}/match_edges.parquet')),
+            edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+            walk (node, reach) AS (
+              SELECT record_id, record_id
+              FROM read_parquet('{fdir}/cluster_nodes.parquet')
+              UNION
+              SELECT w.node, e.b
+              FROM walk w JOIN edges e ON e.a = w.reach
+            ),
+            lab AS (SELECT node, min(reach) AS cluster_id
+                    FROM walk GROUP BY node),
+            sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records
+                   FROM lab GROUP BY cluster_id),
+            es AS (SELECT left_id,
+                          CAST(round(combined_score * 100) AS BIGINT) AS h
+                   FROM read_parquet('{fdir}/scored_pairs.parquet')
+                   WHERE is_match),
+            ec AS (SELECT l.cluster_id, e.h
+                   FROM es e JOIN lab l ON l.node = e.left_id),
+            ea AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+                          CAST(sum(h) AS BIGINT) AS sum_h,
+                          CAST(min(h) AS BIGINT) AS min_score_h
+                   FROM ec GROUP BY cluster_id)
+            SELECT a.cluster_id, z.n_records, a.n_edges,
+                   CAST(2 * a.n_edges AS DOUBLE)
+                       / CAST(z.n_records * (z.n_records - 1) AS DOUBLE)
+                       AS density,
+                   a.min_score_h,
+                   (CAST(a.sum_h AS DOUBLE) / CAST(a.n_edges AS DOUBLE)) / 100.0
+                       AS avg_score
+            FROM ea a JOIN sz z USING (cluster_id)
+        """,
+        "q_score_calibration": f"""
+            WITH s AS (
+              SELECT CASE WHEN left_id <= right_id THEN left_id
+                          ELSE right_id END AS a,
+                     CASE WHEN left_id <= right_id THEN right_id
+                          ELSE left_id END AS b,
+                     CAST(floor(combined_score / 5.0) * 5.0 AS BIGINT)
+                         AS score_bin
+              FROM read_parquet('{fdir}/scored_pairs.parquet')),
+            l AS (
+              SELECT DISTINCT
+                     CASE WHEN left_id <= right_id THEN left_id
+                          ELSE right_id END AS a,
+                     CASE WHEN left_id <= right_id THEN right_id
+                          ELSE left_id END AS b,
+                     is_match
+              FROM read_parquet('{fdir}/labeled_pairs.parquet')),
+            j AS (SELECT s.score_bin, l.is_match
+                  FROM s LEFT JOIN l ON l.a = s.a AND l.b = s.b),
+            g AS (SELECT score_bin,
+                         CAST(count(*) AS BIGINT) AS n_pairs,
+                         CAST(count(is_match) AS BIGINT) AS n_labeled,
+                         CAST(coalesce(sum(CASE WHEN is_match THEN 1 ELSE 0 END),
+                                       0) AS BIGINT) AS n_true
+                  FROM j GROUP BY score_bin)
+            SELECT score_bin, n_pairs, n_labeled, n_true,
+                   CASE WHEN n_labeled > 0
+                        THEN CAST(n_true AS DOUBLE) / CAST(n_labeled AS DOUBLE)
+                        ELSE 0.0 END AS bin_precision
+            FROM g
         """,
         "q_cluster_size_hist": f"""
             WITH RECURSIVE

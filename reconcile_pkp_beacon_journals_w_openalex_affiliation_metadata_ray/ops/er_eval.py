@@ -118,6 +118,156 @@ def uncertainty_band_sample(pairs_ds, lo: float, hi: float, k: int,
     return out
 
 
+def cluster_cohesion(clusters_ds, edges_ds, edge_node_col: str = "left_id",
+                     score_col: str = "combined_score",
+                     num_buckets: int = 32) -> pd.DataFrame:
+    """Per-cluster cohesion audit — the over-merge detector that
+    pairwise metrics miss: a transitively-merged mega-cluster shows up
+    here as a LOW edge density (few matched edges relative to the
+    n*(n-1)/2 pairs the merge asserts) and a low minimum edge score
+    (one weak bridge glued two dense groups together).
+
+    Per multi-record cluster: ``n_records``, ``n_edges``, ``density`` =
+    2*E / (n*(n-1)), ``min_score_h`` (minimum matched-edge score in
+    integer hundredths — scores are 2-decimal, so the min is exact) and
+    ``avg_score`` = (sum_h / E) / 100. All aggregation is integer-exact;
+    the two float columns are single IEEE divisions of exact integers,
+    so a SQL engine reproduces them bit-for-bit from the same inputs.
+
+    Scale shape: edges ride ONE bucketed hash join on the left endpoint
+    (both endpoints share a cluster by construction of the transitive
+    closure, so one endpoint suffices); a per-batch combiner shrinks
+    the per-cluster reduce input to O(clusters x batches) rows of
+    (count, sum, min) partials; cluster sizes come from the
+    pre-aggregated combiner. Output is O(multi-record clusters)."""
+    import numpy as np
+
+    from .relational import bucket_join, bucketed_map_groups, pre_aggregated
+
+    def _edge(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[score_col].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "record_id": b[edge_node_col],
+            "__h": np.floor(s * 100.0 + 0.5).astype("int64")})
+
+    e = edges_ds.map_batches(_edge, batch_format="pandas")
+    j = bucket_join(e, clusters_ds, on="record_id", num_buckets=num_buckets)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cluster_id", sort=False)["__h"]
+        out = g.agg(n_edges="size", sum_h="sum", min_h="min").reset_index()
+        return out.astype({"n_edges": "int64", "sum_h": "int64",
+                           "min_h": "int64"})
+
+    def _reduce(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cluster_id", sort=False)
+        out = g.agg(n_edges=("n_edges", "sum"), sum_h=("sum_h", "sum"),
+                    min_h=("min_h", "min")).reset_index()
+        return out.astype({"n_edges": "int64", "sum_h": "int64",
+                           "min_h": "int64"})
+
+    agg = bucketed_map_groups(j.map_batches(_partial, batch_format="pandas"),
+                              "cluster_id", _reduce, num_buckets=num_buckets)
+    sizes = pre_aggregated(clusters_ds, "cluster_id", counts=True,
+                           num_buckets=num_buckets).map_batches(
+        lambda b: b.rename(columns={"n": "n_records"}), batch_format="pandas")
+    joined = bucket_join(agg, sizes, on="cluster_id",
+                         num_buckets=num_buckets).to_pandas()
+    if joined.empty:
+        return pd.DataFrame({"cluster_id": pd.Series(dtype=object),
+                             "n_records": pd.Series(dtype="int64"),
+                             "n_edges": pd.Series(dtype="int64"),
+                             "density": pd.Series(dtype="float64"),
+                             "min_score_h": pd.Series(dtype="int64"),
+                             "avg_score": pd.Series(dtype="float64")})
+    n = joined["n_records"].to_numpy(dtype="int64")
+    ne = joined["n_edges"].to_numpy(dtype="int64")
+    sh = joined["sum_h"].to_numpy(dtype="int64")
+    joined["density"] = ((2 * ne).astype("float64")
+                         / (n * (n - 1)).astype("float64"))
+    joined["avg_score"] = (sh.astype("float64") / ne.astype("float64")) / 100.0
+    joined = joined.rename(columns={"min_h": "min_score_h"})
+    return (joined[["cluster_id", "n_records", "n_edges", "density",
+                    "min_score_h", "avg_score"]]
+            .sort_values("cluster_id", kind="mergesort").reset_index(drop=True))
+
+
+def score_calibration(scored_ds, labels_ds, bin_width: int = 5,
+                      score_col: str = "combined_score",
+                      num_buckets: int = 32) -> pd.DataFrame:
+    """Classifier-score calibration table: bin every scored candidate
+    pair into fixed-width score bins and, via the labeled ground-truth
+    pairs, report each bin's empirical precision — the audit that turns
+    a match score into a probability statement (is 'score 92' actually
+    ~92% precise?) and picks thresholds with evidence instead of folklore.
+
+    Per bin: ``n_pairs`` (all scored pairs), ``n_labeled`` (pairs with
+    a ground-truth label), ``n_true`` (labeled true matches) and
+    ``bin_precision`` = n_true / n_labeled (one IEEE division of exact
+    integers; 0.0 where no labels landed). Pairs are orientation-
+    normalized on both sides before the join.
+
+    Scale shape: ONE bucketed hash join of the scored pairs against the
+    (distinct, orientation-normalized) label set, then a per-batch
+    integer combiner per bin — the driver sums O(bins x batches)
+    integer partials; the scored corpus never collects."""
+    import numpy as np
+
+    from .relational import bucket_join, distinct
+
+    bw = float(bin_width)
+
+    def _norm_scored(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[score_col].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "a": b[["left_id", "right_id"]].min(axis=1),
+            "b": b[["left_id", "right_id"]].max(axis=1),
+            "score_bin": (np.floor(s / bw) * bw).astype("int64")})
+
+    def _norm_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": b[["left_id", "right_id"]].min(axis=1),
+            "b": b[["left_id", "right_id"]].max(axis=1),
+            "is_match": b["is_match"].astype(bool)})
+
+    s = scored_ds.map_batches(_norm_scored, batch_format="pandas")
+    lab = distinct(labels_ds.map_batches(_norm_labels, batch_format="pandas"),
+                   ["a", "b", "is_match"], num_buckets=num_buckets)
+    j = bucket_join(s, lab, on=["a", "b"], how="left",
+                    num_buckets=num_buckets)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        lb = b["is_match"]
+        g = pd.DataFrame({
+            "score_bin": b["score_bin"],
+            "n_pairs": np.int64(1),
+            "n_labeled": lb.notna().to_numpy().astype("int64"),
+            "n_true": lb.eq(True).to_numpy().astype("int64")})
+        return (g.groupby("score_bin", sort=False, as_index=False)
+                [["n_pairs", "n_labeled", "n_true"]].sum()
+                .astype({"n_pairs": "int64", "n_labeled": "int64",
+                         "n_true": "int64"}))
+
+    parts = j.map_batches(_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"score_bin": pd.Series(dtype="int64"),
+                             "n_pairs": pd.Series(dtype="int64"),
+                             "n_labeled": pd.Series(dtype="int64"),
+                             "n_true": pd.Series(dtype="int64"),
+                             "bin_precision": pd.Series(dtype="float64")})
+    tot = (parts.groupby("score_bin", as_index=False)
+           [["n_pairs", "n_labeled", "n_true"]].sum()
+           .astype({"score_bin": "int64", "n_pairs": "int64",
+                    "n_labeled": "int64", "n_true": "int64"}))
+    nl = tot["n_labeled"].to_numpy(dtype="int64")
+    nt = tot["n_true"].to_numpy(dtype="int64")
+    tot["bin_precision"] = np.where(
+        nl > 0, nt.astype("float64") / np.where(nl > 0, nl, 1).astype("float64"),
+        0.0)
+    return (tot.sort_values("score_bin", kind="mergesort")
+            .reset_index(drop=True))
+
+
 def fs_mu_weights(pairs_ds, labels_ds, feature_cols,
                   num_buckets: int = 32) -> pd.DataFrame:
     """Fellegi–Sunter m/u probability estimation (Fellegi & Sunter

@@ -2100,3 +2100,54 @@ def test_substring_windows_non_ascii_char_semantics(rds):
     assert {h: (2, n) for h, n in want.items()} == {
         h: (nd, no) for h, nd, no in
         zip(got.win_md5, got.n_docs, got.n_occurrences)}
+
+
+def test_cluster_cohesion_hand_example(rds):
+    """Density / min / avg per multi-record cluster vs a hand-built
+    graph; singleton clusters carry no edges and are excluded."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+
+    clusters = pd.DataFrame({
+        "record_id": ["a", "b", "c", "d", "e", "f"],
+        "cluster_id": ["a", "a", "a", "d", "d", "f"]})
+    edges = pd.DataFrame({
+        "left_id": ["a", "b", "d"],
+        "combined_score": [95.0, 90.5, 100.0]})
+    out = er_eval.cluster_cohesion(rds.from_pandas(clusters),
+                                   rds.from_pandas(edges))
+    want = pd.DataFrame({
+        "cluster_id": ["a", "d"],
+        "n_records": pd.Series([3, 2], dtype="int64"),
+        "n_edges": pd.Series([2, 1], dtype="int64"),
+        "density": [4.0 / 6.0, 1.0],
+        "min_score_h": pd.Series([9050, 10000], dtype="int64"),
+        "avg_score": [92.75, 100.0]})
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_score_calibration_hand_example(rds):
+    """Bin counts + empirical precision vs hand counts; reversed
+    orientations and duplicate label rows collapse before the join."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        er_eval,
+    )
+
+    scored = pd.DataFrame({
+        "left_id": ["x1", "x3", "x5", "x8"],
+        "right_id": ["x2", "x4", "x6", "x7"],
+        "combined_score": [92.0, 88.0, 97.5, 91.0]})
+    labels = pd.DataFrame({
+        "left_id": ["x2", "x1", "x3"],
+        "right_id": ["x1", "x2", "x4"],
+        "is_match": [True, True, False]})
+    out = er_eval.score_calibration(rds.from_pandas(scored),
+                                    rds.from_pandas(labels), bin_width=5)
+    want = pd.DataFrame({
+        "score_bin": pd.Series([85, 90, 95], dtype="int64"),
+        "n_pairs": pd.Series([1, 2, 1], dtype="int64"),
+        "n_labeled": pd.Series([1, 1, 0], dtype="int64"),
+        "n_true": pd.Series([0, 1, 0], dtype="int64"),
+        "bin_precision": [0.0, 1.0, 0.0]})
+    pd.testing.assert_frame_equal(out, want)
