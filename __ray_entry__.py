@@ -1591,6 +1591,38 @@ def q_stratified_sample(sf_dir: str):
                              seed=42)
 
 
+def q_per_source_cap(sf_dir: str):
+    """Per-source document cap — the domain-mix rebalancer every
+    web-corpus pipeline runs before training (cap any one domain's
+    share): keep exactly min(cap, |source|) docs per source, picked by
+    a deterministic md5 rank so the kept set is reproducible and
+    partition-independent. ops.relational.topk_per_group: in-batch
+    combiner forwards <= cap rows per (source, batch), bucketed reduce,
+    no per-key Python. The oracle recomputes the identical winners with
+    row_number() over the same md5 ordering."""
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _rank(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "samp_rank": [hashlib.md5(str(i).encode()).hexdigest()
+                          for i in b["doc_id"]]})
+
+    kept = relational.topk_per_group(
+        ds.map_batches(_rank, batch_format="pandas"), "source", "samp_rank",
+        k=3, descending=False, tie_break="doc_id").to_pandas()
+    if kept.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "source": pd.Series(dtype=object),
+                             "samp_rank": pd.Series(dtype=object)})
+    return (kept[["doc_id", "source", "samp_rank"]]
+            .sort_values(["source", "samp_rank", "doc_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_rollup_revenue(sf_dir: str):
     """GROUP BY ROLLUP (event_type, day): per-(type, day) totals plus
     per-type subtotals and the grand total, 'ALL' sentinels. Value sums
@@ -2910,6 +2942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_deltas": q_event_deltas,
         "q_rollup_revenue": q_rollup_revenue,
         "q_stratified_sample": q_stratified_sample,
+        "q_per_source_cap": q_per_source_cap,
         "q_bloom_semijoin": q_bloom_semijoin,
         "q_kmeans_assign": q_kmeans_assign,
         "q_semantic_dedup": q_semantic_dedup,
@@ -3940,6 +3973,18 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM documents)
             WHERE rn <= 20
+        """,
+        "q_per_source_cap": """
+            SELECT doc_id, source, samp_rank FROM (
+              SELECT doc_id, source, samp_rank,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY samp_rank, doc_id
+                     ) AS rn
+              FROM (SELECT doc_id, source,
+                           md5(CAST(doc_id AS VARCHAR)) AS samp_rank
+                    FROM documents))
+            WHERE rn <= 3
         """,
         "q_rollup_revenue": """
             SELECT COALESCE(event_type, 'ALL') AS event_type,
