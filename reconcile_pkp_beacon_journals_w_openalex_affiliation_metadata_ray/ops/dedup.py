@@ -579,10 +579,196 @@ def delta_new_docs(new_ds, corpus_ds, id_col: str = "doc_id",
                                  ("content_hash", pa.string())])
 
 
+_POP16: np.ndarray | None = None
+
+
+def _pop16() -> np.ndarray:
+    """16-bit popcount lookup table (64 KiB, built once per process)."""
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                          dtype=np.uint8)
+    return _POP16
+
+
+def _popcnt_mat(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 matrix via four 16-bit LUT
+    gathers (np.take with int32 indices — the fast gather on this
+    numpy build, see working notes)."""
+    L = _pop16()
+    s16, s32, s48 = np.uint64(16), np.uint64(32), np.uint64(48)
+    m16 = np.uint64(0xFFFF)
+    out = np.take(L, (x & m16).astype(np.int32)).astype(np.int32)
+    out += np.take(L, ((x >> s16) & m16).astype(np.int32))
+    out += np.take(L, ((x >> s32) & m16).astype(np.int32))
+    out += np.take(L, ((x >> s48) & m16).astype(np.int32))
+    return out
+
+
+def _setsim_dense_small_vocab(docs_ds, id_col, text_col, tok_list, bit_of,
+                              thr, jac_round, out_fields, num_buckets,
+                              max_masks):
+    """Exact-set-collapse fast path for small-vocab corpora (vocab <=
+    64): docs with IDENTICAL token sets are one uint64 mask, so the
+    self-join collapses to all-pairs over the DISTINCT masks (popcount
+    Jaccard, vectorized) followed by a group cross-product expansion.
+    Every doc pair lives in exactly ONE mask pair — no candidate
+    dedup shuffle exists at all (the prefix path's dominant cost: the
+    sf0.1 corpus emits 11.3M distinct candidates for 965k true pairs).
+
+    Scale gate: all-pairs over masks is O(m^2) popcounts — quadratic in
+    DISTINCT SETS, not docs. Returns None when m > ``max_masks``
+    (default 65536 -> <= 4.3e9 popcount cells, seconds across a node)
+    and the caller falls back to prefix filtering; the one grouping
+    pass wasted on the probe is linear and cheap. Output is bit-equal
+    to the prefix path (same jaccard expression, equivalence-tested).
+
+    Shuffle budget: ONE bucketed (id, mask) exchange (16 B/row) to
+    group ids per mask; the m-row group table is the only broadcast
+    (ids only, never text); mask-pair compare and expansion stream."""
+    import ray
+    import ray.data as rd
+
+    def _mask_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ms = [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            m = 0
+            for w in tok_list(t):
+                m |= 1 << bit_of[w]
+            if m:  # token-less docs never pair (prefix-path parity)
+                ids.append(i)
+                ms.append(m)
+        return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                             "mask": pd.Series(ms, dtype="uint64")})
+
+    def _grp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["mask", id_col], kind="mergesort")
+        g = b.groupby("mask", sort=False)[id_col]
+        out = g.agg(n="size",
+                    ids=lambda s: "\x1f".join(map(str, s))).reset_index()
+        return out.astype({"n": "int64"})
+
+    groups = bucketed_map_groups(
+        docs_ds.map_batches(_mask_rows, batch_format="pandas"), "mask",
+        _grp, num_buckets=num_buckets).materialize()
+    m = groups.count()
+    if m == 0:
+        return pa.table({n: pa.array([], t) for n, t in out_fields}).to_pandas()
+    if m > max_masks:
+        logger.warning(
+            "setsim_dense: %d distinct masks > %d cap — falling back to "
+            "prefix filtering", m, max_masks)
+        return None
+
+    import pyarrow.compute as pc
+
+    gt = pa.concat_tables(
+        [b for b in groups.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow")]
+    ).combine_chunks()
+    gt = gt.take(pc.sort_indices(gt, sort_keys=[("mask", "ascending")]))
+    gt_ref = ray.put(gt)
+
+    # compare stage: row-range shards vs the broadcast mask vector,
+    # j-chunked so the widest temp is (R x JC) int32 (~32 MB)
+    R, JC = 256, 16384
+    los = np.arange(0, m, R, dtype="int64")
+    blocks = rd.from_arrow(pa.table({
+        "lo": los, "hi": np.minimum(los + R, m)})).repartition(
+        max(1, min(len(los), num_buckets)), shuffle=False)
+    _cst: dict = {}
+
+    def _gt() -> pa.Table:
+        if "t" not in _cst:
+            _cst["t"] = ray.get(gt_ref)
+        return _cst["t"]
+
+    def _cmp(b: pd.DataFrame) -> pd.DataFrame:
+        t = _gt()
+        ma = t["mask"].to_numpy()
+        ns = t["n"].to_numpy()
+        gi_out, gj_out, jac_out = [], [], []
+        for lo, hi in zip(b["lo"], b["hi"]):
+            sub = ma[lo:hi]
+            for jlo in range(int(lo), len(ma), JC):
+                jm = ma[jlo:jlo + JC]
+                inter = _popcnt_mat(sub[:, None] & jm[None, :]).astype(
+                    "float64")
+                union = _popcnt_mat(sub[:, None] | jm[None, :]).astype(
+                    "float64")
+                jac = np.where(union == 0, 1.0,
+                               inter / np.maximum(union, 1.0))
+                gi = np.arange(lo, hi, dtype="int64")[:, None]
+                gj = np.arange(jlo, jlo + len(jm), dtype="int64")[None, :]
+                keep = (gj > gi) & (jac >= thr)
+                kk = np.nonzero(keep)
+                gi_out.append((kk[0] + lo).astype("int64"))
+                gj_out.append((kk[1] + jlo).astype("int64"))
+                jac_out.append(jac[keep])
+            # diagonal: identical-set groups pair internally at jac 1.0
+            dn = np.arange(int(lo), int(hi), dtype="int64")
+            dn = dn[ns[int(lo):int(hi)] >= 2]
+            if 1.0 >= thr and len(dn):
+                gi_out.append(dn)
+                gj_out.append(dn)
+                jac_out.append(np.ones(len(dn)))
+        if not gi_out:
+            return pd.DataFrame({"gi": pd.Series(dtype="int64"),
+                                 "gj": pd.Series(dtype="int64"),
+                                 "jac": pd.Series(dtype="float64")})
+        return pd.DataFrame({"gi": np.concatenate(gi_out),
+                             "gj": np.concatenate(gj_out),
+                             "jac": np.concatenate(jac_out)})
+
+    _est: dict = {}
+
+    def _expand(b: pd.DataFrame) -> pd.DataFrame:
+        if "arrs" not in _est:
+            t = _gt()
+            _est["arrs"] = [np.array(s.split("\x1f"), dtype="int64")
+                            for s in t["ids"].to_pylist()]
+            _est["first"] = np.array([a[0] for a in _est["arrs"]],
+                                     dtype="int64")
+            _est["ns"] = t["n"].to_numpy()
+        arrs, first, ns = _est["arrs"], _est["first"], _est["ns"]
+        gi = b["gi"].to_numpy()
+        gj = b["gj"].to_numpy()
+        jac = b["jac"].to_numpy()
+        # fast path: both groups singleton (the common case — most
+        # distinct sets have one doc) is fully vectorized
+        single = (np.take(ns, gi) == 1) & (np.take(ns, gj) == 1)
+        li = np.take(first, gi[single])
+        ri = np.take(first, gj[single])
+        L = [np.minimum(li, ri)]
+        Rr = [np.maximum(li, ri)]
+        J = [jac[single]]
+        for i, j, jv in zip(gi[~single], gj[~single], jac[~single]):
+            a = arrs[i]
+            if i == j:
+                iu, ju = np.triu_indices(len(a), 1)
+                l, r = np.take(a, iu), np.take(a, ju)  # a asc -> l < r
+            else:
+                bb = arrs[j]
+                l = np.repeat(a, len(bb))
+                r = np.tile(bb, len(a))
+                l, r = np.minimum(l, r), np.maximum(l, r)
+            L.append(l)
+            Rr.append(r)
+            J.append(np.full(len(l), jv))
+        return pd.DataFrame({"left_id": np.concatenate(L),
+                             "right_id": np.concatenate(Rr),
+                             "jaccard": jac_round(np.concatenate(J))})
+
+    out = blocks.map_batches(_cmp, batch_format="pandas").map_batches(
+        _expand, batch_format="pandas")
+    return _typed_or_empty(out, out_fields)
+
+
 def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                         jaccard_threshold: float = 0.7, num_buckets: int = 64,
                         max_key_width: int | None = None,
-                        verify: str = "broadcast"):
+                        verify: str = "broadcast",
+                        dense_max_masks: int = 65536):
     """EXACT token-set similarity self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
     WWW'08; both public), the scalable *exact* alternative to the
@@ -664,6 +850,22 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
     thr = float(jaccard_threshold)
 
+    def _jac_round(jac):
+        # same value as _round_half_away(s, 6), vectorized (jac >= 0)
+        return np.floor(np.asarray(jac, dtype="float64") * 1e6 + 0.5) / 1e6
+
+    # vocab <= 64: exact-set-collapse fast path — all-pairs popcount
+    # over DISTINCT masks + group expansion; no candidate shuffle at
+    # all (see _setsim_dense_small_vocab; falls through to prefix
+    # filtering when the distinct-mask count exceeds the gate)
+    if len(dfs) <= 64 and dense_max_masks:
+        dense = _setsim_dense_small_vocab(
+            docs_ds, id_col, text_col, _tok_list,
+            dict(zip(dfs["token"], range(len(dfs)))), thr, _jac_round,
+            out_fields, num_buckets, dense_max_masks)
+        if dense is not None:
+            return dense
+
     def _prefix_len(n_tokens: int) -> int:
         # ceil with a safe-side nudge: a float-error UNDER-estimate of
         # ceil(t*n) lengthens the prefix (never shortens it), so the
@@ -703,10 +905,6 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
             np.ascontiguousarray(x).view(np.uint8)).reshape(len(x), 64
                                                             ).sum(axis=1,
                                                                   dtype="int64")
-
-    def _jac_round(jac):
-        # same value as _round_half_away(s, 6), vectorized (jac >= 0)
-        return np.floor(np.asarray(jac, dtype="float64") * 1e6 + 0.5) / 1e6
 
     if verify == "join":
         # no-broadcast scale path: texts ride TWO hash-partitioned

@@ -2151,3 +2151,31 @@ def test_score_calibration_hand_example(rds):
         "n_true": pd.Series([0, 1, 0], dtype="int64"),
         "bin_precision": [0.0, 1.0, 0.0]})
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_setsim_dense_path_equivalent_to_prefix(rds):
+    """The small-vocab exact-set-collapse path must be bit-equal
+    (pairs AND jaccard values) to the prefix-filter path, and the
+    max_masks gate must fall back to prefix filtering."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(23)]
+    rows = []
+    for i in range(400):
+        rows.append((i, " ".join(rng.sample(vocab, rng.randint(0, 9)))))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def run(**kw):
+        out = dedup_ops.setsim_prefix_pairs(
+            rds.from_pandas(df), jaccard_threshold=0.8, **kw)
+        o = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        return o.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+    dense = run()
+    prefix = run(dense_max_masks=0)
+    assert len(dense) > 0
+    pd.testing.assert_frame_equal(dense, prefix)
+    # gate: a tiny cap must also fall back (not crash) and still agree
+    gated = run(dense_max_masks=2)
+    pd.testing.assert_frame_equal(gated, prefix)
