@@ -2179,3 +2179,32 @@ def test_setsim_dense_path_equivalent_to_prefix(rds):
     # gate: a tiny cap must also fall back (not crash) and still agree
     gated = run(dense_max_masks=2)
     pd.testing.assert_frame_equal(gated, prefix)
+
+
+def test_minhash_bitset_verify_equivalent(rds):
+    """The small-gram-alphabet bitset verify must emit the identical
+    pair set AND jaccard values as the generic gram-set verify and the
+    verify='join' path (empty texts included)."""
+    import random
+
+    rng = random.Random(3)
+    base = ["the quick brown fox jumps over the lazy dog",
+            "lorem ipsum dolor sit amet consectetur",
+            "pack my box with five dozen liquor jugs"]
+    rows = [(i, base[i % 3] + (" tail " + str(i % 7) if i % 4 == 0 else ""))
+            for i in range(200)]
+    rows += [(1000, ""), (1001, "")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def run(**kw):
+        out = dedup_ops.minhash_lsh_pairs(
+            rds.from_pandas(df), jaccard_threshold=0.7, **kw)
+        o = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        return o.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+    bitset = run()
+    generic = run(bitset_max_grams=0)
+    assert len(bitset) > 0
+    pd.testing.assert_frame_equal(bitset, generic)
+    joinv = run(verify="join")
+    pd.testing.assert_frame_equal(bitset, joinv.astype(bitset.dtypes.to_dict()))
