@@ -2208,3 +2208,37 @@ def test_minhash_bitset_verify_equivalent(rds):
     pd.testing.assert_frame_equal(bitset, generic)
     joinv = run(verify="join")
     pd.testing.assert_frame_equal(bitset, joinv.astype(bitset.dtypes.to_dict()))
+
+
+def test_setsim_dense_edge_cases(rds):
+    """Dense-path edge cases: one giant identical-set group (triu
+    expansion), vocab at the 64-bit boundary (bit 63 set), and
+    tokenless docs (must never pair, matching the prefix path)."""
+    vocab = [f"t{i:02d}" for i in range(64)]
+    rows = []
+    # 40 docs with the identical full-vocab set -> one mask with bit 63
+    for i in range(40):
+        rows.append((i, " ".join(vocab)))
+    # tokenless docs (punctuation only)
+    rows += [(100, ""), (101, "..."), (102, "!!")]
+    # two docs sharing 9/10 tokens (jaccard 0.9 boundary region)
+    rows.append((200, " ".join(vocab[:10])))
+    rows.append((201, " ".join(vocab[:9] + [vocab[20]])))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def run(**kw):
+        out = dedup_ops.setsim_prefix_pairs(
+            rds.from_pandas(df), jaccard_threshold=0.8, **kw)
+        o = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        return o.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+    dense = run()
+    prefix = run(dense_max_masks=0)
+    pd.testing.assert_frame_equal(dense, prefix)
+    # the identical-set group contributes exactly C(40,2) pairs at 1.0
+    grp = dense[(dense.left_id < 100)]
+    assert len(grp) == 40 * 39 // 2
+    assert (grp.jaccard == 1.0).all()
+    # tokenless docs never pair
+    assert not ((dense.left_id >= 100) & (dense.left_id <= 102)).any()
+    assert not ((dense.right_id >= 100) & (dense.right_id <= 102)).any()
