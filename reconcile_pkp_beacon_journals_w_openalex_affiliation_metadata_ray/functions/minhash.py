@@ -145,11 +145,20 @@ class MinHasher:
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         nonempty = counts > 0
         # empty texts contribute no flat rows, so consecutive nonempty
-        # offsets exactly partition the gathered matrix. np.take, NOT
-        # V[flat_idx]: int64 fancy row-gather measured 30x slower than
-        # take on this numpy build (373 ms vs 10 ms for 83k x 64)
-        out[nonempty] = np.minimum.reduceat(np.take(V, flat_idx, axis=0),
-                                            offsets[nonempty], axis=0)
+        # offsets exactly partition the gathered occurrence axis.
+        # COLUMN-WISE reduceat: the 2-D row-wise form materialized an
+        # (occurrences x num_perm) matrix (~1.9 GB per 4096 long docs)
+        # and reduceat's strided row iteration measured ~10x slower
+        # than 64 contiguous 1-D gather+reduceat passes (5.7 s vs
+        # 0.6 s per 3.7M-occurrence batch, bit-identical). np.take,
+        # NOT V[idx]: int64 fancy gather is ~30x slower than take on
+        # this numpy build.
+        off_ne = offsets[nonempty]
+        res = np.empty((int(nonempty.sum()), self.num_perm), dtype=np.uint64)
+        VT = np.ascontiguousarray(V.T)  # (num_perm, distinct), rows contiguous
+        for c in range(self.num_perm):
+            res[:, c] = np.minimum.reduceat(np.take(VT[c], flat_idx), off_ne)
+        out[nonempty] = res
         return out
 
 
