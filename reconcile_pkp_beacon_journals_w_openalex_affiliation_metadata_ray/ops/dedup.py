@@ -249,6 +249,18 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     exact n-gram Jaccard verify. Two verify modes (same split as
     embedding_near_dup_pairs, identical outputs, equivalence-tested):
 
+    **Sizing bands for corpus scale**: rows-per-band r = num_perm /
+    num_bands sets the background candidate rate — a random pair
+    collides with probability ~ num_bands * j_bg^r, and the candidate
+    COUNT is that times n^2/2. The default (64, 16) -> r=4 suits dense
+    small corpora (high j_bg, n small); at web scale with background
+    char-3-gram jaccard ~0.1 it measured 3.4M candidates from 50k
+    random docs (2.4e-3/pair) and grows quadratically. Use r=8
+    (num_perm=64, num_bands=8) there: background drops to ~1e-7/pair
+    while true pairs at j >= 0.85 are still caught with P ~ 0.99
+    (1-(1-j^8)^8). Measured on the 2M-doc bigdocs corpus in
+    BASELINE.md; tools/bench_bigdocs.py reproduces.
+
     - ``verify="broadcast"`` (default): the corpus text table is put in
       the object store ONCE and candidate batches verify against a
       per-worker zero-copy view + gram-set cache. Near-dup candidate
