@@ -202,6 +202,58 @@ def simhash64(text: str, shingle: int = 3) -> int:
     return out
 
 
+def simhash_batch(texts, shingle: int = 3) -> np.ndarray:
+    """Batch of 64-bit SimHashes as uint64[len(texts)] — bit-identical
+    to per-row :func:`simhash64` (property-tested). The scalar kernel
+    pays ~10 us of numpy dispatch per DISTINCT gram (~9 ms/doc on
+    900-char docs — measured as the whole cost of simhash_pairs at 2M
+    docs); here grams are interned once per batch (pd.factorize),
+    hashed and bit-unpacked in one vectorized pass, and the per-doc
+    +-1 sums run as 64 contiguous 1-D add.reduceat passes (the same
+    column-wise layout the MinHash kernel uses)."""
+    import pandas as pd
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    k = shingle
+    sh_lists = []
+    for t in texts:
+        t = t or ""
+        if len(t) <= k:
+            sh_lists.append([t] if t else [])
+        else:
+            # per-doc DISTINCT grams: the scalar kernel adds each gram
+            # once per doc (its `seen` set); order is irrelevant to a
+            # commutative sum
+            sh_lists.append(list({t[i:i + k] for i in range(len(t) - k + 1)}))
+    counts = np.fromiter(map(len, sh_lists), dtype=np.int64, count=n)
+    flat_sh = [s for sh in sh_lists for s in sh]
+    if not flat_sh:
+        return out
+    flat_idx, uniq = pd.factorize(np.asarray(flat_sh, dtype=object))
+    hashes = np.fromiter((_hash64(s) for s in uniq.tolist()),
+                         dtype=np.uint64, count=len(uniq))
+    # (n_uniq, 64) bit matrix, bit i == (h >> i) & 1: little-endian
+    # uint64 -> uint8 view puts bit i at (byte i//8, in-byte i%8), and
+    # unpackbits(bitorder="little") preserves exactly that order
+    bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
+    signed = (bits.astype(np.int32) * 2 - 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nonempty = counts > 0
+    off_ne = offsets[nonempty]
+    acc = np.zeros((int(nonempty.sum()), 64), dtype=np.int64)
+    ST = np.ascontiguousarray(signed.T)  # (64, n_uniq), rows contiguous
+    for c in range(64):
+        acc[:, c] = np.add.reduceat(np.take(ST[c], flat_idx), off_ne)
+    packed = np.packbits((acc > 0).astype(np.uint8), axis=1,
+                         bitorder="little")
+    out[nonempty] = packed.view(np.uint64).ravel()
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

@@ -352,15 +352,26 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         _state: dict = {}
 
         def _verify_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            # keep the broadcast table as ARROW (plasma zero-copy) and
+            # decode per batch only the rows this batch touches — a
+            # full per-worker to_pylist of the corpus measured 728 s
+            # at 2M docs (1 GB of strings decoded once per worker,
+            # all workers at once at stage start), vs 404 s for the
+            # join path; per-batch take closes most of that gap
             if "idx" not in _state:
                 t = ray.get(tbl_ref)
-                _state["texts"] = t[text_col].to_pylist()
-                _state["idx"] = {v: i for i, v in enumerate(t[id_col].to_pylist())}
-            texts, idx = _state["texts"], _state["idx"]
+                _state["tbl"] = t
+                _state["idx"] = pd.Index(t[id_col].to_numpy(zero_copy_only=False))
+            t, idx = _state["tbl"], _state["idx"]
+            li = idx.get_indexer(b["left_id"].to_numpy())
+            ri = idx.get_indexer(b["right_id"].to_numpy())
+            rows = np.unique(np.concatenate([li, ri]))
+            decoded = t[text_col].take(rows).to_pylist()
+            pos = {int(r): k for k, r in enumerate(rows.tolist())}
             jac = []
-            for l, r in zip(b["left_id"], b["right_id"]):
-                tl = texts[idx[l]] or ""
-                tr = texts[idx[r]] or ""
+            for l, r in zip(li.tolist(), ri.tolist()):
+                tl = decoded[pos[l]] or ""
+                tr = decoded[pos[r]] or ""
                 jac.append(set_jaccard(_grams(tl), _grams(tr)))
             out = pd.DataFrame({"left_id": b["left_id"], "right_id": b["right_id"],
                                 "jaccard": [_round_half_away(s, 6) for s in jac]})
@@ -448,25 +459,54 @@ def ngram_jaccard_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, max_band_width: int = 20000):
-    """Near-dup pairs by SimHash: 4 x 16-bit sub-key buckets (any pair
-    within Hamming <= 3 of 64 bits shares at least one exact sub-key),
-    verified by full Hamming distance. The simhash (one int) rides the
+                  max_hamming: int = 3, max_band_width: int = 20000,
+                  num_blocks: int = 4):
+    """Near-dup pairs by SimHash (left_id < right_id, hamming <=
+    max_hamming of 64 bits), verified by full Hamming distance.
+
+    Candidate scheme — ``num_blocks`` (b) splits the 64 bits into b
+    near-equal blocks and emits one bucket key per COMBINATION of
+    b - max_hamming blocks (pigeonhole: <= k flipped bits corrupt <= k
+    blocks, so some (b-k)-subset of blocks is clean and its
+    concatenated key collides). b=4 (default) degenerates to the
+    classic 4 x 16-bit single-block keys — right for corpora up to
+    ~1M docs, but its 2^16 key space yields ~4*n^2/2^16 background
+    in-bucket pairs (quadratic; measured 517 s at 2M docs where the
+    bucket pair-gen, not the hash kernel, dominates). At larger n use
+    b=6: C(6,3)=20 keys/doc over ~33-bit combined keys, background
+    collisions ~20*n^2/2/2^33 (linear-ish at realistic n), identical
+    output (equivalence-tested). The simhash (one int) rides the
     shuffle; the width cap bounds in-bucket quadratics on degenerate
-    sub-keys (e.g. the all-zero hash of empty documents)."""
-    from ..functions.minhash import simhash64
+    keys (e.g. the all-zero hash of empty documents)."""
+    from itertools import combinations
+
+    from ..functions.minhash import simhash_batch
+
+    k = max_hamming
+    assert 1 <= num_blocks - k <= num_blocks, "need num_blocks > max_hamming"
+    widths = [64 // num_blocks + (1 if i < 64 % num_blocks else 0)
+              for i in range(num_blocks)]
+    shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+    masks = np.array([(1 << w) - 1 for w in widths], dtype=np.uint64)
+    combos = list(combinations(range(num_blocks), num_blocks - k))
 
     def _keys(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, keys, hashes = [], [], []
-        for i, t in zip(batch[id_col], batch[text_col].fillna("")):
-            h = simhash64(t)
-            for band in range(4):
-                sub = (h >> (band * 16)) & 0xFFFF
-                ids.append(i)
-                keys.append(f"s{band}:{sub:04x}")
-                hashes.append(h)
-        return pd.DataFrame({"band_key": keys, id_col: ids,
-                             "simhash": np.array(hashes, dtype=np.uint64).astype("int64")})
+        hs = simhash_batch(batch[text_col].fillna("").tolist())
+        blocks = (hs[:, None] >> shifts[None, :]) & masks[None, :]
+        ids_np = batch[id_col].to_numpy()
+        h64 = hs.astype("int64")
+        frames = []
+        for ci, combo in enumerate(combos):
+            v = np.zeros(len(hs), dtype=np.uint64)
+            for bi in combo:
+                v = (v << np.uint64(widths[bi])) | blocks[:, bi]
+            if num_blocks == 4 and k == 3:
+                keys = [f"s{ci}:{x:04x}" for x in v.tolist()]
+            else:
+                keys = [f"c{ci}:{x:011x}" for x in v.tolist()]
+            frames.append(pd.DataFrame({"band_key": keys, id_col: ids_np,
+                                        "simhash": h64}))
+        return pd.concat(frames, ignore_index=True)
 
     def _pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=["band_key", id_col])

@@ -18,7 +18,7 @@ import re
 
 import pandas as pd
 
-from ..functions.minhash import rolling_fingerprints, simhash64
+from ..functions.minhash import rolling_fingerprints, simhash_batch
 
 _WORD_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
 _UPPER_RE = re.compile(r"[A-Z]")
@@ -96,7 +96,8 @@ def fingerprints(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
             "doc_id": batch["doc_id"],
             "md5": texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
             "n_fingerprints": texts.map(lambda t: len(rolling_fingerprints(t))).astype("int64"),
-            "simhash": texts.map(lambda t: f"{simhash64(t):016x}"),
+            "simhash": [f"{h:016x}" for h in
+                        simhash_batch(texts.tolist()).tolist()],
         }
     )
 

@@ -214,6 +214,20 @@ def test_simhash_hamming():
     assert minhash.hamming64(a, a) == 0
 
 
+@given(st.lists(st.text(alphabet="abcdef ghé", max_size=60), max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_simhash_batch_matches_scalar(texts):
+    batch = minhash.simhash_batch(texts)
+    assert [int(h) for h in batch] == [minhash.simhash64(t) for t in texts]
+
+
+def test_simhash_batch_edges():
+    edge = ["", "ab", "abc", "abcd", "aaaaaa"]
+    out = minhash.simhash_batch(edge)
+    assert [int(h) for h in out] == [minhash.simhash64(t) for t in edge]
+    assert len(minhash.simhash_batch([])) == 0
+
+
 def test_rolling_fingerprints_deterministic():
     t = "some reasonably long document text for fingerprinting purposes " * 4
     f1 = minhash.rolling_fingerprints(t)

@@ -116,6 +116,43 @@ def test_simhash_pairs_planted(rds):
     assert all(2 not in p for p in found)
 
 
+def test_simhash_pairs_multi_index_equivalent(rds):
+    """num_blocks=6/8 (combination multi-index, the large-corpus key
+    scheme) must produce byte-identical pairs to the classic 4-block
+    keys AND to the brute-force hamming join."""
+    import random
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.functions.minhash import (
+        simhash_batch,
+    )
+
+    random.seed(3)
+    vocab = ["".join(random.choice("abcdefghijklmnop") for _ in range(5))
+             for _ in range(300)]
+    texts = [" ".join(random.choice(vocab) for _ in range(30))
+             for _ in range(200)]
+    for i in range(0, 190, 10):  # plant 1-token mutations
+        w = texts[i].split()
+        w[3] = random.choice(vocab)
+        texts[i + 1] = " ".join(w)
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    def run(b):
+        return (dedup_ops.simhash_pairs(rds.from_pandas(df), num_blocks=b)
+                .to_pandas().sort_values(["left_id", "right_id"])
+                .reset_index(drop=True))
+
+    p4, p6, p8 = run(4), run(6), run(8)
+    hs = simhash_batch(texts)
+    brute = sorted(
+        (i, j, int(bin(int(hs[i]) ^ int(hs[j])).count("1")))
+        for i in range(len(texts)) for j in range(i + 1, len(texts))
+        if bin(int(hs[i]) ^ int(hs[j])).count("1") <= 3)
+    assert list(map(tuple, p4.to_numpy())) == brute
+    assert p4.equals(p6) and p4.equals(p8)
+
+
 def test_embedding_near_dup_planted(rds):
     rng = np.random.RandomState(3)
     base = rng.randn(16)

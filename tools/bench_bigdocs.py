@@ -95,8 +95,10 @@ def main():
         res[f"{name}_exact_recall"] = round(pair_recall(found, exact_gt), 4)
 
     if "simhash" in ops:
+        blocks = int(os.environ.get("GRAFT_SIMHASH_BLOCKS", "4"))
+        res["simhash_blocks"] = blocks
         t0 = time.time()
-        pairs = dedup.simhash_pairs(docs())
+        pairs = dedup.simhash_pairs(docs(), num_blocks=blocks)
         found = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
         res["simhash_sec"] = round(time.time() - t0, 2)
         res["simhash_pairs"] = len(found)
