@@ -36,6 +36,8 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.context import tune_data_context
+    tune_data_context(ctx)
 
     # Ray 2.49's Sort operator emits SCHEMA-LESS empty blocks for empty
     # partitions, which trips its own "RefBundle with a different

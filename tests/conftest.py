@@ -17,5 +17,7 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.context import tune_data_context
+    tune_data_context(ctx)
     yield ray
     ray.shutdown()

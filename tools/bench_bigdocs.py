@@ -50,6 +50,8 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.context import tune_data_context
+    tune_data_context()
 
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import dedup
     from tools.gen_bigdocs import planted_pairs
@@ -93,6 +95,21 @@ def main():
         res[f"{name}_pairs"] = len(found)
         res[f"{name}_near_recall"] = round(pair_recall(found, near_gt), 4)
         res[f"{name}_exact_recall"] = round(pair_recall(found, exact_gt), 4)
+
+    if "setsim" in ops:
+        # token-SET jaccard of the planted 5%-position mutations is
+        # ~0.85-0.95 (distinct-token overlap); 0.8 catches near all
+        thr = float(os.environ.get("GRAFT_SETSIM_THR", "0.8"))
+        sv = os.environ.get("GRAFT_SETSIM_VERIFY", "join")
+        res["setsim_thr"], res["setsim_verify"] = thr, sv
+        t0 = time.time()
+        pairs = dedup.setsim_prefix_pairs(docs(), jaccard_threshold=thr,
+                                          verify=sv)
+        found = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+        res["setsim_sec"] = round(time.time() - t0, 2)
+        res["setsim_pairs"] = len(found)
+        res["setsim_near_recall"] = round(pair_recall(found, near_gt), 4)
+        res["setsim_exact_recall"] = round(pair_recall(found, exact_gt), 4)
 
     if "simhash" in ops:
         blocks = int(os.environ.get("GRAFT_SIMHASH_BLOCKS", "4"))

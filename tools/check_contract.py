@@ -54,6 +54,8 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.context import tune_data_context
+    tune_data_context()
 
     sys.path.insert(0, "/root/repo")
     import os

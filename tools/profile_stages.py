@@ -25,6 +25,8 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.context import tune_data_context
+    tune_data_context()
 
     # GRAFT_PROFILE_REPEATS>1 repeats the whole stage sequence in ONE
     # process and prints every pass — pass 1 carries Ray worker warm-up
