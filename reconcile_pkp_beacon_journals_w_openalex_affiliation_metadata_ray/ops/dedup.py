@@ -935,7 +935,8 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                         jaccard_threshold: float = 0.7, num_buckets: int = 64,
                         max_key_width: int | None = None,
                         verify: str = "broadcast",
-                        dense_max_masks: int = 65536):
+                        dense_max_masks: int = 65536,
+                        max_candidate_pairs: int | None = 200_000_000):
     """EXACT token-set similarity self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
     WWW'08; both public), the scalable *exact* alternative to the
@@ -1053,8 +1054,36 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         return pd.DataFrame({"band_key": pd.Series(keys, dtype="int64"),
                              id_col: pd.Series(ids, dtype="int64")})
 
+    # materialize the (rank, id) prefix rows once (two int64 cols — the
+    # same data the candidate shuffle moves) so a CHEAP per-token count
+    # reduce can price the self-merge BEFORE running it: the exact
+    # candidate volume is sum C(c_token, 2). Exact prefix joins need
+    # prefix RARITY; on a vocab << corpus regime (e.g. 50k-word vocab
+    # at 500k docs) "rare" tokens still sit in hundreds of prefixes
+    # and the merge output measured ~1e9 rows — it ran a 252 GB disk
+    # to the raylet's 95% wall instead of finishing. Fail fast with
+    # guidance instead.
+    prefix = docs_ds.map_batches(
+        _prefix_rows, batch_format="pandas").materialize()
+    pc = pre_aggregated(prefix, "band_key", counts=True,
+                        num_buckets=num_buckets).to_pandas()
+    c = pc["n"].to_numpy(np.float64) if len(pc) else np.zeros(0)
+    est_pairs = int((c * (c - 1) / 2).sum())
+    logger.info("setsim_prefix: %d prefix rows over %d tokens, "
+                "estimated %d candidate pairs", int(c.sum()), len(pc),
+                est_pairs)
+    if max_candidate_pairs is not None and est_pairs > max_candidate_pairs:
+        raise ValueError(
+            f"setsim_prefix_pairs: estimated {est_pairs} candidate pairs "
+            f"exceeds max_candidate_pairs={max_candidate_pairs}. The "
+            "prefix filter is not selective on this corpus (vocabulary "
+            "too small relative to corpus size, so prefix tokens are "
+            "not rare). Use minhash_lsh_pairs (approximate, linear "
+            "candidates at a suitable rows-per-band), raise the "
+            "jaccard_threshold, or set max_key_width to cap per-token "
+            "buckets (logged drops).")
     cand = candidate_pairs_from_keys(
-        docs_ds.map_batches(_prefix_rows, batch_format="pandas"), id_col,
+        prefix, id_col,
         max_band_width=max_key_width if max_key_width else 1 << 62,
         num_buckets=num_buckets, op_name="setsim_prefix").materialize()
     if cand.count() == 0:

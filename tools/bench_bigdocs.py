@@ -103,13 +103,20 @@ def main():
         sv = os.environ.get("GRAFT_SETSIM_VERIFY", "join")
         res["setsim_thr"], res["setsim_verify"] = thr, sv
         t0 = time.time()
-        pairs = dedup.setsim_prefix_pairs(docs(), jaccard_threshold=thr,
-                                          verify=sv)
-        found = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
-        res["setsim_sec"] = round(time.time() - t0, 2)
-        res["setsim_pairs"] = len(found)
-        res["setsim_near_recall"] = round(pair_recall(found, near_gt), 4)
-        res["setsim_exact_recall"] = round(pair_recall(found, exact_gt), 4)
+        try:
+            pairs = dedup.setsim_prefix_pairs(docs(), jaccard_threshold=thr,
+                                              verify=sv)
+            found = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+            res["setsim_sec"] = round(time.time() - t0, 2)
+            res["setsim_pairs"] = len(found)
+            res["setsim_near_recall"] = round(pair_recall(found, near_gt), 4)
+            res["setsim_exact_recall"] = round(pair_recall(found, exact_gt), 4)
+        except ValueError as e:
+            # candidate-budget guard: exact setsim is the wrong op on
+            # this vocab << corpus regime — the guard prices the merge
+            # and refuses instead of spilling to death
+            res["setsim_sec"] = round(time.time() - t0, 2)
+            res["setsim_guarded"] = str(e).split(".")[0]
 
     if "simhash" in ops:
         blocks = int(os.environ.get("GRAFT_SIMHASH_BLOCKS", "4"))
