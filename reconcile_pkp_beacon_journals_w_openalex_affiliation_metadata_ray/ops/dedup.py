@@ -556,7 +556,21 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
     cosine c collides in at least one band with probability
     1-(1-(1-acos(c)/pi)^planes)^bands (~0.99 at the 0.95/6x6 defaults;
     the old single 12-plane bucketing missed ~72% of 0.95-pairs).
-    Bucket rows carry (bucket, id) only. Exact cosine verification:
+    Bucket rows carry (bucket, id) only.
+
+    **Sizing bands for corpus scale** (the same knob as minhash r and
+    simhash num_blocks): a RANDOM pair collides in one band with
+    probability ~0.5^planes, so background candidates are
+    ~num_bands * 0.5^planes * n^2/2 — that rate must stay below ~1/n
+    or the candidate set (and the verify join that ships vectors onto
+    it) grows quadratically. The 6x6 default suits small corpora; at
+    1M vectors even 16x18 measured ~30M background candidates (982 s
+    wall, join verify). Use ~24x24 there: background ~24*6e-8/pair,
+    planted cosine-0.98 detection 1-(1-0.9362^24)^24 ~ 0.996 —
+    measured 146 s, recall 0.993/1.0 (BASELINE §c8,
+    tools/bench_bigdocs.py reproduces).
+
+    Exact cosine verification:
     ``verify="broadcast"`` (default) maps the id pairs against a
     broadcast Arrow embedding table (per-worker zero-copy, same pattern
     as the scoring stage — assumes the table fits the object store);

@@ -42,7 +42,8 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     ops = sys.argv[2:] or ["exact", "minhash"]
     corpus = f"/tmp/graft_fixtures/bigdocs_{n_docs}/documents"
-    if not os.path.isdir(corpus):
+    needs_docs = any(o != "embed" for o in ops)
+    if needs_docs and not os.path.isdir(corpus):
         sys.exit(f"run tools/gen_bigdocs.py {n_docs} first ({corpus} missing)")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
@@ -127,6 +128,34 @@ def main():
         res["simhash_sec"] = round(time.time() - t0, 2)
         res["simhash_pairs"] = len(found)
         res["simhash_exact_recall"] = round(pair_recall(found, exact_gt), 4)
+
+    if "embed" in ops:
+        # random-hyperplane LSH band sizing is the same scale knob as
+        # minhash r / simhash blocks: the default 6 bands x 6 planes
+        # has only 2^6 buckets per band (quadratic in-bucket pairs at
+        # 1M vectors); 16 x 18 gives 2^18 buckets with planted-0.98
+        # detection P ~ 0.99 (1-(1-0.9215^18)^16)
+        vec_dir = f"/tmp/graft_fixtures/bigvecs_{n_docs}/embeddings"
+        if not os.path.isdir(vec_dir):
+            sys.exit(f"run tools/gen_bigvecs.py {n_docs} first")
+        from tools.gen_bigvecs import planted_pairs as vec_planted
+
+        vex, vnr = vec_planted(n_docs)
+        bands = int(os.environ.get("GRAFT_EMB_BANDS", "16"))
+        planes = int(os.environ.get("GRAFT_EMB_PLANES", "18"))
+        vverify = os.environ.get("GRAFT_EMB_VERIFY", "join")
+        res["emb_bands"], res["emb_planes"], res["emb_verify"] = \
+            bands, planes, vverify
+        t0 = time.time()
+        pairs = dedup.embedding_near_dup_pairs(
+            rd.read_parquet(vec_dir, override_num_blocks=ncpu * 4),
+            cosine_threshold=0.95, num_bands=bands, planes_per_band=planes,
+            verify=vverify)
+        found = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+        res["embed_sec"] = round(time.time() - t0, 2)
+        res["embed_pairs"] = len(found)
+        res["embed_near_recall"] = round(pair_recall(found, vnr), 4)
+        res["embed_exact_recall"] = round(pair_recall(found, vex), 4)
 
     print(json.dumps(res), flush=True)
     ray.shutdown()
