@@ -42,7 +42,7 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     ops = sys.argv[2:] or ["exact", "minhash"]
     corpus = f"/tmp/graft_fixtures/bigdocs_{n_docs}/documents"
-    needs_docs = any(o != "embed" for o in ops)
+    needs_docs = any(o not in ("embed", "knn") for o in ops)
     if needs_docs and not os.path.isdir(corpus):
         sys.exit(f"run tools/gen_bigdocs.py {n_docs} first ({corpus} missing)")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -156,6 +156,41 @@ def main():
         res["embed_pairs"] = len(found)
         res["embed_near_recall"] = round(pair_recall(found, vnr), 4)
         res["embed_exact_recall"] = round(pair_recall(found, vex), 4)
+
+    if "knn" in ops:
+        # ANN at scale: 32 seeded queries against the 1M-vector corpus;
+        # brute force is the exact baseline, IVF/LSH report recall@10
+        # vs it (overlap of neighbor sets per query)
+        vec_dir = f"/tmp/graft_fixtures/bigvecs_{n_docs}/embeddings"
+        if not os.path.isdir(vec_dir):
+            sys.exit(f"run tools/gen_bigvecs.py {n_docs} first")
+        from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+            similarity_search as ss,
+        )
+
+        rng = np.random.RandomState(11)
+        Q = rng.randn(32, 64)
+        qids = list(range(32))
+
+        def vds():
+            return rd.read_parquet(vec_dir, override_num_blocks=ncpu * 4)
+
+        t0 = time.time()
+        bf = ss.knn_bruteforce(vds(), Q, qids, k=10)
+        res["knn_bf_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        ivf = ss.knn_ivf(vds(), Q, qids, k=10, n_cells=64, nprobe=8)
+        res["knn_ivf_sec"] = round(time.time() - t0, 2)
+
+        def rec(approx):
+            hits = 0
+            for q in qids:
+                a = set(approx.loc[approx["query_id"] == q, "neighbor_id"])
+                b = set(bf.loc[bf["query_id"] == q, "neighbor_id"])
+                hits += len(a & b)
+            return round(hits / (len(qids) * 10), 4)
+
+        res["knn_ivf_recall"] = rec(ivf)
 
     print(json.dumps(res), flush=True)
     ray.shutdown()
