@@ -42,14 +42,23 @@ def planted_pairs(n_vecs: int):
 
 
 def gen_shard(args) -> str:
-    shard, out_dir = args
+    shard, out_dir, n_clusters = args
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.RandomState(200_000 + shard)
     n = SHARD_SIZE
     base = shard * SHARD_SIZE
-    M = rng.randn(n, DIM)
+    if n_clusters:
+        # clustered regime (real embedding corpora): vec = 2*center +
+        # 0.5*noise, centers shared across shards (seed 99) — the
+        # corpus IVF/LSH are built for, vs the default unstructured
+        # gaussian cloud (their worst case)
+        centers = np.random.RandomState(99).randn(n_clusters, DIM)
+        cidx = rng.randint(0, n_clusters, size=n)
+        M = 2.0 * centers[cidx] + 0.5 * rng.randn(n, DIM)
+    else:
+        M = rng.randn(n, DIM)
     for i in range(n):
         g = base + i
         if g % 50 == 1 and i >= 1:
@@ -71,13 +80,15 @@ def gen_shard(args) -> str:
 def main():
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     assert n_vecs % SHARD_SIZE == 0, f"n_vecs must be a multiple of {SHARD_SIZE}"
+    n_clusters = int(os.environ.get("GRAFT_VEC_CLUSTERS", "0"))
+    tag = f"bigvecs_c{n_clusters}_{n_vecs}" if n_clusters else f"bigvecs_{n_vecs}"
     out_dir = (sys.argv[2] if len(sys.argv) > 2
-               else f"/tmp/graft_fixtures/bigvecs_{n_vecs}/embeddings")
+               else f"/tmp/graft_fixtures/{tag}/embeddings")
     os.makedirs(out_dir, exist_ok=True)
     shards = n_vecs // SHARD_SIZE
     with Pool(min(16, os.cpu_count() or 8)) as pool:
         for i, _ in enumerate(pool.imap_unordered(
-                gen_shard, [(s, out_dir) for s in range(shards)])):
+                gen_shard, [(s, out_dir, n_clusters) for s in range(shards)])):
             if (i + 1) % 5 == 0 or i + 1 == shards:
                 print(f"{i + 1}/{shards} shards", flush=True)
     ex, nr = planted_pairs(n_vecs)
