@@ -240,16 +240,23 @@ def simhash_batch(texts, shingle: int = 3) -> np.ndarray:
     # unpackbits(bitorder="little") preserves exactly that order
     bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8),
                          axis=1, bitorder="little")
-    signed = (bits.astype(np.int32) * 2 - 1)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     nonempty = counts > 0
     off_ne = offsets[nonempty]
-    acc = np.zeros((int(nonempty.sum()), 64), dtype=np.int64)
-    ST = np.ascontiguousarray(signed.T)  # (64, n_uniq), rows contiguous
+    cnt_ne = counts[nonempty]
+    # keep the per-gram bit matrix uint8 (the old +-1 `signed` int32
+    # matrix plus its transpose copy cost ~512 B per distinct gram —
+    # hundreds of MB transient on long-doc batches); the signed sum is
+    # recovered exactly as 2*ones - count, and the per-column take is
+    # widened to int64 BEFORE reduceat (reduceat on uint8 would wrap)
+    ones = np.zeros((int(nonempty.sum()), 64), dtype=np.int64)
+    BT = np.ascontiguousarray(bits.T)  # (64, n_uniq) uint8, rows contiguous
     for c in range(64):
-        acc[:, c] = np.add.reduceat(np.take(ST[c], flat_idx), off_ne)
-    packed = np.packbits((acc > 0).astype(np.uint8), axis=1,
-                         bitorder="little")
+        ones[:, c] = np.add.reduceat(
+            np.take(BT[c], flat_idx).astype(np.int64), off_ne)
+    # acc = sum(+-1) = ones - (cnt - ones); bit set iff acc > 0
+    packed = np.packbits((2 * ones > cnt_ne[:, None]).astype(np.uint8),
+                         axis=1, bitorder="little")
     out[nonempty] = packed.view(np.uint64).ravel()
     return out
 

@@ -1082,6 +1082,13 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     pc = pre_aggregated(prefix, "band_key", counts=True,
                         num_buckets=num_buckets).to_pandas()
     c = pc["n"].to_numpy(np.float64) if len(pc) else np.zeros(0)
+    if max_key_width:
+        # price the merge that will ACTUALLY run: candidate_pairs_from_
+        # keys truncates each bucket to max_key_width (logged drops), so
+        # the estimate must clamp per-token counts the same way — else
+        # the guard raises (and its own "set max_key_width" guidance
+        # does nothing) even when the capped merge is affordable
+        c = np.minimum(c, float(max_key_width))
     est_pairs = int((c * (c - 1) / 2).sum())
     logger.info("setsim_prefix: %d prefix rows over %d tokens, "
                 "estimated %d candidate pairs", int(c.sum()), len(pc),

@@ -36,17 +36,32 @@ def _rank_topk(partials: pd.DataFrame, query_ids, k: int, ndigits: int) -> pd.Da
     rounded (half away, `ndigits`) BEFORE ranking and the tie-break is
     neighbor_id, so the ordering is reproducible bit-for-bit against a
     SQL oracle computing round(cos, ndigits) in float64."""
-    rows = []
-    for qi, qid in enumerate(query_ids):
-        sub = partials[partials["q"] == qi].copy()
-        sub["cosine"] = sub["cosine"].map(lambda v: _round_half_away(float(v), ndigits))
-        sub = sub.sort_values(["cosine", "neighbor_id"],
-                              ascending=[False, True], kind="mergesort").head(k)
-        for rank, (_, r) in enumerate(sub.iterrows(), 1):
-            rows.append({"query_id": qid, "rank": rank,
-                         "neighbor_id": int(r["neighbor_id"]),
-                         "cosine": float(r["cosine"])})
-    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "cosine"])
+    if len(partials) == 0:
+        return pd.DataFrame([], columns=["query_id", "rank", "neighbor_id",
+                                         "cosine"])
+    # one vectorized sort + groupby-head over ALL queries (the old
+    # per-query iterrows merge was O(queries x k) driver-side Python
+    # rows); same elementwise half-away rounding, same (q asc, cosine
+    # desc, neighbor asc) stable order, so output is bit-identical
+    f = 10.0 ** ndigits
+    v = partials["cosine"].to_numpy(np.float64)
+    p = pd.DataFrame({
+        "q": partials["q"].to_numpy(np.int64),
+        "neighbor_id": partials["neighbor_id"].to_numpy(np.int64),
+        "cosine": np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f})
+    p = p.sort_values(["q", "cosine", "neighbor_id"],
+                      ascending=[True, False, True],
+                      kind="mergesort").groupby("q", sort=False).head(k)
+    qid_arr = np.asarray(list(query_ids), dtype=object)
+    return pd.DataFrame({
+        # .tolist() so pandas infers the qid dtype from the VALUES
+        # (int64 for int ids, object for strings) exactly as the old
+        # row-dict construction did
+        "query_id": qid_arr[p["q"].to_numpy()].tolist(),
+        "rank": (p.groupby("q", sort=False).cumcount() + 1).to_numpy("int64"),
+        "neighbor_id": p["neighbor_id"].to_numpy("int64"),
+        "cosine": p["cosine"].to_numpy("float64")},
+        columns=["query_id", "rank", "neighbor_id", "cosine"])
 
 
 def knn_bruteforce(emb_ds, queries: np.ndarray, query_ids, k: int = 10,

@@ -29,6 +29,12 @@ def pair_recall(found_df, planted: np.ndarray) -> float:
     pairs (both sides already left<right by construction)."""
     if len(planted) == 0:
         return 1.0
+    # pairs pack as left*2^32+right — valid only for non-negative ids
+    # below 2^32 (silent collisions past that); guard the assumption
+    for arr in (planted, found_df["left_id"].to_numpy(np.int64),
+                found_df["right_id"].to_numpy(np.int64)):
+        assert arr.size == 0 or (arr.min() >= 0 and arr.max() < (1 << 32)), \
+            "pair packing requires 0 <= id < 2^32"
     key = found_df["left_id"].to_numpy(np.int64) * np.int64(1 << 32) \
         + found_df["right_id"].to_numpy(np.int64)
     pkey = planted[:, 0] * np.int64(1 << 32) + planted[:, 1]

@@ -106,11 +106,14 @@ def gen_shard(args) -> str:
     return path
 
 
-def planted_pairs(n_docs: int):
+def planted_pairs(n_docs: int, shard_size: int | None = None):
     """(exact_pairs, near_pairs) as (left, right) int64 arrays — the
-    ground truth the bench scores recall against."""
+    ground truth the bench scores recall against. ``shard_size``
+    defaults to this module's SHARD_SIZE; gen_bigvecs passes its own
+    (the id rule is per-shard, and the two generators shard
+    differently)."""
     g = np.arange(n_docs, dtype=np.int64)
-    in_shard = g % SHARD_SIZE
+    in_shard = g % (shard_size if shard_size is not None else SHARD_SIZE)
     ex = g[(g % 50 == 1) & (in_shard >= 1)]
     nr = g[(g % 40 == 3) & (g % 50 != 1) & (in_shard >= 3)]
     return np.stack([ex - 1, ex], axis=1), np.stack([nr - 3, nr], axis=1)

@@ -31,14 +31,7 @@ from gen_bigdocs import planted_pairs as _planted  # noqa: E402
 
 
 def planted_pairs(n_vecs: int):
-    import gen_bigdocs as gd
-
-    old = gd.SHARD_SIZE
-    gd.SHARD_SIZE = SHARD_SIZE
-    try:
-        return _planted(n_vecs)
-    finally:
-        gd.SHARD_SIZE = old
+    return _planted(n_vecs, shard_size=SHARD_SIZE)
 
 
 def gen_shard(args) -> str:
