@@ -96,7 +96,7 @@ def run_bench() -> dict:
     n_clusters = 0
     for i in range(1, n_runs + 1):
         t0 = time.time()
-        out = reconcile.run_reconcile(sf_dir)
+        out = reconcile.run_reconcile(sf_dir, materialize_pairs=False)
         # release the materialized pair table before the cluster count:
         # clusters' lineage needs only `scored` (materialized) + recs,
         # and at sf1 the pair blocks otherwise sit in plasma/spill for
@@ -123,32 +123,63 @@ def run_bench() -> dict:
             "clusters_rows": n_clusters,
         }
 
-    # ---- stage: extraction only (the per-document kernel) ----
+    # ---- per-op suite: best-of-N sweeps (default 2) ----
+    # single-run per-op rows proved uninterpretable under this VM's
+    # hypervisor-neighbor noise (BENCH_r04: every short query uniformly
+    # 2.5-4x its calm value while the code was identical); two full
+    # sweeps with a per-query min bound the noise the same way the
+    # headline's best-of-2 does. All raw sweep values are disclosed in
+    # per_op_runs.
     import ray.data as rd
 
-    t0 = time.time()
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
         extract_pages,
     )
-
-    ds = rd.read_parquet(os.path.join(fdir, "pages.parquet"),
-                         columns=["url", "lang", "html"])
-    n = extract_pages(ds).count()
-    queries["extract_only"] = round(time.time() - t0, 3)
-
-    # ---- operator benches over the driver tables ----
     import __ray_entry__ as entrymod
 
-    for name in ("q_pricing_summary", "q_docs_exact_dedup", "q_knn_bruteforce",
-                 "q_doc_quality", "q_minhash_near_dups", "q_sessionize",
-                 "q_parse_records_openalex", "q_user_value_ranks",
-                 "q_delta_new_docs", "q_event_type_hll", "q_setsim_pairs",
-                 "q_interval_self_join", "q_golden_record"):
+    op_names = ("q_pricing_summary", "q_docs_exact_dedup", "q_knn_bruteforce",
+                "q_doc_quality", "q_minhash_near_dups", "q_sessionize",
+                "q_parse_records_openalex", "q_user_value_ranks",
+                "q_delta_new_docs", "q_event_type_hll", "q_setsim_pairs",
+                "q_interval_self_join", "q_golden_record")
+    n_op_runs = int(os.environ.get("GRAFT_OP_RUNS", "2"))
+    per_op_runs: dict[str, list] = {"extract_only": []}
+    per_op_runs.update({n: [] for n in op_names})
+    for _ in range(n_op_runs):
         t0 = time.time()
-        res = entrymod.queries()[name](sf_dir)
-        if hasattr(res, "count"):
-            res.count()
-        queries[name] = round(time.time() - t0, 3)
+        ds = rd.read_parquet(os.path.join(fdir, "pages.parquet"),
+                             columns=["url", "lang", "html"])
+        extract_pages(ds).count()
+        per_op_runs["extract_only"].append(round(time.time() - t0, 3))
+        for name in op_names:
+            t0 = time.time()
+            res = entrymod.queries()[name](sf_dir)
+            if hasattr(res, "count"):
+                res.count()
+            per_op_runs[name].append(round(time.time() - t0, 3))
+    for name, vals in per_op_runs.items():
+        queries[name] = min(vals)
+
+    # ---- standing big-tier regression guard: one sf0.3 e2e leg ----
+    # catches scale pathologies (CC block compounding, candidate-volume
+    # blowups) as a ROUTINE number instead of a heroic proof run. On by
+    # default for the driver's sf0.1 config; GRAFT_BIGTIER=0 opts out
+    # (quick local runs at other tiers skip it automatically),
+    # GRAFT_BIGTIER=1 forces it. Single run: at ~3x the headline corpus
+    # the leg is long enough to average noise inside itself.
+    bigtier = os.environ.get("GRAFT_BIGTIER")
+    run_big = bigtier == "1" or (bigtier != "0" and abs(
+        float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+              or 0) - 0.1) < 1e-9)
+    if run_big:
+        big_dir = os.path.join(os.path.dirname(os.path.normpath(sf_dir)),
+                               "sf0.3")
+        ensure_fixtures(big_dir)
+        t0 = time.time()
+        big_out = reconcile.run_reconcile(big_dir, materialize_pairs=False)
+        big_out.pop("pairs", None)
+        big_out["clusters"].count()
+        queries["reconcile_e2e_sf0.3"] = round(time.time() - t0, 3)
 
     result = {
         "metric": "reconcile_e2e_sec",
@@ -160,6 +191,7 @@ def run_bench() -> dict:
         "pages": n_pages,
         "docs_per_sec": round(n_pages / headline, 1),
         "clusters_rows": n_clusters,
+        "per_op_runs": per_op_runs,
     }
     return result
 

@@ -162,6 +162,39 @@ class MinHasher:
         return out
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer over uint64 arrays — a strong
+    deterministic mixer (no Python-hash salt, no per-row calls)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def band_keys_u64(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """Batch LSH band keys as int64, shape (n_docs, num_bands): each
+    band's r signature words fold through a SplitMix64 chain, with the
+    band index mixed in so equal band VECTORS in different bands never
+    collide by construction of the fold.
+
+    Integer keys replace the per-row blake2b hex strings of
+    :func:`band_keys` on the hot dedup path: the scalar loop paid one
+    Python blake2b + string format per (doc, band) — 16M calls at 2M
+    docs/8 bands — and downstream shuffles then hashed 19-byte strings.
+    A hash collision between different band vectors only ADDS a
+    candidate pair (verify filters it); false negatives are impossible
+    (equal vectors always map to the equal key)."""
+    n, num_perm = sigs.shape
+    rows = num_perm // num_bands
+    out = np.empty((n, num_bands), dtype=np.uint64)
+    for b in range(num_bands):
+        acc = _splitmix64(np.full(n, np.uint64(b), dtype=np.uint64))
+        for c in range(b * rows, (b + 1) * rows):
+            acc = _splitmix64(acc ^ sigs[:, c])
+        out[:, b] = acc
+    return out.view(np.int64)
+
+
 def band_keys(signature: np.ndarray, num_bands: int) -> list:
     """Split a signature into num_bands bands and hash each band to a
     string key 'b{i}:{hash}'. Equal band key => LSH candidate pair."""

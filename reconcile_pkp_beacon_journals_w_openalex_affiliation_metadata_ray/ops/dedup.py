@@ -63,6 +63,40 @@ def _typed_or_empty(ds, schema_fields):
     return pa.table({name: pa.array([], typ) for name, typ in schema_fields}).to_pandas()
 
 
+def _shuffle_args() -> dict:
+    """Per-task ``num_cpus`` reservation for this op family's
+    bandwidth-bound stages (signature kernels, bucketed reduces):
+    at most ``context.effective_cores()`` run per node concurrently.
+    BASELINE §c7: uncapped, minhash at 2M docs REGRESSED 102 s (16
+    CPUs) -> 297-522 s (32) on this ~21-effective-core host; more
+    slots cannot add memory bandwidth. {} (no-op) at/below the knee."""
+    from ..context import shuffle_task_cpus
+
+    t = shuffle_task_cpus()
+    return {"num_cpus": t} if t > 1.0 else {}
+
+
+def _shuffle_blocks() -> int | None:
+    """Sort-input block budget for this family, active only when the
+    session is over the effective-core knee. Ray's sort emits one
+    range partition PER INPUT BLOCK and exchanges ~P^2 inter-block
+    objects, so a 32-CPU session's ncpu*4=128-block reads quadruple
+    the sort's scheduler/object traffic vs the 16-CPU session's 64 —
+    measured as the residual 32-vs-16 regression after the num_cpus
+    cap alone (500k docs: 66 s capped-32 vs 50 s at 16). Returns None
+    (leave block counts alone) at/below the knee so small sessions and
+    tests never pay a repartition."""
+    import os
+
+    from ..context import effective_cores, shuffle_task_cpus
+
+    if os.environ.get("GRAFT_NO_COALESCE") == "1":  # A/B debug knob
+        return None
+    if shuffle_task_cpus() <= 1.0:
+        return None
+    return 4 * effective_cores()
+
+
 def _mh(num_perm: int) -> MinHasher:
     global _MH
     if _MH is None or _MH.num_perm != num_perm:
@@ -133,7 +167,11 @@ def candidate_pairs_from_keys(keyed_ds, id_col: str, key_col: str = "band_key",
                                  "right_id": pd.Series(dtype=g[id_col].dtype)})
         return out
 
-    pairs = bucketed_map_groups(keyed_ds, key_col, _cand, num_buckets=num_buckets)
+    sh = _shuffle_args()
+    blocks = _shuffle_blocks()
+    pairs = bucketed_map_groups(keyed_ds, key_col, _cand,
+                                num_buckets=num_buckets, ray_remote_args=sh,
+                                max_in_blocks=blocks)
     if not distinct_pairs:
         return pairs
     # a pair can surface from several bands/buckets -> global distinct
@@ -141,24 +179,36 @@ def candidate_pairs_from_keys(keyed_ds, id_col: str, key_col: str = "band_key",
     # ~0.7 ms per distinct group — minutes at 10^5 pairs)
     from .relational import distinct
 
-    return distinct(pairs, ["left_id", "right_id"], num_buckets=num_buckets)
+    return distinct(pairs, ["left_id", "right_id"], num_buckets=num_buckets,
+                    ray_remote_args=sh, max_in_blocks=blocks)
 
 
 def _attach_payload(pairs_ds, payload_ds, id_col: str, payload_col: str,
                     num_buckets: int = 64):
     """Join the payload column onto both sides of a pair table via two
     hash-partitioned joins (payload moves at most twice, not once per
-    band)."""
+    band). The merge tasks carry the shuffle-family CPU reservation:
+    payload merges are memory-bandwidth-bound like the signature
+    kernels, and uncapped they regressed the 2M-doc verify leg at 32
+    CPUs the same way (a 202 s merge+verify phase measured at 32 vs
+    the whole op at 102 s at 16)."""
+    sh = _shuffle_args()
+    blocks = _shuffle_blocks()
+
     def _ren(side):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({side: b[id_col], f"__p_{side}": b[payload_col]})
         return fn
 
-    left_pl = payload_ds.map_batches(_ren("left_id"), batch_format="pandas")
-    right_pl = payload_ds.map_batches(_ren("right_id"), batch_format="pandas")
+    left_pl = payload_ds.map_batches(_ren("left_id"), batch_format="pandas",
+                                     **sh)
+    right_pl = payload_ds.map_batches(_ren("right_id"), batch_format="pandas",
+                                      **sh)
     withl = bucket_join(pairs_ds, left_pl, on="left_id",
-                        num_buckets=num_buckets).materialize()
-    return bucket_join(withl, right_pl, on="right_id", num_buckets=num_buckets)
+                        num_buckets=num_buckets, ray_remote_args=sh,
+                        max_in_blocks=blocks).materialize()
+    return bucket_join(withl, right_pl, on="right_id", num_buckets=num_buckets,
+                       ray_remote_args=sh, max_in_blocks=blocks)
 
 
 def minhash_band_rows(docs_ds, id_col: str = "doc_id", text_col: str = "text",
@@ -166,17 +216,22 @@ def minhash_band_rows(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     """(band_key, id) rows — the ONLY columns that enter the LSH band
     shuffle (tested: the text payload must never ride this exchange)."""
     def _bands(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.minhash import band_keys_u64
+
         mh = _mh(num_perm)
         texts = batch[text_col].fillna("").tolist()
         sigs = mh.signatures(texts)  # one vectorized reduceat pass
-        ids, keys = [], []
-        for row_i, i in enumerate(batch[id_col]):
-            for bk in band_keys(sigs[row_i], num_bands):
-                ids.append(i)
-                keys.append(bk)
-        return pd.DataFrame({"band_key": keys, id_col: ids})
+        # int64 band keys, fully vectorized (the per-(doc, band) Python
+        # blake2b string loop this replaces measured as a large slice
+        # of the signature stage at 2M docs; int keys also skip the
+        # string cast in every downstream bucket hash)
+        keys = band_keys_u64(sigs, num_bands)
+        ids = np.repeat(batch[id_col].to_numpy(), num_bands)
+        return pd.DataFrame({"band_key": keys.reshape(-1),
+                             id_col: ids})
 
-    return docs_ds.map_batches(_bands, batch_format="pandas")
+    return docs_ds.map_batches(_bands, batch_format="pandas",
+                               **_shuffle_args())
 
 
 def _gram_vocab_probe(docs_ds, text_col: str, cap: int, n: int = 3):
@@ -237,10 +292,46 @@ def _gram_bitset_refs(docs_ds, id_col: str, text_col: str, vocab: list,
     return ray.put(ids), ray.put(mat)
 
 
+def _ckpt_stage(checkpoint_dir, stage: str, fp: str, factory,
+                partition_key: str = "left_id"):
+    """Wrap a dedup sub-stage in the repo's manifest checkpoint
+    contract (state/manifest.py): on a hit the factory never runs (its
+    upstream — signatures, band shuffle — is never executed); on a
+    miss the output lands as per-partition Parquet + MANIFEST before
+    anything downstream consumes it. Returns (dataset, resumed)."""
+    if not checkpoint_dir:
+        return factory(), False
+    from ..state import manifest as mf
+
+    return mf.checkpoint(factory, checkpoint_dir, stage, fp,
+                         partition_key=partition_key)
+
+
+def _ckpt_done(checkpoint_dir, stage: str, fp: str, out_fields):
+    """Fast path: if the FINAL pair checkpoint for (stage, fp) is
+    complete, return a reader over it (None otherwise). A full resume
+    never touches the corpus at all — mid-run kills of the 400 s-class
+    big-corpus runs no longer repay the signature+shuffle cost."""
+    if not checkpoint_dir:
+        return None
+    from ..state import manifest as mf
+
+    if not mf.is_complete(checkpoint_dir, stage, fp):
+        return None
+    man = mf.read_manifest(checkpoint_dir, stage)
+    if man and man.get("total_rows", 0) == 0:
+        # empty checkpoints have no parquet files to read
+        return pa.table({n: pa.array([], t) for n, t in out_fields}).to_pandas()
+    ds, _ = mf.checkpoint(lambda: None, checkpoint_dir, stage, fp)
+    return ds
+
+
 def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, num_bands: int = 16,
                       jaccard_threshold: float = 0.7, max_band_width: int = 5000,
-                      verify: str = "broadcast", bitset_max_grams: int = 4096):
+                      verify: str = "broadcast", bitset_max_grams: int = 4096,
+                      checkpoint_dir: str | None = None,
+                      fingerprint: str = ""):
     """Near-duplicate pairs (left_id < right_id, true n-gram jaccard >=
     threshold).
 
@@ -279,6 +370,23 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                   ("jaccard", pa.float64())]
     thr = float(jaccard_threshold)
 
+    ckfp = ""
+    if checkpoint_dir:
+        from ..state import manifest as mf
+
+        # parameters are part of the fingerprint: a rerun with a
+        # different threshold/band layout recomputes, same inputs +
+        # params resume. ``fingerprint`` is the caller's input identity
+        # (e.g. mf.fingerprint_inputs over the corpus files).
+        ckfp = mf.fingerprint_inputs(
+            "minhash_lsh_pairs/v1", fingerprint, id_col, text_col,
+            num_perm, num_bands, thr, max_band_width, verify,
+            bitset_max_grams)
+        done = _ckpt_done(checkpoint_dir, "minhash_pairs", ckfp, out_fields)
+        if done is not None:
+            return done if isinstance(done, pd.DataFrame) \
+                else _typed_or_empty(done, out_fields)
+
     if verify == "broadcast" and bitset_max_grams:
         vocab = _gram_vocab_probe(docs_ds, text_col, bitset_max_grams)
         if vocab is not None:
@@ -295,10 +403,12 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
             ids_ref, mat_ref = _gram_bitset_refs(
                 docs_ds, id_col, text_col, vocab)
-            cand_nd = candidate_pairs_from_keys(
-                minhash_band_rows(docs_ds, id_col, text_col, num_perm,
-                                  num_bands), id_col,
-                max_band_width=max_band_width, op_name="minhash_lsh")
+            cand_nd, _ = _ckpt_stage(
+                checkpoint_dir, "minhash_candidates", ckfp,
+                lambda: candidate_pairs_from_keys(
+                    minhash_band_rows(docs_ds, id_col, text_col, num_perm,
+                                      num_bands), id_col,
+                    max_band_width=max_band_width, op_name="minhash_lsh"))
             _bst: dict = {}
 
             def _verify_bits(b: pd.DataFrame) -> pd.DataFrame:
@@ -320,15 +430,22 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                     "jaccard": np.floor(jac * 1e6 + 0.5) / 1e6})
                 return out[jac >= thr]
 
-            out = cand_nd.map_batches(_verify_bits, batch_format="pandas")
+            out = cand_nd.map_batches(_verify_bits, batch_format="pandas",
+                                      **_shuffle_args())
+            out, _ = _ckpt_stage(checkpoint_dir, "minhash_pairs", ckfp,
+                                 lambda: out)
             return _typed_or_empty(out, out_fields)
 
     # materialize the (small) candidate set: the payload joins below
     # probe its schema, and without a checkpoint every probe + the final
     # execution would re-run the whole signature/band pipeline
-    cand = candidate_pairs_from_keys(
-        minhash_band_rows(docs_ds, id_col, text_col, num_perm, num_bands), id_col,
-        max_band_width=max_band_width, op_name="minhash_lsh").materialize()
+    cand, _ = _ckpt_stage(
+        checkpoint_dir, "minhash_candidates", ckfp,
+        lambda: candidate_pairs_from_keys(
+            minhash_band_rows(docs_ds, id_col, text_col, num_perm,
+                              num_bands), id_col,
+            max_band_width=max_band_width, op_name="minhash_lsh"))
+    cand = cand.materialize()
     if cand.count() == 0:
         # no candidates: skip the payload joins entirely (an all-empty
         # dataset has no schema for bucket_join to type its output by)
@@ -377,7 +494,10 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                                 "jaccard": [_round_half_away(s, 6) for s in jac]})
             return out[pd.Series(jac, index=b.index) >= jaccard_threshold]
 
-        out = cand.map_batches(_verify_bcast, batch_format="pandas")
+        out = cand.map_batches(_verify_bcast, batch_format="pandas",
+                               **_shuffle_args())
+        out, _ = _ckpt_stage(checkpoint_dir, "minhash_pairs", ckfp,
+                             lambda: out)
         return _typed_or_empty(out, out_fields)
 
     joined = _attach_payload(cand, docs_ds.map_batches(
@@ -397,7 +517,9 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                             "jaccard": [_round_half_away(s, 6) for s in jac]})
         return out[pd.Series(jac, index=b.index) >= jaccard_threshold]
 
-    out = joined.map_batches(_verify, batch_format="pandas")
+    out = joined.map_batches(_verify, batch_format="pandas",
+                             **_shuffle_args())
+    out, _ = _ckpt_stage(checkpoint_dir, "minhash_pairs", ckfp, lambda: out)
     return _typed_or_empty(out, out_fields)
 
 
@@ -491,6 +613,8 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     combos = list(combinations(range(num_blocks), num_blocks - k))
 
     def _keys(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.minhash import _splitmix64
+
         hs = simhash_batch(batch[text_col].fillna("").tolist())
         blocks = (hs[:, None] >> shifts[None, :]) & masks[None, :]
         ids_np = batch[id_col].to_numpy()
@@ -500,10 +624,14 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
             v = np.zeros(len(hs), dtype=np.uint64)
             for bi in combo:
                 v = (v << np.uint64(widths[bi])) | blocks[:, bi]
-            if num_blocks == 4 and k == 3:
-                keys = [f"s{ci}:{x:04x}" for x in v.tolist()]
-            else:
-                keys = [f"c{ci}:{x:011x}" for x in v.tolist()]
+            # int64 keys (combo index mixed in), fully vectorized — the
+            # old per-row f-string keys paid one Python format per
+            # (doc, combo) and string-hashed through every shuffle tag;
+            # a mixer collision can only ADD a candidate (hamming
+            # verify filters it), equal (ci, v) always collide
+            keys = _splitmix64(
+                v ^ _splitmix64(np.full(len(hs), np.uint64(ci),
+                                        dtype=np.uint64))).view(np.int64)
             frames.append(pd.DataFrame({"band_key": keys, id_col: ids_np,
                                         "simhash": h64}))
         return pd.concat(frames, ignore_index=True)
@@ -533,14 +661,15 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                              "right_id": m[f"{id_col}_y"].to_numpy()[keep],
                              "hamming": ham[keep].astype("int64")})
 
+    sh = _shuffle_args()
     pairs = bucketed_map_groups(
-        docs_ds.map_batches(_keys, batch_format="pandas"), "band_key",
-        _pairs_bucket, num_buckets=64)
+        docs_ds.map_batches(_keys, batch_format="pandas", **sh), "band_key",
+        _pairs_bucket, num_buckets=64, ray_remote_args=sh)
     out = bucketed_map_groups(
         pairs, ["left_id", "right_id"],
         lambda g: g.groupby(["left_id", "right_id"], as_index=False, sort=False)
                    .agg(hamming=("hamming", "min")),
-        num_buckets=64)
+        num_buckets=64, ray_remote_args=sh)
     return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
                                  ("hamming", pa.int64())])
 
@@ -548,7 +677,9 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "embedding",
                              cosine_threshold: float = 0.95, num_bands: int = 6,
                              planes_per_band: int = 6, seed: int = 42,
-                             max_band_width: int = 4000, verify: str = "broadcast"):
+                             max_band_width: int = 4000, verify: str = "broadcast",
+                             checkpoint_dir: str | None = None,
+                             fingerprint: str = ""):
     """Near-dup pairs by embedding cosine.
 
     OR-amplified random-hyperplane LSH: ``num_bands`` INDEPENDENT
@@ -582,28 +713,53 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
     import ray
 
     def _buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.minhash import _splitmix64
+
         mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
         if mat.ndim != 2 or mat.shape[0] == 0:
-            return pd.DataFrame({"band_key": pd.Series(dtype=str),
+            return pd.DataFrame({"band_key": pd.Series(dtype="int64"),
                                  id_col: pd.Series(dtype="int64")})
         planes = np.random.RandomState(seed).randn(
             mat.shape[1], num_bands * planes_per_band)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         bits = ((mat / norms) @ planes) > 0
-        ids, keys = [], []
-        id_vals = batch[id_col].tolist()
+        n = mat.shape[0]
+        ids_np = batch[id_col].to_numpy()
+        key_cols, id_cols = [], []
         for b in range(num_bands):
             band_bits = bits[:, b * planes_per_band : (b + 1) * planes_per_band]
-            words = band_bits @ (1 << np.arange(planes_per_band))
-            for i, w in zip(id_vals, words):
-                ids.append(i)
-                keys.append(f"e{b}:{int(w):x}")
-        return pd.DataFrame({"band_key": keys, id_col: ids})
+            words = (band_bits @ (1 << np.arange(planes_per_band))
+                     ).astype(np.uint64)
+            # int64 keys, band index mixed in (see simhash _keys note:
+            # mixer collisions only add candidates, verify is exact)
+            key_cols.append(_splitmix64(
+                words ^ _splitmix64(np.full(n, np.uint64(b),
+                                            dtype=np.uint64))).view(np.int64))
+            id_cols.append(ids_np)
+        return pd.DataFrame({"band_key": np.concatenate(key_cols),
+                             id_col: np.concatenate(id_cols)})
 
-    cand = candidate_pairs_from_keys(
-        emb_ds.map_batches(_buckets, batch_format="pandas"), id_col,
-        max_band_width=max_band_width, op_name="embedding_lsh")
+    emb_fields = [("left_id", pa.int64()), ("right_id", pa.int64()),
+                  ("cosine", pa.float64())]
+    ckfp = ""
+    if checkpoint_dir:
+        from ..state import manifest as mf
+
+        ckfp = mf.fingerprint_inputs(
+            "embedding_near_dup_pairs/v1", fingerprint, id_col, vec_col,
+            float(cosine_threshold), num_bands, planes_per_band, seed,
+            max_band_width, verify)
+        done = _ckpt_done(checkpoint_dir, "embdup_pairs", ckfp, emb_fields)
+        if done is not None:
+            return done if isinstance(done, pd.DataFrame) \
+                else _typed_or_empty(done, emb_fields)
+
+    cand, _ = _ckpt_stage(
+        checkpoint_dir, "embdup_candidates", ckfp,
+        lambda: candidate_pairs_from_keys(
+            emb_ds.map_batches(_buckets, batch_format="pandas"), id_col,
+            max_band_width=max_band_width, op_name="embedding_lsh"))
 
     def _cos_filter(cos: np.ndarray) -> np.ndarray:
         # round half-away FIRST and filter on the ROUNDED value — the
@@ -641,9 +797,11 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
                                  "right_id": b["right_id"].to_numpy()[keep],
                                  "cosine": cos_r[keep]})
 
-        out = joined.map_batches(_verify_join, batch_format="pandas")
-        return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
-                                     ("cosine", pa.float64())])
+        out = joined.map_batches(_verify_join, batch_format="pandas",
+                                 **_shuffle_args())
+        out, _ = _ckpt_stage(checkpoint_dir, "embdup_pairs", ckfp,
+                             lambda: out)
+        return _typed_or_empty(out, emb_fields)
 
     # broadcast the embedding table once (Arrow in plasma, zero-copy)
     tbl = pa.concat_tables(
@@ -676,9 +834,10 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = "vec_id", vec_col: str = "emb
                              "right_id": b["right_id"].to_numpy()[ok][keep],
                              "cosine": cos_r[keep]})
 
-    out = cand.map_batches(_verify, batch_format="pandas")
-    return _typed_or_empty(out, [("left_id", pa.int64()), ("right_id", pa.int64()),
-                                 ("cosine", pa.float64())])
+    out = cand.map_batches(_verify, batch_format="pandas",
+                           **_shuffle_args())
+    out, _ = _ckpt_stage(checkpoint_dir, "embdup_pairs", ckfp, lambda: out)
+    return _typed_or_empty(out, emb_fields)
 
 
 def canonical_keep_latest(pages_ds, url_col: str = "url", ts_col: str = "warc_ts",
@@ -1078,7 +1237,7 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     # to the raylet's 95% wall instead of finishing. Fail fast with
     # guidance instead.
     prefix = docs_ds.map_batches(
-        _prefix_rows, batch_format="pandas").materialize()
+        _prefix_rows, batch_format="pandas", **_shuffle_args()).materialize()
     pc = pre_aggregated(prefix, "band_key", counts=True,
                         num_buckets=num_buckets).to_pandas()
     c = pc["n"].to_numpy(np.float64) if len(pc) else np.zeros(0)
@@ -1164,7 +1323,8 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                                 "jaccard": _jac_round(jac)})
             return out[jac >= thr]
 
-        out = joined.map_batches(_verify_join, batch_format="pandas")
+        out = joined.map_batches(_verify_join, batch_format="pandas",
+                                 **_shuffle_args())
         return _typed_or_empty(out, out_fields)
 
     corpus = pa.concat_tables(
@@ -1212,7 +1372,8 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                             "jaccard": [_round_half_away(s, 6) for s in jac]})
         return out[pd.Series(jac, index=b.index) >= thr]
 
-    out = cand.map_batches(_verify, batch_format="pandas")
+    out = cand.map_batches(_verify, batch_format="pandas",
+                           **_shuffle_args())
     return _typed_or_empty(out, out_fields)
 
 

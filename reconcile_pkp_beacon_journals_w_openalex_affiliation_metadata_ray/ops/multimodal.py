@@ -7,11 +7,14 @@ pattern: heavyweight state in ``__init__``, per-batch work in
 ``__call__``, small ``batch_size`` because payload rows are large.
 
 The actual decoders (image/audio libs) are NOT available in this
-container, so the decode kernel is stubbed: ``decoder="fake"`` runs a
-deterministic byte-level feature extractor (real plumbing, fake
-pixels); ``decoder="real"`` raises NotImplementedError where PIL/ffmpeg
-would be called. Schema, batch sizing, actor signature and output
-layout are the real, tested parts.
+container, so the decode kernel is probed at actor construction:
+``decoder="fake"`` runs a deterministic byte-level feature extractor
+(real plumbing, fake pixels — the oracle path); ``decoder="real"``
+routes through PIL when it imports (grayscale resize to the feature
+width, a real image decode) and raises NotImplementedError otherwise,
+so the same pipeline code upgrades itself on a deps-present
+deployment. Schema, batch sizing, actor signature and output layout
+are the real, tested parts either way.
 """
 
 from __future__ import annotations
@@ -20,6 +23,17 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+
+
+def _probe_pil():
+    """PIL.Image if importable, else None — called once per actor
+    (import cost amortizes per the T1 once-per-actor-state pattern)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
 
 
 class MediaDecoder:
@@ -31,14 +45,27 @@ class MediaDecoder:
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.feature_dim = feature_dim
-        # heavyweight setup would happen here ONCE per actor (model
-        # weights, codec contexts) — T1 pattern
+        # heavyweight setup happens here ONCE per actor (codec probe /
+        # model weights / codec contexts) — T1 pattern
+        self._pil = _probe_pil() if decoder == "real" else None
 
     def _decode_one(self, payload: bytes):
         if self.decoder == "real":
-            raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg, not present in this environment"
-            )
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg, not present in this environment"
+                )
+            import io
+
+            img = self._pil.open(io.BytesIO(payload or b""))
+            # deterministic fixed-width feature: grayscale, resize to
+            # (feature_dim x 1) with nearest-neighbor (no resample
+            # kernel variation across PIL builds), scale to [0, 1]
+            small = img.convert("L").resize((self.feature_dim, 1),
+                                            self._pil.NEAREST)
+            feat = (np.asarray(small, dtype=np.float32).reshape(-1)
+                    / np.float32(255.0))
+            return feat, len(payload or b"")
         # deterministic fake: blake2b-seeded byte statistics
         if payload is None:
             payload = b""

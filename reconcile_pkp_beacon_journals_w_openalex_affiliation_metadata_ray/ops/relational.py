@@ -17,6 +17,7 @@ row per (key, batch), not one per input row.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -122,8 +123,28 @@ def _bucket_of(frame: pd.DataFrame, key_cols, num_buckets: int) -> pd.Series:
     string dtype BEFORE hashing so that e.g. int64 and float64 blocks of
     the same logical key (a NaN-pad promotion artifact) land in the same
     bucket — but columns that are already strings (the common case: ids,
-    block keys, hashes) hash as-is, skipping a full-column copy."""
+    block keys, hashes) hash as-is, skipping a full-column copy.
+
+    All-plain-integer keys take a vectorized SplitMix64 path instead:
+    the string normalization above materialized an int->str copy of
+    every key column on EVERY shuffle tag (pair dedups, candidate
+    distincts, CC rounds are all int-keyed), which measured as a large
+    slice of tag cost on the dedup family. NaN-pad promotion cannot
+    produce a plain numpy int column (promotion yields float), so the
+    cross-dtype-collision concern the string path exists for does not
+    arise here."""
     from pandas.util import hash_pandas_object
+
+    if all(isinstance(frame[c].dtype, np.dtype)
+           and np.issubdtype(frame[c].dtype, np.integer) for c in key_cols):
+        from ..functions.minhash import _splitmix64
+
+        acc = np.zeros(len(frame), dtype=np.uint64)
+        for c in key_cols:
+            acc = _splitmix64(
+                acc ^ frame[c].to_numpy().astype(np.uint64, copy=False))
+        return pd.Series((acc % np.uint64(num_buckets)).astype("int64"),
+                         index=frame.index)
 
     cast = {c: "string" for c in key_cols
             if not (frame[c].dtype == object
@@ -149,7 +170,8 @@ def _dtype_map(ds) -> dict:
 
 
 def bucket_join(left_ds, right_ds, on, num_buckets: int = 64, how: str = "inner",
-                suffixes=("_l", "_r")):
+                suffixes=("_l", "_r"), ray_remote_args: dict | None = None,
+                max_in_blocks: int | None = None):
     """Partitioned hash join for two large Datasets: one shuffle keyed
     on hash(key) % num_buckets, pandas merge per bucket.
 
@@ -170,8 +192,12 @@ def bucket_join(left_ds, right_ds, on, num_buckets: int = 64, how: str = "inner"
             return b
         return fn
 
-    left_t = left_ds.map_batches(_tagger("l"), batch_format="pandas")
-    right_t = right_ds.map_batches(_tagger("r"), batch_format="pandas")
+    # taggers inherit the caller's CPU reservation: they copy and row-
+    # hash every payload batch — bandwidth work like the merge itself
+    left_t = left_ds.map_batches(_tagger("l"), batch_format="pandas",
+                                 **(ray_remote_args or {}))
+    right_t = right_ds.map_batches(_tagger("r"), batch_format="pandas",
+                                   **(ray_remote_args or {}))
     lcols = list(left_ds.schema().names)
     rcols = list(right_ds.schema().names)
     dtypes = {**_dtype_map(right_ds), **_dtype_map(left_ds)}
@@ -206,7 +232,13 @@ def bucket_join(left_ds, right_ds, on, num_buckets: int = 64, how: str = "inner"
         return left.merge(right, on=on, how=how, suffixes=suffixes)
 
     both = left_t.union(right_t)
-    return both.groupby("__bucket").map_groups(_merge_bucket, batch_format="pandas")
+    if max_in_blocks is not None:
+        # bound the sort fan-out: the union's block count is the SUM of
+        # both sides' (reads emit ~4 blocks/CPU each), and Ray's sort
+        # exchanges ~P^2 inter-block objects
+        both = both.repartition(max_in_blocks, shuffle=False)
+    return both.groupby("__bucket").map_groups(_merge_bucket, batch_format="pandas",
+                                               **(ray_remote_args or {}))
 
 
 def asof_join(left_ds, right_ds, by, on, num_buckets: int = 32,
@@ -355,7 +387,8 @@ def range_join(left_ds, right_ds, by, left_on, right_start, right_end,
 
 
 def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
-                        max_in_blocks: int | None = None):
+                        max_in_blocks: int | None = None,
+                        ray_remote_args: dict | None = None):
     """Keyed shuffle with COARSE partitions: rows are hashed into
     num_buckets buckets on key_cols (stable pandas hashing), the
     groupby runs over buckets (B Python calls total, not one per key),
@@ -386,8 +419,11 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
     if max_in_blocks is not None:
         ds = ds.repartition(max_in_blocks, shuffle=False)
 
+    # ray_remote_args (e.g. num_cpus from context.shuffle_task_cpus)
+    # applies to the per-bucket reduce tasks — the bandwidth-heavy leg
     return (ds.map_batches(_tag, batch_format="pandas")
-            .groupby("__bucket").map_groups(_per_bucket, batch_format="pandas"))
+            .groupby("__bucket").map_groups(_per_bucket, batch_format="pandas",
+                                            **(ray_remote_args or {})))
 
 
 def pre_aggregated(ds, keys, sums=(), counts=True, num_buckets: int = 64):
@@ -535,7 +571,9 @@ def group_quantiles(ds, key, value, qs=(0.25, 0.5, 0.9), num_buckets: int = 32):
     return bucketed_map_groups(ds, keys, per_bucket, num_buckets=num_buckets)
 
 
-def distinct(ds, cols, num_buckets: int = 64):
+def distinct(ds, cols, num_buckets: int = 64,
+             ray_remote_args: dict | None = None,
+             max_in_blocks: int | None = None):
     """Exact distinct rows over cols: in-batch combiner, then ONE
     coarse-bucketed shuffle with a vectorized drop_duplicates per
     bucket. (Both a per-key map_groups head(1) and a Ray
@@ -550,7 +588,9 @@ def distinct(ds, cols, num_buckets: int = 64):
         lambda t: t.select(cols).group_by(cols).aggregate([]),
         batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_map_groups(proj, cols, lambda g: g.drop_duplicates(),
-                               num_buckets=num_buckets)
+                               num_buckets=num_buckets,
+                               ray_remote_args=ray_remote_args,
+                               max_in_blocks=max_in_blocks)
 
 
 def ordered_cumsum(ds, order_col: str, value_col: str, num_ranges: int = 64,

@@ -87,7 +87,8 @@ def choose_scoring_path(records_ds) -> bool:
 
 def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
                   scorer_concurrency=None, shuffle_scoring: bool | None = None,
-                  materialize_extracted: bool = False):
+                  materialize_extracted: bool = False,
+                  materialize_pairs: bool = True):
     """Full pipeline over the tier's synthesized pages. Returns a dict
     of stage outputs (lazy Datasets unless noted).
 
@@ -113,7 +114,14 @@ def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
     recs = records.build_records(extracted, works).materialize()  # reused 3x, small (no html)
     hot = block.find_hot_keys(recs, threshold=hot_threshold)
     hot_ref = ray.put(hot)
-    pairs = block.candidate_pairs(recs, hot_keys_ref=hot_ref).materialize()
+    pairs = block.candidate_pairs(recs, hot_keys_ref=hot_ref)
+    if materialize_pairs:
+        # out["pairs"] has several downstream consumers in the driver
+        # sweep — park it once. materialize_pairs=False is the flagship
+        # e2e configuration: scoring streams straight off the pair
+        # dedup (no plasma round trip, no stage barrier), and
+        # out["pairs"] stays lazy for callers that ignore it.
+        pairs = pairs.materialize()
     if shuffle_scoring is None:
         shuffle_scoring = choose_scoring_path(recs)
     if shuffle_scoring:

@@ -228,8 +228,48 @@ def test_media_decoder_plumbing(rds):
     assert np.allclose(np.vstack(out.features), np.vstack(out2.features))
     with pytest.raises(ValueError):
         multimodal.MediaDecoder(decoder="bogus")
-    with pytest.raises(NotImplementedError):
-        multimodal.MediaDecoder(decoder="real")._decode_one(b"x")
+    if multimodal._probe_pil() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.MediaDecoder(decoder="real")._decode_one(b"x")
+
+
+def test_media_decoder_real_routes_through_pil(monkeypatch):
+    """decoder="real" must route through PIL when it imports (probed
+    once per actor in __init__); a stub PIL proves the routing without
+    the dependency. The deps-absent NotImplementedError is covered in
+    test_media_decoder_plumbing."""
+    import sys
+    import types
+
+    class _FakeImg:
+        def __init__(self, data):
+            self.data = data
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size, resample=None):
+            w, _h = size
+            src = self.data or b"\x00"
+            return _FakeImg(bytes((src * (w // len(src) + 1))[:w]))
+
+        def __array__(self, dtype=None, copy=None):
+            a = np.frombuffer(self.data, dtype=np.uint8).reshape(1, -1)
+            return a.astype(dtype) if dtype is not None else a
+
+    image_mod = types.SimpleNamespace(
+        open=lambda fp: _FakeImg(fp.read()), NEAREST=0)
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    dec = multimodal.MediaDecoder(decoder="real", feature_dim=8)
+    payload = bytes(range(0, 128, 16))
+    feat, n = dec._decode_one(payload)
+    assert n == 8 and len(feat) == 8
+    assert np.isclose(feat[1], 16 / 255.0)
 
 
 def test_label_centroids_vs_numpy(rds):

@@ -94,3 +94,96 @@ def test_partial_checkpoint_not_trusted(ray_session, workdir):
     os.makedirs(stage_dir + ".tmp", exist_ok=True)
     ds, resumed = mf.checkpoint(lambda: rd.range(10), workdir, "st", "fp")
     assert not resumed and ds.count() == 10
+
+
+def _docs_with_dups(n=120):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(n)]
+    for i in range(0, n, 10):  # plant exact dups (i, i+1)
+        texts[i + 1] = texts[i]
+    return pd.DataFrame({"doc_id": range(n), "text": texts})
+
+
+def test_minhash_checkpoint_full_resume_never_touches_corpus(
+        ray_session, tmp_path):
+    """Mid-run-kill economics for the 400 s-class dedup ops: a rerun
+    with a complete pair checkpoint must return the pairs WITHOUT
+    executing anything corpus-shaped (0 recompute) — proven by handing
+    the resumed call a poison dataset that raises on execution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        dedup,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.state import (
+        manifest as mf,
+    )
+
+    df = _docs_with_dups()
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(df), src)
+    ck = str(tmp_path / "ck")
+    fp = mf.fingerprint_inputs(src)
+    kw = dict(jaccard_threshold=0.6, verify="join", checkpoint_dir=ck,
+              fingerprint=fp)
+
+    p1 = dedup.minhash_lsh_pairs(rd.read_parquet(src), **kw)
+    d1 = p1.to_pandas() if hasattr(p1, "to_pandas") else p1
+    assert len(d1) >= 12  # the planted exact dups at least
+    assert mf.read_manifest(ck, "minhash_candidates") is not None
+    assert mf.read_manifest(ck, "minhash_pairs") is not None
+
+    def _poison(b):
+        raise RuntimeError("resume executed the corpus pipeline")
+
+    poison = rd.range(1).map_batches(_poison)
+    p2 = dedup.minhash_lsh_pairs(poison, **kw)
+    d2 = p2.to_pandas() if hasattr(p2, "to_pandas") else p2
+    key = ["left_id", "right_id"]
+    assert (d1.sort_values(key).reset_index(drop=True)[key + ["jaccard"]]
+            .equals(d2.sort_values(key).reset_index(drop=True)[key + ["jaccard"]]))
+
+    # a changed parameter changes the fingerprint -> full recompute
+    p3 = dedup.minhash_lsh_pairs(rd.read_parquet(src), jaccard_threshold=0.9,
+                                 verify="join", checkpoint_dir=ck,
+                                 fingerprint=fp)
+    d3 = p3.to_pandas() if hasattr(p3, "to_pandas") else p3
+    assert len(d3) <= len(d1)
+
+
+def test_embedding_dedup_checkpoint_resume(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.ops import (
+        dedup,
+    )
+
+    rng = np.random.RandomState(9)
+    mat = rng.randn(80, 16)
+    mat[40:60] = mat[:20]  # exact dup pairs (i, i+40)
+    df = pd.DataFrame({"vec_id": range(80),
+                       "embedding": [v.tolist() for v in mat]})
+    ck = str(tmp_path / "ck_emb")
+    kw = dict(cosine_threshold=0.99, verify="join", checkpoint_dir=ck,
+              fingerprint="vecs-v1")
+    p1 = dedup.embedding_near_dup_pairs(rd.from_pandas(df), **kw)
+    d1 = p1.to_pandas() if hasattr(p1, "to_pandas") else p1
+
+    def _poison(b):
+        raise RuntimeError("resume executed the embedding pipeline")
+
+    poison = rd.range(1).map_batches(_poison)
+    p2 = dedup.embedding_near_dup_pairs(poison, **kw)
+    d2 = p2.to_pandas() if hasattr(p2, "to_pandas") else p2
+    key = ["left_id", "right_id"]
+    assert (d1.sort_values(key).reset_index(drop=True)
+            .equals(d2.sort_values(key).reset_index(drop=True)))
+    assert len(d1) >= 20

@@ -68,7 +68,17 @@ def main():
                  "planted_exact": len(exact_gt), "planted_near": len(near_gt)}
 
     def docs():
-        return rd.read_parquet(corpus, override_num_blocks=ncpu * 4)
+        # the read feeding a bandwidth-bound dedup op carries the same
+        # per-task CPU reservation as the op's own stages: otherwise
+        # read tasks race the capped kernels 32-wide and re-create the
+        # oversubscription the cap exists to prevent (measured: sig
+        # stage 97 -> 71-80 s at 2M docs, 32 CPUs)
+        from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.context import (
+            shuffle_task_cpus,
+        )
+
+        return rd.read_parquet(corpus, override_num_blocks=ncpu * 4,
+                               ray_remote_args={"num_cpus": shuffle_task_cpus()})
 
     if "exact" in ops:
         t0 = time.time()
