@@ -28,6 +28,15 @@ class BoundedCache(dict):
         self.max_cost = max_cost
         self.cost = 0
 
+    def set(self, key, value, cost: int = 0):
+        """Insert a precomputed value under the same cap discipline as
+        get_or_build (wholesale clear at either cap)."""
+        if len(self) >= self.max_items or self.cost >= self.max_cost:
+            self.clear()
+            self.cost = 0
+        self[key] = value
+        self.cost += cost
+
     def get_or_build(self, key, builder, cost: int = 0):
         v = super().get(key)
         if v is None and key not in self:

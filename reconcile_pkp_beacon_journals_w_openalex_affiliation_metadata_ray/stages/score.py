@@ -144,6 +144,16 @@ def _inst_score(a_norm: list, b_norm: list) -> float:
 # per-worker blob -> token set (blobs recur ~20x); byte-aware cap
 _TOK_CACHE = BoundedCache(max_items=500_000, max_cost=256 << 20)
 
+# per-worker ATTR-PAIR score memos: 40% of candidate pairs at sf0.1
+# share their (authors_packed_l, authors_packed_r) combination with an
+# earlier pair (measured: 178k distinct / 300k pairs), so the whole
+# per-name best/avg computation for such a pair is a dict hit instead
+# of a combo emission + kernel pass. Keys are canonical unordered
+# packed-string pairs; values are the raw (pre-_round2) scores, so a
+# hit is bit-identical to recomputation.
+_AUTH_PAIR_CACHE = BoundedCache(max_items=500_000, max_cost=192 << 20)
+_INST_PAIR_CACHE = BoundedCache(max_items=500_000, max_cost=192 << 20)
+
 
 def _blob_tokens(s: str) -> frozenset:
     return _TOK_CACHE.get_or_build(s, lambda: frozenset(s.split()),
@@ -210,6 +220,219 @@ def _score_tuple(doi_l, authors_l, insts_l, blob_l,
     return (author, inst, combined, doi_equal, doi_conflict, is_match)
 
 
+def _ratios_for_combos(xs: list, ys: list) -> "np.ndarray":
+    """InDel ratios for parallel combo lists, float64 array. Distinct
+    (unordered) string pairs are factorized once, served from the
+    per-worker ratio memo, and only the misses run through the bulk
+    numpy kernel — then one gather maps distinct ratios back onto the
+    combo axis. Replaces both the per-batch pre-warm scan AND the
+    per-pair cached-lookup loop of the old row kernel."""
+    import numpy as np
+
+    from ..functions.similarity import _RATIO_CACHE, indel_ratios_bulk
+
+    if not xs:
+        return np.zeros(0, dtype=np.float64)
+    # dict interning, NOT pd.factorize: pandas' object hashtable treats
+    # strings as NUL-terminated C strings, so "\x00"-joined keys that
+    # differ only after the separator FACTORIZE AS EQUAL (reproduced on
+    # this pandas build; Python dicts hash the full string)
+    seen: dict = {}
+    codes = np.empty(len(xs), dtype=np.int64)
+    uniq_keys: list = []
+    uniq_pairs: list = []
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        k = (x + "\x00" + y) if x < y else (y + "\x00" + x)
+        c = seen.get(k)
+        if c is None:
+            c = len(uniq_keys)
+            seen[k] = c
+            uniq_keys.append(k)
+            uniq_pairs.append((x, y))
+        codes[i] = c
+    dist = np.empty(len(uniq_keys), dtype=np.float64)
+    cache = _RATIO_CACHE
+    miss_i, miss_pairs = [], []
+    for i, k in enumerate(uniq_keys):
+        v = cache.get(k)
+        if v is None:
+            miss_i.append(i)
+            miss_pairs.append(uniq_pairs[i])
+        else:
+            dist[i] = v
+    if miss_i:
+        got = indel_ratios_bulk(miss_pairs)
+        for i, r in zip(miss_i, got):
+            dist[i] = r
+            k = uniq_keys[i]
+            if len(cache) >= cache.max_items or cache.cost >= cache.max_cost:
+                cache.clear()
+                cache.cost = 0
+            cache[k] = r
+            cache.cost += len(k) + 32
+    return np.take(dist, codes)
+
+
+def score_vectors(ldoi, rdoi, lauth, rauth, linst, rinst, fams, sep: str):
+    """Vectorized scoring core over PACKED attribute columns (lists
+    joined with ``sep``): returns (author, inst, combined, doi_equal,
+    doi_conflict, is_match) numpy arrays, bit-identical to a per-row
+    :func:`_score_tuple` loop (equivalence-tested). The old row loop
+    measured ~90-119 us/pair of UDF time at sf0.1 — dominated by
+    per-pair Python (function frames, list appends, cached-ratio dict
+    scans), not the ratio kernel; here the per-pair Python is one
+    combo-emission pass and everything else is reduceat/gather."""
+    import numpy as np
+
+    n = len(ldoi)
+    ld = np.asarray(ldoi, dtype=object)
+    rd_ = np.asarray(rdoi, dtype=object)
+    has_l = np.fromiter((bool(x) for x in ld), dtype=bool, count=n)
+    has_r = np.fromiter((bool(x) for x in rd_), dtype=bool, count=n)
+    eq = has_l & (ld == rd_)
+    conflict = has_l & has_r & ~eq
+    decided = eq | conflict
+
+    author = np.where(eq, 100.0, 0.0)
+    inst = author.copy()
+    combined = author.copy()
+    is_match = eq.copy()
+
+    und = np.flatnonzero(~decided)
+    if len(und):
+        # one combo-emission pass (the only per-pair Python left):
+        # author combos in (small-side name, large-side other) order —
+        # exactly the old loop's iteration order, so the sequential
+        # reduceat sums below are bit-identical to its accumulation
+        a_xs, a_ys = [], []
+        a_name_counts = []          # large-side length per small name
+        a_names_per_pair = np.zeros(len(und), dtype=np.int64)
+        a_cached = np.full(len(und), np.nan)
+        a_keys = [None] * len(und)
+        i_xs, i_ys = [], []
+        i_counts = np.zeros(len(und), dtype=np.int64)
+        i_cached = np.full(len(und), np.nan)
+        i_keys = [None] * len(und)
+        both_inst = np.zeros(len(und), dtype=bool)
+        none_inst = np.zeros(len(und), dtype=bool)
+        for k, j in enumerate(und.tolist()):
+            la_s = lauth[j] or ""
+            ra_s = rauth[j] or ""
+            if la_s and ra_s:
+                # ORDERED key: _best_author_score averages over the
+                # smaller side with a first-argument tie-break at equal
+                # lengths, so f(a, b) != f(b, a) in general — an
+                # unordered key would serve the swapped pair's value
+                akey = la_s + "\x01" + ra_s
+                hit = _AUTH_PAIR_CACHE.get(akey)
+                if hit is not None:
+                    a_cached[k] = hit
+                else:
+                    a_keys[k] = akey
+                    la = la_s.split(sep)
+                    ra = ra_s.split(sep)
+                    small, large = (la, ra) if len(la) <= len(ra) \
+                        else (ra, la)
+                    a_names_per_pair[k] = len(small)
+                    # exact-equal shortcut (the old kernel's early exit
+                    # at 100): a name present on the other side
+                    # contributes best=100 regardless of the remaining
+                    # combos — emit one (name, name) combo (a==b
+                    # resolves without the DP kernel) instead of its
+                    # whole cross-product row. Near-dup pairs share
+                    # most names, so this collapses the dominant combo
+                    # mass.
+                    large_set = set(large)
+                    for name in small:
+                        if name in large_set:
+                            a_name_counts.append(1)
+                            a_xs.append(name)
+                            a_ys.append(name)
+                        else:
+                            a_name_counts.append(len(large))
+                            for other in large:
+                                a_xs.append(name)
+                                a_ys.append(other)
+            li_s = linst[j] or ""
+            ri_s = rinst[j] or ""
+            if li_s and ri_s:
+                both_inst[k] = True
+                ikey = (li_s + "\x01" + ri_s) if li_s <= ri_s \
+                    else (ri_s + "\x01" + li_s)
+                hit = _INST_PAIR_CACHE.get(ikey)
+                if hit is not None:
+                    i_cached[k] = hit
+                else:
+                    i_keys[k] = ikey
+                    li = li_s.split(sep)
+                    ri = ri_s.split(sep)
+                    common = set(li) & set(ri)
+                    if common:
+                        # any shared institution string -> max is 100
+                        c0 = next(iter(common))
+                        i_counts[k] = 1
+                        i_xs.append(c0)
+                        i_ys.append(c0)
+                    else:
+                        i_counts[k] = len(li) * len(ri)
+                        for x in li:
+                            for y in ri:
+                                i_xs.append(x)
+                                i_ys.append(y)
+            elif not li_s and not ri_s:
+                none_inst[k] = True
+
+        # author: best ratio per small name (max.reduceat), then the
+        # old loop's sequential sum over names (add.reduceat) / count
+        a_ratios = _ratios_for_combos(a_xs, a_ys)
+        a_und = np.zeros(len(und), dtype=np.float64)
+        pair_has = a_names_per_pair > 0
+        if a_ratios.size:
+            name_counts = np.asarray(a_name_counts, dtype=np.int64)
+            name_off = np.concatenate(([0], np.cumsum(name_counts)[:-1]))
+            bests = np.maximum.reduceat(a_ratios, name_off)
+            pair_off = np.concatenate(
+                ([0], np.cumsum(a_names_per_pair[pair_has])[:-1]))
+            sums = np.add.reduceat(bests, pair_off)
+            a_und[pair_has] = sums / a_names_per_pair[pair_has]
+        a_hit = ~np.isnan(a_cached)
+        a_und[a_hit] = a_cached[a_hit]
+        for k in np.flatnonzero(pair_has).tolist():
+            _AUTH_PAIR_CACHE.set(a_keys[k], a_und[k],
+                                 cost=len(a_keys[k]) + 32)
+
+        # institutions: both empty -> 100, one empty -> 0, else max
+        i_ratios = _ratios_for_combos(i_xs, i_ys)
+        i_und = np.where(none_inst, 100.0, 0.0)
+        i_emit = i_counts > 0
+        if i_ratios.size:
+            i_off = np.concatenate(([0], np.cumsum(i_counts[i_emit])[:-1]))
+            i_und[i_emit] = np.maximum.reduceat(i_ratios, i_off)
+        i_hit = ~np.isnan(i_cached)
+        i_und[i_hit] = i_cached[i_hit]
+        for k in np.flatnonzero(i_emit).tolist():
+            _INST_PAIR_CACHE.set(i_keys[k], i_und[k],
+                                 cost=len(i_keys[k]) + 32)
+
+        def _r2(x):
+            return np.copysign(np.floor(np.abs(x) * 100.0 + 0.5) / 100.0, x)
+
+        a_r = _r2(a_und)
+        i_r = _r2(i_und)
+        comb = np.where(both_inst,
+                        _r2(AUTHOR_WEIGHT * a_r + INST_WEIGHT * i_r), a_r)
+        fam_und = np.asarray(fams, dtype=np.int64)[und]
+        structural = (fam_und & 3) != 0
+        m = np.where(structural, comb >= MATCH_THRESHOLD,
+                     both_inst & (a_r >= MATCH_THRESHOLD)
+                     & (i_r >= INST_MATCH_THRESHOLD))
+        author[und] = a_r
+        inst[und] = i_r
+        combined[und] = comb
+        is_match[und] = m
+    return author, inst, combined, eq, conflict, is_match
+
+
 def score_pair(left: dict, right: dict, structural: bool = True,
                aux_metrics: bool = False) -> dict:
     """Dict-interface wrapper over the kernel (used by tests/callers)."""
@@ -252,32 +475,56 @@ def _get_records(records_ref):
 def score_batch(batch: pa.Table, records_ref=None,
                 aux_metrics: bool = False) -> pa.Table:
     """Stateless scoring task. Attribute rows for the batch's ids are
-    gathered with one vectorized ``take`` + ``to_pylist`` per side —
-    no per-pair arrow access."""
+    gathered with one vectorized ``take`` per side and scored through
+    :func:`score_vectors` (the aux-metrics variant keeps the per-row
+    kernel — it is diagnostic-only and off the pipeline hot path)."""
     schema = pair_schema(aux_metrics)
     attrs, ids_index = _get_records(records_ref)
-    lefts = batch["left_id"].to_pylist()
-    rights = batch["right_id"].to_pylist()
-    blocks = batch["block_key"].to_pylist()
-    if "families" in batch.column_names:
-        fams = batch["families"].to_pylist()
-    else:
-        fams = [3] * len(lefts)  # unknown provenance -> treat as structural
 
     import numpy as np
 
     # vectorized C-hash id lookup (see _get_records for the measured
     # dict / index_in / pd.Index trade-off), then one vectorized take
-    # per side, decoded COLUMN-wise (to_pylist of a row dict per pair
-    # measured ~2x the cost of four column lists; a full-table Python
-    # decode per worker measured even worse — 32 concurrent 15 s
-    # decodes at session start)
+    # per side, decoded COLUMN-wise
     li_np = ids_index.get_indexer(batch["left_id"].to_pandas())
     ri_np = ids_index.get_indexer(batch["right_id"].to_pandas())
-    keep = np.flatnonzero((li_np >= 0) & (ri_np >= 0)).tolist()
-    li = keep  # only the length is used below
+    keep = np.flatnonzero((li_np >= 0) & (ri_np >= 0))
     lt = attrs.take(pa.array(li_np[keep], pa.int64()))
     rt = attrs.take(pa.array(ri_np[keep], pa.int64()))
+    if "families" in batch.column_names:
+        fams = batch["families"].to_numpy(zero_copy_only=False)
+    else:
+        fams = np.full(batch.num_rows, 3)  # unknown provenance -> structural
+
+    if aux_metrics:
+        return _score_batch_rows(batch, lt, rt, keep.tolist(), fams, schema)
+
+    author, inst, combined, eq, conflict, m = score_vectors(
+        lt["doi_norm"].to_pylist(), rt["doi_norm"].to_pylist(),
+        lt["authors_packed"].to_pylist(), rt["authors_packed"].to_pylist(),
+        lt["insts_packed"].to_pylist(), rt["insts_packed"].to_pylist(),
+        fams[keep], _SEP2)
+    keep_pa = pa.array(keep, pa.int64())
+    return pa.Table.from_pydict({
+        "left_id": batch["left_id"].take(keep_pa),
+        "right_id": batch["right_id"].take(keep_pa),
+        "block_key": batch["block_key"].take(keep_pa),
+        "author_score": author,
+        "inst_score": inst,
+        "combined_score": combined,
+        "doi_equal": eq,
+        "doi_conflict": conflict,
+        "is_match": m,
+    }, schema=schema)
+
+
+def _score_batch_rows(batch: pa.Table, lt: pa.Table, rt: pa.Table,
+                      keep: list, fams, schema: pa.Schema) -> pa.Table:
+    """Per-row scoring path (aux_metrics diagnostics)."""
+    lefts = batch["left_id"].to_pylist()
+    rights = batch["right_id"].to_pylist()
+    blocks = batch["block_key"].to_pylist()
+
     def _unpack(col):
         return [s.split(_SEP2) if s else [] for s in col.to_pylist()]
 
@@ -286,41 +533,12 @@ def score_batch(batch: pa.Table, records_ref=None,
     lauths, linsts = _unpack(lt["authors_packed"]), _unpack(lt["insts_packed"])
     rauths, rinsts = _unpack(rt["authors_packed"]), _unpack(rt["insts_packed"])
 
-    # Pre-warm the per-worker ratio memo with ONE vectorized kernel
-    # pass over every distinct string comparison the batch will need
-    # (authors small x large, institutions cross product — early exits
-    # only SKIP work the vector kernel does ~10x cheaper anyway). The
-    # per-pair loop below then runs almost entirely on cache hits.
-    from ..functions.similarity import _RATIO_CACHE, indel_ratios_bulk
-
-    pend: dict = {}
-    for j in range(len(li)):
-        if ldois[j] and rdois[j]:
-            continue  # DOI-decided: no fuzzy kernel runs
-        for xs, ys in ((lauths[j], rauths[j]), (linsts[j], rinsts[j])):
-            if xs and ys:
-                for x in xs:
-                    for y in ys:
-                        if x != y:
-                            kk = (x + "\x00" + y) if x < y else (y + "\x00" + x)
-                            if kk not in pend and kk not in _RATIO_CACHE:
-                                pend[kk] = (x, y)
-    if pend:
-        ratios = indel_ratios_bulk(list(pend.values()))
-        cache = _RATIO_CACHE
-        for kk, r in zip(pend, ratios):
-            if len(cache) >= cache.max_items or cache.cost >= cache.max_cost:
-                cache.clear()
-                cache.cost = 0
-            cache[kk] = r
-            cache.cost += len(kk) + 32
-
     n_val = len(schema.names) - 3
     cols = [[] for _ in range(len(schema.names))]
     for j, k in enumerate(keep):
         vals = _score_tuple(ldois[j], lauths[j], linsts[j], lblobs[j],
                             rdois[j], rauths[j], rinsts[j], rblobs[j],
-                            structural=bool(fams[k] & 3), aux_metrics=aux_metrics)
+                            structural=bool(fams[k] & 3), aux_metrics=True)
         cols[0].append(lefts[k])
         cols[1].append(rights[k])
         cols[2].append(blocks[k])
@@ -469,28 +687,43 @@ def score_pairs_shuffle(pairs_ds, records_ds, num_buckets: int = 32,
     schema = pair_schema(aux_metrics)
 
     def _score(batch: pd.DataFrame) -> pd.DataFrame:
-        cols = {name: [] for name in schema.names}
-        for rec in batch.itertuples(index=False):
-            vals = _score_tuple(
-                rec.left_id_doi,
-                rec.left_id_auth.split(_SEP) if rec.left_id_auth else [],
-                rec.left_id_inst.split(_SEP) if rec.left_id_inst else [],
-                rec.left_id_blob,
-                rec.right_id_doi,
-                rec.right_id_auth.split(_SEP) if rec.right_id_auth else [],
-                rec.right_id_inst.split(_SEP) if rec.right_id_inst else [],
-                rec.right_id_blob,
-                structural=bool(int(rec.families) & 3),
-                aux_metrics=aux_metrics,
-            )
-            cols["left_id"].append(rec.left_id)
-            cols["right_id"].append(rec.right_id)
-            cols["block_key"].append(rec.block_key)
-            for k, name in enumerate(schema.names[3:]):
-                cols[name].append(vals[k])
         import pyarrow as _pa
 
-        return _pa.Table.from_pydict(cols, schema=schema).to_pandas()
+        if aux_metrics:
+            cols = {name: [] for name in schema.names}
+            for rec in batch.itertuples(index=False):
+                vals = _score_tuple(
+                    rec.left_id_doi,
+                    rec.left_id_auth.split(_SEP) if rec.left_id_auth else [],
+                    rec.left_id_inst.split(_SEP) if rec.left_id_inst else [],
+                    rec.left_id_blob,
+                    rec.right_id_doi,
+                    rec.right_id_auth.split(_SEP) if rec.right_id_auth else [],
+                    rec.right_id_inst.split(_SEP) if rec.right_id_inst else [],
+                    rec.right_id_blob,
+                    structural=bool(int(rec.families) & 3),
+                    aux_metrics=True,
+                )
+                cols["left_id"].append(rec.left_id)
+                cols["right_id"].append(rec.right_id)
+                cols["block_key"].append(rec.block_key)
+                for k, name in enumerate(schema.names[3:]):
+                    cols[name].append(vals[k])
+            return _pa.Table.from_pydict(cols, schema=schema).to_pandas()
+
+        author, inst, combined, eq, conflict, m = score_vectors(
+            batch["left_id_doi"].tolist(), batch["right_id_doi"].tolist(),
+            batch["left_id_auth"].tolist(), batch["right_id_auth"].tolist(),
+            batch["left_id_inst"].tolist(), batch["right_id_inst"].tolist(),
+            batch["families"].to_numpy(), _SEP)
+        return _pa.Table.from_pydict({
+            "left_id": batch["left_id"].to_numpy(),
+            "right_id": batch["right_id"].to_numpy(),
+            "block_key": batch["block_key"].to_numpy(),
+            "author_score": author, "inst_score": inst,
+            "combined_score": combined, "doi_equal": eq,
+            "doi_conflict": conflict, "is_match": m,
+        }, schema=schema).to_pandas()
 
     return both.map_batches(_score, batch_format="pandas", batch_size=batch_size)
 
