@@ -100,8 +100,6 @@ class MinHasher:
         broadcast mod-p pass, and every row's min-reduce runs as a
         single ``np.minimum.reduceat`` over the gathered matrix — no
         per-row numpy reduce, no per-shingle Python hash on hits."""
-        import pandas as pd
-
         n = len(texts)
         out = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
                       dtype=np.uint64)
@@ -111,8 +109,11 @@ class MinHasher:
         # dedups globally for the vector cache
         k = self.shingle
         sh_lists = []
+        has_nul = False
         for t in texts:
             t = t or ""
+            if not has_nul and "\x00" in t:  # C scan of the DOC, not shingles
+                has_nul = True
             if len(t) <= k:
                 sh_lists.append([t] if t else [])
             else:
@@ -122,9 +123,10 @@ class MinHasher:
         if not flat_sh:
             return out
         # C hash-table interning (a Python dict.get loop here measured
-        # ~2.5 us per shingle occurrence — the whole kernel's cost)
-        flat_idx, uniq = pd.factorize(np.asarray(flat_sh, dtype=object))
-        distinct = uniq.tolist()
+        # ~2.5 us per shingle occurrence — the whole kernel's cost);
+        # NUL-bearing batches take factorize_exact's slow path so
+        # shingles differing after an embedded \x00 stay distinct
+        flat_idx, distinct = factorize_exact(flat_sh, has_nul=has_nul)
         V = np.empty((len(distinct), self.num_perm), dtype=np.uint64)
         miss_j, miss_x = [], []
         for j, s in enumerate(distinct):
@@ -160,6 +162,43 @@ class MinHasher:
             res[:, c] = np.minimum.reduceat(np.take(VT[c], flat_idx), off_ne)
         out[nonempty] = res
         return out
+
+
+def factorize_exact(values, has_nul=None):
+    """``pd.factorize`` that is exact for strings with embedded NULs.
+
+    pandas' object hashtable hashes/compares strings as NUL-terminated
+    C strings (khash), so keys that differ only at/after an embedded
+    ``"\\x00"`` factorize as EQUAL — the merge silently corrupts any
+    downstream gather (reproduced on this pandas build; it once broke
+    the scoring ratio memo, see stages/score.py). Fast path is plain
+    ``pd.factorize``; when ``has_nul`` (callers that already walk the
+    source texts pass it precomputed — scanning millions of shingle
+    occurrences here would cost as much as the kernel being served)
+    the exact dict-interning loop runs instead (Python hashes the full
+    string). Returns ``(codes int64 ndarray, uniq list)``.
+
+    Integer-keyed factorizes (band keys, bucket codes) don't have the
+    bug and keep calling ``pd.factorize`` directly.
+    """
+    import pandas as pd
+
+    if has_nul is None:
+        has_nul = any(isinstance(s, str) and "\x00" in s for s in values)
+    if not has_nul:
+        codes, uniq = pd.factorize(np.asarray(values, dtype=object))
+        return codes, uniq.tolist()
+    seen: dict = {}
+    codes = np.empty(len(values), dtype=np.int64)
+    uniq: list = []
+    for i, s in enumerate(values):
+        c = seen.get(s)
+        if c is None:
+            c = len(uniq)
+            seen[s] = c
+            uniq.append(s)
+        codes[i] = c
+    return codes, uniq
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -244,16 +283,17 @@ def simhash_batch(texts, shingle: int = 3) -> np.ndarray:
     hashed and bit-unpacked in one vectorized pass, and the per-doc
     +-1 sums run as 64 contiguous 1-D add.reduceat passes (the same
     column-wise layout the MinHash kernel uses)."""
-    import pandas as pd
-
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     if n == 0:
         return out
     k = shingle
     sh_lists = []
+    has_nul = False
     for t in texts:
         t = t or ""
+        if not has_nul and "\x00" in t:
+            has_nul = True
         if len(t) <= k:
             sh_lists.append([t] if t else [])
         else:
@@ -265,8 +305,8 @@ def simhash_batch(texts, shingle: int = 3) -> np.ndarray:
     flat_sh = [s for sh in sh_lists for s in sh]
     if not flat_sh:
         return out
-    flat_idx, uniq = pd.factorize(np.asarray(flat_sh, dtype=object))
-    hashes = np.fromiter((_hash64(s) for s in uniq.tolist()),
+    flat_idx, uniq = factorize_exact(flat_sh, has_nul=has_nul)
+    hashes = np.fromiter((_hash64(s) for s in uniq),
                          dtype=np.uint64, count=len(uniq))
     # (n_uniq, 64) bit matrix, bit i == (h >> i) & 1: little-endian
     # uint64 -> uint8 view puts bit i at (byte i//8, in-byte i%8), and

@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.minhash import MinHasher, band_keys
+from ..functions.minhash import MinHasher, band_keys, factorize_exact
 from ..functions.similarity import BoundedCache, ngram_set, set_jaccard
 from .relational import bucket_join, bucketed_map_groups
 
@@ -1293,11 +1293,15 @@ def setsim_prefix_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
             batch_format="pandas"), id_col, text_col)
 
         def _verify_join(b: pd.DataFrame) -> pd.DataFrame:
-            # factorize pair texts so each DISTINCT text in the batch
-            # tokenizes once (a doc appears in many candidate pairs)
+            # intern pair texts so each DISTINCT text in the batch
+            # tokenizes once (a doc appears in many candidate pairs);
+            # factorize_exact keeps texts differing only after an
+            # embedded NUL distinct (pd.factorize merges them)
             texts = pd.concat([b["__p_left_id"], b["__p_right_id"]],
                               ignore_index=True)
-            codes, uniq = pd.factorize(texts)
+            codes, uniq = factorize_exact(
+                texts.tolist(),
+                has_nul=bool(texts.str.contains("\x00", regex=False).any()))
             n = len(b)
             cl, cr = codes[:n], codes[n:]
             if small_vocab:

@@ -228,6 +228,26 @@ def test_simhash_batch_edges():
     assert len(minhash.simhash_batch([])) == 0
 
 
+def test_batch_kernels_nul_safe():
+    # pandas' object hashtable truncates strings at embedded \x00
+    # (khash C-string semantics), so a plain pd.factorize interning
+    # pass merges these DISTINCT shingles; hypothesis found exactly
+    # this with ['\x00', '\x000'] — pin it deterministically for both
+    # batch kernels and for factorize_exact itself.
+    texts = ["\x00", "\x000", "ab\x00cd", "ab\x00ce", "ab", "plain text"]
+    sims = minhash.simhash_batch(texts)
+    assert [int(h) for h in sims] == [minhash.simhash64(t) for t in texts]
+    mh = minhash.MinHasher(8)
+    sigs = minhash.MinHasher(8).signatures(texts)
+    for i, t in enumerate(texts):
+        assert (sigs[i] == mh.signature(t)).all()
+    codes, uniq = minhash.factorize_exact(["x\x00a", "x\x00b", "x\x00a"])
+    assert len(uniq) == 2 and list(codes) == [0, 1, 0]
+    # NUL-free fast path unchanged
+    codes, uniq = minhash.factorize_exact(["p", "q", "p"], has_nul=False)
+    assert uniq == ["p", "q"] and list(codes) == [0, 1, 0]
+
+
 def test_rolling_fingerprints_deterministic():
     t = "some reasonably long document text for fingerprinting purposes " * 4
     f1 = minhash.rolling_fingerprints(t)
