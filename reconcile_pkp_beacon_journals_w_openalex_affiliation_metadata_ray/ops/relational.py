@@ -1023,37 +1023,66 @@ def cooccurrence_pairs(ds, group_col: str, item_col: str,
         batch_format="pandas")
 
 
+def _strings_have_nul(s: pd.Series) -> bool:
+    """One vectorized C-level scan: does any string in the (object)
+    Series carry an embedded NUL? pandas' khash paths (factorize,
+    drop_duplicates, multi-column sort_values) hash strings as
+    NUL-terminated C strings and silently MERGE keys differing only
+    after a ``\\x00`` — callers gate an exact fallback on this."""
+    if s.dtype != object and not str(s.dtype).startswith("str"):
+        return False
+    return bool(s.str.contains("\x00", regex=False).fillna(False).any())
+
+
 def collect_set_strings(ds, group_col: str, item_col: str, sep: str = "|",
                         num_buckets: int = 32, out_col: str = "items"):
     """collect_set-style aggregate Ray Data lacks natively: per group,
     the SORTED DISTINCT item strings joined with ``sep`` (SQL:
     string_agg(DISTINCT item, sep ORDER BY item)). Per-batch distinct
     combiner, one coarse-bucketed shuffle, vectorized sort + a single
-    C-level str.cat per bucket."""
+    C-level str.cat per bucket. NUL-bearing batches (adversarial web
+    strings) take an exact tuple-keyed path — pandas' own
+    drop_duplicates/multi-col sort would merge NUL-divergent rows."""
+
+    def _distinct_sorted(g: pd.DataFrame) -> pd.DataFrame:
+        if _strings_have_nul(g[group_col]) or _strings_have_nul(g[item_col]):
+            # Python tuple hash/compare are full-string exact
+            pairs = sorted(set(zip(g[group_col], g[item_col])))
+            return pd.DataFrame(pairs, columns=[group_col, item_col])
+        return (g[[group_col, item_col]].drop_duplicates()
+                .sort_values([group_col, item_col], kind="mergesort"))
 
     def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        d = (g[[group_col, item_col]].drop_duplicates()
-             .sort_values([group_col, item_col], kind="mergesort"))
+        d = _distinct_sorted(g)
         if d.empty:
             return pd.DataFrame({group_col: pd.Series(dtype=object),
                                  out_col: pd.Series(dtype=object)})
         import numpy as np
 
-        # factorize + reduceat, not a per-group join lambda (the
-        # string-groupby-with-lambda path measures ~40x slower on
-        # multi-million-row buckets)
-        codes = pd.factorize(d[group_col], sort=False)[0]
+        # adjacent-equality + reduceat, not a per-group join lambda
+        # (the string-groupby-with-lambda path measures ~40x slower on
+        # multi-million-row buckets). The frame is already sorted by
+        # group, so boundaries fall out of one elementwise compare of
+        # FULL Python strings — unlike pd.factorize, whose khash table
+        # would merge keys differing only after an embedded NUL.
+        keys = d[group_col].to_numpy()
         items = d[item_col].astype("string")
-        not_first = np.r_[False, codes[1:] == codes[:-1]]
+        not_first = np.r_[False, keys[1:] == keys[:-1]]
         items = items.where(~not_first, sep + items)
         starts = np.flatnonzero(~not_first)
         joined = np.add.reduceat(items.to_numpy(dtype=object), starts)
         return pd.DataFrame({group_col: d[group_col].to_numpy()[starts],
                              out_col: joined})
 
-    dedup = ds.map_batches(
-        lambda b: b[[group_col, item_col]].drop_duplicates(),
-        batch_format="pandas")
+    def _combine(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[[group_col, item_col]]
+        if _strings_have_nul(d[group_col]) or _strings_have_nul(d[item_col]):
+            keys = pd.Series(list(zip(d[group_col], d[item_col])),
+                             index=d.index, dtype=object)
+            return d[~keys.duplicated()]  # pyobject table: exact
+        return d.drop_duplicates()
+
+    dedup = ds.map_batches(_combine, batch_format="pandas")
     return bucketed_map_groups(dedup, group_col, _per_bucket,
                                num_buckets=num_buckets)
 

@@ -355,20 +355,44 @@ def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
     per-bit maxima. A direct pandas groupby over the two string id
     columns with a string-min aggregation measured ~40x slower on
     multi-million-row buckets (and a per-group Python lambda for the OR
-    was the round-2 pair-dedup regression)."""
+    was the round-2 pair-dedup regression).
+
+    pandas' khash factorize/Categorical would MERGE ids or keys that
+    differ only after an embedded NUL (C-string semantics) — merged ids
+    silently DROP distinct pairs, so adversarial web input (a %00 in a
+    URL id) takes an exact dict-interning path instead, gated on one
+    vectorized contains scan per string column."""
     import numpy as np
 
     if df.empty:
         return df[["left_id", "right_id", "block_key", "dropped_pairs",
                    "families"]]
-    lcodes, luniq = pd.factorize(df["left_id"], sort=False)
-    rcodes, runiq = pd.factorize(df["right_id"], sort=False)
-    cat = pd.Categorical(df["block_key"])
+    has_nul = any(df[c].str.contains("\x00", regex=False).any()
+                  for c in ("left_id", "right_id", "block_key"))
+    if has_nul:
+        from ..functions.minhash import factorize_exact
+
+        lcodes, lu = factorize_exact(df["left_id"].tolist(), has_nul=True)
+        rcodes, ru = factorize_exact(df["right_id"].tolist(), has_nul=True)
+        luniq, runiq = pd.Index(lu), pd.Index(ru)
+        kcodes, ku = factorize_exact(df["block_key"].tolist(), has_nul=True)
+        # min-code == min-string needs LEXICOGRAPHICALLY ranked codes
+        ku_arr = np.asarray(ku, dtype=object)
+        order = np.argsort(ku_arr, kind="stable")
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        bk_codes, bk_categories = rank[kcodes], ku_arr[order]
+    else:
+        lcodes, luniq = pd.factorize(df["left_id"], sort=False)
+        rcodes, runiq = pd.factorize(df["right_id"], sort=False)
+        cat = pd.Categorical(df["block_key"])
+        bk_codes = np.asarray(cat.codes, dtype=np.int64)
+        bk_categories = cat.categories
     pair = lcodes.astype(np.int64) * len(runiq) + rcodes
     fam = df["families"].to_numpy()
     g = pd.DataFrame({
         "pair": pair,
-        "bkc": np.asarray(cat.codes, dtype=np.int64),
+        "bkc": bk_codes,
         "dropped_pairs": df["dropped_pairs"].to_numpy(),
         "__b1": (fam & 1) != 0, "__b2": (fam & 2) != 0,
         "__b4": (fam & 4) != 0, "__b8": (fam & 8) != 0,
@@ -380,7 +404,7 @@ def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({
         "left_id": luniq.take(pairs // len(runiq)),
         "right_id": runiq.take(pairs % len(runiq)),
-        "block_key": cat.categories.take(g["bkc"].to_numpy()),
+        "block_key": np.asarray(bk_categories)[g["bkc"].to_numpy()],
         "dropped_pairs": g["dropped_pairs"].to_numpy(),
         "families": (g["__b1"].astype("int64") + 2 * g["__b2"].astype("int64")
                      + 4 * g["__b4"].astype("int64")

@@ -568,6 +568,54 @@ def test_empty_bucket_outputs_keep_schema(rds):
                                  "dropped_pairs", "families"]
 
 
+def test_dedup_bucket_nul_ids_stay_distinct():
+    """pandas factorize/Categorical hash strings as C strings, merging
+    keys that differ only after an embedded NUL — merged ids silently
+    DROP distinct pairs. The exact fallback must keep them apart and
+    still pick the lexicographic min block_key."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.block import (
+        _dedup_bucket,
+    )
+
+    df = pd.DataFrame({
+        # rows 0/1: DISTINCT pairs whose left ids differ after a NUL;
+        # rows 2/3: the same pair twice with NUL-divergent block keys
+        "left_id": ["a\x00x", "a\x00y", "b", "b"],
+        "right_id": ["r", "r", "s", "s"],
+        "block_key": ["k1", "k2", "doi:9\x00b", "doi:9\x00a"],
+        "dropped_pairs": [0, 1, 2, 3],
+        "families": [1, 2, 4, 8],
+    })
+    out = (_dedup_bucket(df)
+           .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    assert len(out) == 3  # a\x00x-r, a\x00y-r, b-s
+    assert set(zip(out["left_id"], out["right_id"])) == {
+        ("a\x00x", "r"), ("a\x00y", "r"), ("b", "s")}
+    brow = out[out["left_id"] == "b"].iloc[0]
+    assert brow["block_key"] == "doi:9\x00a"  # full-string lexicographic min
+    assert brow["families"] == 12 and brow["dropped_pairs"] == 3
+    # NUL-free fast path unchanged on the analogous frame
+    clean = df.assign(left_id=["ax", "ay", "b", "b"],
+                      block_key=["k1", "k2", "doi:9b", "doi:9a"])
+    out2 = (_dedup_bucket(clean)
+            .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    assert len(out2) == 3
+    assert out2[out2["left_id"] == "b"].iloc[0]["block_key"] == "doi:9a"
+
+
+def test_collect_set_strings_nul_keys(rds):
+    """Group boundaries come from full-string adjacent compares, so
+    groups differing only after an embedded NUL don't merge."""
+    df = pd.DataFrame({"g": ["g\x00a", "g\x00b", "g\x00a", "plain"],
+                       "it": ["1", "2", "3", "4"]})
+    got = (relational.collect_set_strings(rds.from_pandas(df), "g", "it")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert len(got) == 3
+    by_g = dict(zip(got["g"], got["items"]))
+    assert by_g["g\x00a"] == "1|3" and by_g["g\x00b"] == "2"
+    assert by_g["plain"] == "4"
+
+
 def test_asof_join_vs_merge_asof(rds):
     """asof_join over arbitrary partitioning == one global merge_asof."""
     rng = np.random.RandomState(5)
