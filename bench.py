@@ -96,7 +96,8 @@ def run_bench() -> dict:
     n_clusters = 0
     for i in range(1, n_runs + 1):
         t0 = time.time()
-        out = reconcile.run_reconcile(sf_dir, materialize_pairs=False)
+        out = reconcile.run_reconcile(sf_dir, materialize_pairs=False,
+                                      materialize_scored=False)
         # release the materialized pair table before the cluster count:
         # clusters' lineage needs only `scored` (materialized) + recs,
         # and at sf1 the pair blocks otherwise sit in plasma/spill for
@@ -176,7 +177,8 @@ def run_bench() -> dict:
                                "sf0.3")
         ensure_fixtures(big_dir)
         t0 = time.time()
-        big_out = reconcile.run_reconcile(big_dir, materialize_pairs=False)
+        big_out = reconcile.run_reconcile(big_dir, materialize_pairs=False,
+                                          materialize_scored=False)
         big_out.pop("pairs", None)
         big_out["clusters"].count()
         queries["reconcile_e2e_sf0.3"] = round(time.time() - t0, 3)

@@ -88,7 +88,8 @@ def choose_scoring_path(records_ds) -> bool:
 def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
                   scorer_concurrency=None, shuffle_scoring: bool | None = None,
                   materialize_extracted: bool = False,
-                  materialize_pairs: bool = True):
+                  materialize_pairs: bool = True,
+                  materialize_scored: bool = True):
     """Full pipeline over the tier's synthesized pages. Returns a dict
     of stage outputs (lazy Datasets unless noted).
 
@@ -129,7 +130,14 @@ def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
     else:
         rec_ref = score.broadcast_records(recs)
         scored = score.score_pairs(pairs, rec_ref, concurrency=scorer_concurrency)
-    scored = scored.materialize()  # consumed twice (edges + stats/eval)
+    if materialize_scored:
+        # consumed twice in the driver sweep (edges + stats/eval).
+        # materialize_scored=False is the e2e configuration: clustering
+        # consumes scored exactly once (connected_components_auto
+        # materializes the much smaller filtered EDGE table itself), so
+        # parking the full scored table is a pure barrier + plasma
+        # write there; out["scored"] stays lazy for callers that skip it
+        scored = scored.materialize()
     edges = scored.map_batches(
         lambda t: t.filter(t["is_match"]).select(["left_id", "right_id"]),
         batch_format="pyarrow",

@@ -149,7 +149,8 @@ def emit_block_keys(records_ds, hot_keys_ref=None):
 
 
 def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD,
-                  sample_frac: float = 0.1, sample_min_rows: int = 50_000):
+                  sample_frac: float = 0.1, sample_min_rows: int = 50_000,
+                  driver_merge_rows: int = 500_000):
     """First pass: measure block sizes, return the set of oversized
     keys. No shuffle: each batch emits its per-key value_counts, the
     driver sums the partials (O(distinct keys) rows). Above
@@ -187,9 +188,14 @@ def find_hot_keys(records_ds, threshold=DEFAULT_HOT_THRESHOLD,
 
     partials_ds = keys.map_batches(_partial_counts, batch_format="pandas")
 
-    if n <= sample_min_rows:
-        # small input: distinct-key count is bounded by the input size,
-        # a driver-side sum is cheaper than a shuffle
+    if n <= sample_min_rows or n * sample_frac <= driver_merge_rows:
+        # bounded key volume (small input, or a sample capped at
+        # driver_merge_rows records ≈ 8x that many partial key rows): a
+        # driver-side sum of the per-batch partials is cheaper than an
+        # AllToAll — this removes the hot-key pre-pass's ONLY shuffle
+        # barrier for every tier up to ~5M records (sf1 inclusive),
+        # identical hot set either way (same partials, same sum, same
+        # threshold)
         partials = partials_ds.to_pandas()
         if partials.empty:
             return frozenset()

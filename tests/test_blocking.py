@@ -97,3 +97,29 @@ def test_doi_decided_pairs_pruned():
     df2 = df.assign(block_key="doi:10.1/x")
     out2 = block._pairs_for_bucket(df2, max_pairs=10_000)
     assert len(out2) == 6
+
+
+def test_find_hot_keys_driver_merge_equals_distributed(ray_session):
+    """The driver-side partial merge (bounded samples) and the
+    distributed bucketed reduce must produce the identical hot set —
+    same partials, same sum, same threshold either way."""
+    import ray.data as rds
+
+    n = 600
+    recs = pd.DataFrame({
+        "record_id": [f"r{i}" for i in range(n)],
+        "doi_norm": ["" for _ in range(n)],
+        # one mega-host name key: every record shares the author name
+        "host_key": ["" for _ in range(n)],
+        "path_key": ["" for _ in range(n)],
+        "name_blob": ["" for _ in range(n)],
+        "authors_norm": [["wei wang"] for _ in range(n)],
+    })
+    ds = rds.from_pandas(recs, override_num_blocks=4)
+    # force the SAMPLED regime in both runs (n > sample_min_rows), with
+    # eff_threshold low enough that the shared name key is always hot
+    common = dict(threshold=64, sample_frac=0.5, sample_min_rows=100)
+    hot_driver = block.find_hot_keys(ds, driver_merge_rows=10_000, **common)
+    hot_dist = block.find_hot_keys(ds, driver_merge_rows=0, **common)
+    assert hot_driver == hot_dist
+    assert "an:wei wang" in hot_driver
