@@ -308,75 +308,101 @@ def levenshtein_bulk(pairs: list) -> list:
     import numpy as np
 
     n = len(pairs)
-    out = [0] * n
-    fast = []
+    out_np = np.zeros(n, dtype=np.int64)
+    idxs: list = []
+    lbs: list = []
+    pcodes: list = []
+    subs: list = []
+    pat_code: dict = {}
+    pats: list = []
+    pget = pat_code.get
     for i, (a, b) in enumerate(pairs):
         if a == b:
             continue
         if not a or not b:
-            out[i] = len(a) or len(b)
+            out_np[i] = len(a) or len(b)
             continue
         if len(a) > len(b):
             a, b = b, a
         if len(a) <= 63 and a.isascii() and b.isascii():
-            fast.append((i, a, b))
+            c = pget(a)
+            if c is None:
+                c = len(pats)
+                pat_code[a] = c
+                pats.append(a)
+            pcodes.append(c)
+            idxs.append(i)
+            subs.append(b)
+            lbs.append(len(b))
         else:
-            out[i] = levenshtein(a, b)
-    if not fast:
-        return out
-    fast.sort(key=lambda t: len(t[2]))
-    for lo in range(0, len(fast), 8192):
-        _lev_chunk(fast[lo : lo + 8192], out, np)
-    return out
-
-
-def _lev_chunk(fast: list, out: list, np) -> None:
-    k = len(fast)
-    lmax = max(len(b) for _, _, b in fast)
-    buf = bytearray(k * lmax)
-    pm_rows = [None] * k
-    la = np.empty(k, dtype=np.uint64)
-    lb = np.empty(k, dtype=np.int64)
-    for r, (_, a, b) in enumerate(fast):
-        def _build(a=a):
-            slots = [0] * 128
-            for pos, ch in enumerate(a):
-                slots[ord(ch)] |= 1 << pos
-            return np.array(slots, dtype=np.uint64)
-
-        pm_rows[r] = _PM_ARR_CACHE.get_or_build(a, _build, cost=1100)
-        la[r] = len(a)
-        lb[r] = len(b)
-        buf[r * lmax : r * lmax + len(b)] = b.encode("ascii")
-    codes = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(k, lmax)
+            out_np[i] = levenshtein(a, b)
+    if not idxs:
+        return out_np.tolist()
+    # same interned-pattern / joined-buffer / transposed-gather layout
+    # as indel_ratios_bulk (see its docstring for the measured wins)
+    cache = _PM_ARR_CACHE
+    cget = cache.get
+    pm_rows = [None] * len(pats)
+    for c, a in enumerate(pats):
+        arr = cget(a)
+        if arr is None:
+            arr = _build_pm_arr(a, np)
+            cache.set(a, arr, cost=1100)
+        pm_rows[c] = arr
     pm_flat = np.concatenate(pm_rows)
-    pmx = pm_flat[(np.arange(k, dtype=np.int64)[:, None] * 128) + codes]
+    pat_la = np.fromiter(map(len, pats), dtype=np.uint64, count=len(pats))
+    big = np.frombuffer(("".join(subs)).encode("ascii") + b"\x00",
+                        dtype=np.uint8)
+    lb_all = np.array(lbs, dtype=np.int64)
+    off_all = np.concatenate(([0], np.cumsum(lb_all)[:-1]))
+    sentinel = len(big) - 1
+    pcode_all = np.array(pcodes, dtype=np.int64)
+    idx_all = np.array(idxs, dtype=np.int64)
+    itype = np.int64 if len(pats) * 128 > 2**31 - 128 else np.int32
+    order = np.argsort(lb_all, kind="stable")
+    take = np.take
     one = np.uint64(1)
-    hb = one << (la - one)  # high bit at pattern position m-1
-    pv = np.full(k, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-    mv = np.zeros(k, dtype=np.uint64)
-    score = la.astype(np.int64)
-    # carries out of bit m-1 live in bits >= m and only ever propagate
-    # UPWARD (add) — they never feed back below m, so unmasked 64-bit
-    # registers are exact for m <= 63 (the shifted-in Ph bit needs m+1)
-    for j in range(lmax):
-        act = j < lb
-        eq = pmx[:, j]
-        xv = eq | mv
-        xh = (((eq & pv) + pv) ^ pv) | eq
-        ph = mv | ~(xh | pv)
-        mh = pv & xh
-        delta = ((ph & hb) != 0).astype(np.int64) - (
-            (mh & hb) != 0).astype(np.int64)
-        ph = (ph << one) | one
-        mh = mh << one
-        npv = mh | ~(xv | ph)
-        nmv = ph & xv
-        score = np.where(act, score + delta, score)
-        pv = np.where(act, npv, pv)
-        mv = np.where(act, nmv, mv)
-    for r, (i, _, _) in enumerate(fast):
-        out[i] = int(score[r])
+    for lo in range(0, len(order), 8192):
+        sel = order[lo : lo + 8192]
+        k = len(sel)
+        lb = lb_all[sel]
+        lmax = int(lb[-1])
+        off = off_all[sel]
+        j = np.arange(lmax, dtype=np.int64)
+        cell = np.where(j[None, :] < lb[:, None],
+                        off[:, None] + j[None, :], sentinel)
+        codes = take(big, cell)
+        gidx = codes.astype(itype)
+        gidx += (pcode_all[sel] * 128).astype(itype)[:, None]
+        la = pat_la[pcode_all[sel]]
+        pmxT = take(pm_flat, np.ascontiguousarray(gidx.T))
+        hb = one << (la - one)  # high bit at pattern position m-1
+        pv = np.full(k, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        mv = np.zeros(k, dtype=np.uint64)
+        score = la.astype(np.int64)
+        # carries out of bit m-1 live in bits >= m and only propagate
+        # UPWARD (add) — they never feed back below m, so unmasked
+        # 64-bit registers are exact for m <= 63 (the shifted-in Ph
+        # bit needs m+1). A zero Eq column is NOT a no-op here, so a
+        # finished pair's registers FREEZE behind the active mask.
+        for jj in range(lmax):
+            act = jj < lb
+            eq = pmxT[jj]
+            xv = eq | mv
+            xh = (((eq & pv) + pv) ^ pv) | eq
+            ph = mv | ~(xh | pv)
+            mh = pv & xh
+            delta = ((ph & hb) != 0).astype(np.int64) - (
+                (mh & hb) != 0).astype(np.int64)
+            ph = (ph << one) | one
+            mh = mh << one
+            npv = mh | ~(xv | ph)
+            nmv = ph & xv
+            score = np.where(act, score + delta, score)
+            pv = np.where(act, npv, pv)
+            mv = np.where(act, nmv, mv)
+        out_np[idx_all[sel]] = score
+    return out_np.tolist()
 
 
 def levenshtein_ratio(a: str, b: str) -> float:
