@@ -420,7 +420,8 @@ def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 def candidate_pairs(records_ds, hot_keys_ref=None,
                     max_pairs_per_block=DEFAULT_MAX_PAIRS_PER_BLOCK,
-                    dedup: bool = True, num_buckets: int = 32):
+                    dedup: bool = True, num_buckets: int = 32,
+                    dedup_by: str = "left"):
     """records -> candidate pairs (left_id < right_id). With dedup=True
     a pair produced by several block keys keeps the lexicographically
     smallest key and ORs its family bits. Both shuffles use coarse hash
@@ -445,5 +446,14 @@ def candidate_pairs(records_ds, hot_keys_ref=None,
         num_buckets=num_buckets)
     if not dedup:
         return pairs
-    return bucketed_map_groups(pairs, ["left_id", "right_id"],
+    # dedup_by="left" buckets the dedup shuffle on left_id ALONE —
+    # every duplicate of pair (l, r) shares l, so pair co-location (the
+    # dedup requirement) still holds, and all of a record's pairs land
+    # on ONE downstream scoring worker: its attribute strings and
+    # author-combo comparisons intern/memoize once per worker instead
+    # of once per worker PER PAIR-HASH-SHARD. dedup_by="pair" keeps the
+    # (left,right) bucket key (identical output rows either way;
+    # _dedup_bucket groups by the full pair within a bucket).
+    key = "left_id" if dedup_by == "left" else ["left_id", "right_id"]
+    return bucketed_map_groups(pairs, key,
                                _dedup_bucket, num_buckets=num_buckets)
