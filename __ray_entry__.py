@@ -2235,6 +2235,9 @@ def q_block_keys(sf_dir: str):
     tier_dir = _persist_linkage_artifacts(sf_dir, out)
     keys = block.emit_block_keys(
         out["records"], hot_keys_ref=ray.put(out["hot_keys"])).to_pandas()
+    # ftok is pair-generation plumbing (the name-locality dedup key),
+    # not part of the blocking contract this query checks
+    keys = keys[["block_key", "record_id", "has_doi"]]
     keys = keys.sort_values(["block_key", "record_id"],
                             kind="mergesort").reset_index(drop=True)
     keys.to_parquet(os.path.join(tier_dir, "block_keys.parquet"), index=False)

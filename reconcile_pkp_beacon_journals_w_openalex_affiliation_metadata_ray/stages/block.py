@@ -114,6 +114,15 @@ def emit_keys_batch(batch: pa.Table, hot_keys_ref=None, num_perm=DEFAULT_NUM_PER
         out_ids.append(rid)
         has_doi.append(bool(d))
 
+    # first token of the first normalized author name, falling back to
+    # the record id for author-less records (so they spread uniformly
+    # instead of piling into one "" dedup bucket). Rides every key row
+    # so pair generation can form the pair-symmetric name-locality
+    # dedup key without a join (see candidate_pairs dedup_by="name").
+    ftoks = [a[0].split()[0] if a and a[0] else r
+             for a, r in zip(authors_norm, rids)]
+    ft_map = dict(zip(rids, ftoks))
+
     for row_i, (rid, doi, host, path, blob, a_norm) in enumerate(
             zip(rids, dois, hosts, paths, blobs, authors_norm)):
         if doi:
@@ -136,7 +145,9 @@ def emit_keys_batch(batch: pa.Table, hot_keys_ref=None, num_perm=DEFAULT_NUM_PER
                 emit(_refine(bk, hot, a_norm, doi), rid, doi)
     return pa.table({"block_key": pa.array(keys, pa.string()),
                      "record_id": pa.array(out_ids, pa.string()),
-                     "has_doi": pa.array(has_doi, pa.bool_())})
+                     "has_doi": pa.array(has_doi, pa.bool_()),
+                     "ftok": pa.array([ft_map[r] for r in out_ids],
+                                      pa.string())})
 
 
 def emit_block_keys(records_ds, hot_keys_ref=None):
@@ -280,12 +291,18 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
         m = m[~decided]
         if len(m):
             fam = m["block_key"].map(family_bit).astype("int64")
+            fl = m["ftok_l"].to_numpy()
+            fr = m["ftok_r"].to_numpy()
             outs.append(pd.DataFrame({
                 "left_id": m["record_id_l"].to_numpy(),
                 "right_id": m["record_id_r"].to_numpy(),
                 "block_key": m["block_key"].to_numpy(),
                 "dropped_pairs": 0,
                 "families": fam.to_numpy(),
+                # pair-symmetric name-locality dedup key (min of the two
+                # sides' first author tokens): every duplicate of a pair
+                # shares it, and same-name pairs co-locate downstream
+                "dkey": np.where(fl <= fr, fl, fr),
             }))
 
     for key in big:
@@ -294,7 +311,9 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
         if n < 2:
             continue
         if key.startswith("doi:"):
-            ids = np.sort(g["record_id"].to_numpy())
+            order = np.argsort(g["record_id"].to_numpy())
+            ids = g["record_id"].to_numpy()[order]
+            fts = g["ftok"].to_numpy()[order]
             total = n * (n - 1) // 2
             if total <= max_pairs:
                 iu, ju = np.triu_indices(n, k=1)
@@ -304,12 +323,15 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
                 iu, ju = _triu_unflatten(flat, n)
                 dropped = total - len(flat)
             left, right = ids[iu], ids[ju]
+            ftl, ftr = fts[iu], fts[ju]
         else:
             order = np.argsort(g["record_id"].to_numpy())
             ids = g["record_id"].to_numpy()[order]
+            fts = g["ftok"].to_numpy()[order]
             hd = g["has_doi"].to_numpy()[order]
             nd_ids = ids[~hd]          # no-doi records
             d_ids = ids[hd]            # doi-carrying records
+            nd_ft, d_ft = fts[~hd], fts[hd]
             m, d = len(nd_ids), len(d_ids)
             if m == 0:
                 continue
@@ -325,29 +347,44 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
                 iu, ju = (_triu_unflatten(f1, m) if len(f1) else
                           (np.array([], np.int64), np.array([], np.int64)))
                 l1, r1 = nd_ids[iu], nd_ids[ju]
-                l2 = nd_ids[(f2 // d).astype(np.int64)] if len(f2) else np.array([], dtype=nd_ids.dtype)
-                r2 = d_ids[(f2 % d).astype(np.int64)] if len(f2) else np.array([], dtype=nd_ids.dtype)
+                fl1, fr1 = nd_ft[iu], nd_ft[ju]
+                if len(f2):
+                    i2 = (f2 // d).astype(np.int64)
+                    j2 = (f2 % d).astype(np.int64)
+                    l2, r2 = nd_ids[i2], d_ids[j2]
+                    fl2, fr2 = nd_ft[i2], d_ft[j2]
+                else:
+                    l2 = r2 = np.array([], dtype=nd_ids.dtype)
+                    fl2 = fr2 = np.array([], dtype=nd_ft.dtype)
                 dropped = grand - len(flat)
             else:
                 iu, ju = np.triu_indices(m, k=1)
                 l1, r1 = nd_ids[iu], nd_ids[ju]
+                fl1, fr1 = nd_ft[iu], nd_ft[ju]
                 l2 = np.repeat(nd_ids, d)
                 r2 = np.tile(d_ids, m)
+                fl2 = np.repeat(nd_ft, d)
+                fr2 = np.tile(d_ft, m)
                 dropped = 0
             left = np.concatenate([l1, l2])
             right = np.concatenate([r1, r2])
-            # canonical ordering left < right
+            ftl = np.concatenate([fl1, fl2])
+            ftr = np.concatenate([fr1, fr2])
+            # canonical ordering left < right (dkey is side-symmetric,
+            # so the swap leaves it untouched)
             swap = left > right
             left[swap], right[swap] = right[swap], left[swap].copy()
         outs.append(pd.DataFrame({"left_id": left, "right_id": right,
                                   "block_key": key, "dropped_pairs": dropped,
-                                  "families": family_bit(key)}))
+                                  "families": family_bit(key),
+                                  "dkey": np.where(ftl <= ftr, ftl, ftr)}))
     if not outs:
         return pd.DataFrame({"left_id": pd.Series(dtype=str),
                              "right_id": pd.Series(dtype=str),
                              "block_key": pd.Series(dtype=str),
                              "dropped_pairs": pd.Series(dtype="int64"),
-                             "families": pd.Series(dtype="int64")})
+                             "families": pd.Series(dtype="int64"),
+                             "dkey": pd.Series(dtype=str)})
     return pd.concat(outs, ignore_index=True)
 
 
@@ -421,7 +458,7 @@ def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
 def candidate_pairs(records_ds, hot_keys_ref=None,
                     max_pairs_per_block=DEFAULT_MAX_PAIRS_PER_BLOCK,
                     dedup: bool = True, num_buckets: int = 32,
-                    dedup_by: str = "left"):
+                    dedup_by: str = "name"):
     """records -> candidate pairs (left_id < right_id). With dedup=True
     a pair produced by several block keys keeps the lexicographically
     smallest key and ORs its family bits. Both shuffles use coarse hash
@@ -446,14 +483,22 @@ def candidate_pairs(records_ds, hot_keys_ref=None,
         num_buckets=num_buckets)
     if not dedup:
         return pairs
-    # dedup_by="left" buckets the dedup shuffle on left_id ALONE —
-    # every duplicate of pair (l, r) shares l, so pair co-location (the
-    # dedup requirement) still holds, and all of a record's pairs land
-    # on ONE downstream scoring worker: its attribute strings and
-    # author-combo comparisons intern/memoize once per worker instead
-    # of once per worker PER PAIR-HASH-SHARD. dedup_by="pair" keeps the
-    # (left,right) bucket key (identical output rows either way;
-    # _dedup_bucket groups by the full pair within a bucket).
-    key = "left_id" if dedup_by == "left" else ["left_id", "right_id"]
+    # The dedup bucket key only needs to be a PURE FUNCTION OF THE PAIR
+    # (so every duplicate of (l, r) lands in one bucket); beyond that it
+    # is a free knob, and it decides which pairs share a downstream
+    # scoring task's intern/memo state. Measured on the sf0.1 pair
+    # stream (32 buckets, sum over buckets of distinct scoring-kernel
+    # comparisons vs the 6.01M global floor):
+    #   dedup_by="pair"  (left,right) hash — no locality:   ~2.3x left's
+    #   dedup_by="left"  left_id — a record's pairs co-locate: 13.84M
+    #   dedup_by="name"  min(first author token of either side): 6.77M
+    # "name" co-locates same-name pairs, which is also attr-pair-memo
+    # locality: the quadratically-growing fuzzy same-name blocks at
+    # bigger tiers repeat identical author-list pairs, and grouping them
+    # into one task turns those into memo hits before any cache-cap
+    # clear. Author-less records fall back to their record_id (uniform
+    # spread, no "" mega-bucket). Identical output rows for every mode.
+    key = {"name": "dkey", "left": "left_id"}.get(
+        dedup_by, ["left_id", "right_id"])
     return bucketed_map_groups(pairs, key,
                                _dedup_bucket, num_buckets=num_buckets)

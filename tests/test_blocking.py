@@ -75,6 +75,7 @@ def test_pair_cap_logs_dropped():
         "block_key": ["an:x"] * n,
         "record_id": [f"r{i:04d}" for i in range(n)],
         "has_doi": [False] * n,
+        "ftok": ["x"] * n,
     })
     out = block._pairs_for_bucket(df, max_pairs=1000)
     total = n * (n - 1) // 2
@@ -87,6 +88,7 @@ def test_doi_decided_pairs_pruned():
         "block_key": ["host:h~x"] * 4,
         "record_id": ["a", "b", "c", "d"],
         "has_doi": [True, True, False, False],
+        "ftok": ["x", "x", "y", "y"],
     })
     out = block._pairs_for_bucket(df, max_pairs=10_000)
     pairs = set(zip(out.left_id, out.right_id))
@@ -123,3 +125,25 @@ def test_find_hot_keys_driver_merge_equals_distributed(ray_session):
     hot_dist = block.find_hot_keys(ds, driver_merge_rows=0, **common)
     assert hot_driver == hot_dist
     assert "an:wei wang" in hot_driver
+
+
+def test_dedup_by_modes_identical_rows(ray_session):
+    """The dedup bucket key ("name" / "left" / "pair") is a locality
+    knob only — output pair rows (incl. min block_key, OR'd families,
+    max dropped) must be identical across modes."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import reconcile
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import records
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import extract_pages
+
+    _, pages, works = reconcile.load_tables("/root/testdata/sf0.001")
+    recs = records.build_records(extract_pages(pages), works).materialize()
+    key = ["left_id", "right_id"]
+    frames = {}
+    for mode in ("name", "left", "pair"):
+        df = block.candidate_pairs(recs, dedup_by=mode).to_pandas()
+        assert list(df.columns) == ["left_id", "right_id", "block_key",
+                                    "dropped_pairs", "families"]
+        frames[mode] = df.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(frames["name"]) > 0
+    pd.testing.assert_frame_equal(frames["name"], frames["left"])
+    pd.testing.assert_frame_equal(frames["name"], frames["pair"])
