@@ -388,9 +388,21 @@ def _pairs_for_bucket(df: pd.DataFrame, max_pairs: int) -> pd.DataFrame:
     return pd.concat(outs, ignore_index=True)
 
 
-def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+def _dedup_bucket(df: pd.DataFrame,
+                  cluster_by_dkey: bool = False) -> pd.DataFrame:
     """Per-pair dedup inside a bucket: min block_key, max dropped,
     OR of the key-family bits (the pair's evidence provenance).
+
+    cluster_by_dkey=True additionally orders the OUTPUT rows so equal
+    name-locality keys (dkey) are adjacent: when Ray's dynamic block
+    splitting shards a large bucket block downstream (≈2M-pair buckets
+    at sf1 exceed the target block size), each contiguous shard then
+    keeps whole same-name runs, preserving the scoring stage's memo
+    locality. Row ORDER is not part of the pair contract (the driver
+    compare and every consumer sort or aggregate), only determinism is
+    — a stable argsort of first-occurrence codes is deterministic, and
+    pd.factorize's NUL-truncation can only merge two dkeys' adjacency
+    groups, never alter the rows.
 
     Everything runs on integer codes: ids are factorized, block keys go
     through a Categorical (whose categories are LEXICOGRAPHICALLY
@@ -433,18 +445,27 @@ def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
         bk_categories = cat.categories
     pair = lcodes.astype(np.int64) * len(runiq) + rcodes
     fam = df["families"].to_numpy()
-    g = pd.DataFrame({
+    cols = {
         "pair": pair,
         "bkc": bk_codes,
         "dropped_pairs": df["dropped_pairs"].to_numpy(),
         "__b1": (fam & 1) != 0, "__b2": (fam & 2) != 0,
         "__b4": (fam & 4) != 0, "__b8": (fam & 8) != 0,
-    }).groupby("pair", as_index=False, sort=False).agg(
+    }
+    aggs = dict(
         bkc=("bkc", "min"), dropped_pairs=("dropped_pairs", "max"),
         __b1=("__b1", "max"), __b2=("__b2", "max"),
         __b4=("__b4", "max"), __b8=("__b8", "max"))
+    if cluster_by_dkey:
+        # every duplicate of a pair shares its dkey, so "first" is
+        # canonical; integer codes because only EQUALITY adjacency
+        # matters, not lexicographic order
+        cols["dkc"], _ = pd.factorize(df["dkey"], sort=False)
+        aggs["dkc"] = ("dkc", "first")
+    g = pd.DataFrame(cols).groupby("pair", as_index=False,
+                                   sort=False).agg(**aggs)
     pairs = g["pair"].to_numpy()
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "left_id": luniq.take(pairs // len(runiq)),
         "right_id": runiq.take(pairs % len(runiq)),
         "block_key": np.asarray(bk_categories)[g["bkc"].to_numpy()],
@@ -453,6 +474,10 @@ def _dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
                      + 4 * g["__b4"].astype("int64")
                      + 8 * g["__b8"].astype("int64")),
     })
+    if cluster_by_dkey:
+        order = np.argsort(g["dkc"].to_numpy(), kind="stable")
+        out = out.take(order).reset_index(drop=True)
+    return out
 
 
 def candidate_pairs(records_ds, hot_keys_ref=None,
@@ -500,5 +525,9 @@ def candidate_pairs(records_ds, hot_keys_ref=None,
     # spread, no "" mega-bucket). Identical output rows for every mode.
     key = {"name": "dkey", "left": "left_id"}.get(
         dedup_by, ["left_id", "right_id"])
-    return bucketed_map_groups(pairs, key,
-                               _dedup_bucket, num_buckets=num_buckets)
+    if dedup_by == "name":
+        def fn(d):
+            return _dedup_bucket(d, cluster_by_dkey=True)
+    else:
+        fn = _dedup_bucket
+    return bucketed_map_groups(pairs, key, fn, num_buckets=num_buckets)
