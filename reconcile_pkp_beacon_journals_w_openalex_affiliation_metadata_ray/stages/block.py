@@ -53,6 +53,26 @@ DEFAULT_NUM_BANDS = 4
 DEFAULT_HOT_THRESHOLD = 256
 DEFAULT_MAX_PAIRS_PER_BLOCK = 20_000
 
+
+def adaptive_num_buckets(n_records: int, records_per_bucket: int = 4_000,
+                         lo: int = 32, hi: int = 4_096) -> int:
+    """Bucket count for the pair-gen / pair-dedup shuffles, scaled to
+    the record count. The PARALLELISM of a bucketed_map_groups stage —
+    and of everything Ray fuses onto its output, which in the flagship
+    e2e configuration includes the whole scoring kernel — equals the
+    bucket count: groupby().map_groups runs one task per non-empty
+    bucket. A fixed 32 was one clean wave at sf0.1 (3.4M candidate
+    pairs, ~100k/bucket) but serialized sf1's 120M-candidate stream
+    into ~28 tasks of 4M+ pairs each (pair-gen 12.5 min, dedup+scoring
+    11.5 min with a 5-minute single-task tail — BASELINE §c15
+    timeline). records/4k targets ~250k candidates per bucket at the
+    measured superlinear pair growth (14 -> 57 pairs/record from sf0.1
+    to sf1); the floor keeps small tiers identical to the historical
+    32, the ceiling bounds per-bucket Python overhead. Bucket count
+    never changes output rows (the bucket key is a pure function of
+    the group key), only task granularity."""
+    return max(lo, min(hi, int(n_records) // records_per_bucket))
+
 # per-worker-process caches (tasks reuse workers; building the
 # MinHasher / fetching the broadcast hot set happens once per worker,
 # not once per batch)
@@ -482,7 +502,7 @@ def _dedup_bucket(df: pd.DataFrame,
 
 def candidate_pairs(records_ds, hot_keys_ref=None,
                     max_pairs_per_block=DEFAULT_MAX_PAIRS_PER_BLOCK,
-                    dedup: bool = True, num_buckets: int = 32,
+                    dedup: bool = True, num_buckets: int | None = None,
                     dedup_by: str = "name"):
     """records -> candidate pairs (left_id < right_id). With dedup=True
     a pair produced by several block keys keeps the lexicographically
@@ -502,6 +522,11 @@ def candidate_pairs(records_ds, hot_keys_ref=None,
     unchanged (min of one key, OR of one bit)."""
     from ..ops.relational import bucketed_map_groups
 
+    if num_buckets is None:
+        # records is materialized by every pipeline caller (reused 3x),
+        # so count() is metadata-cheap there; test callers hand tiny
+        # from_pandas datasets where it is also free.
+        num_buckets = adaptive_num_buckets(records_ds.count())
     keys = emit_block_keys(records_ds, hot_keys_ref=hot_keys_ref)
     pairs = bucketed_map_groups(
         keys, "block_key", lambda df: _pairs_for_bucket(df, max_pairs_per_block),

@@ -147,3 +147,37 @@ def test_dedup_by_modes_identical_rows(ray_session):
     assert len(frames["name"]) > 0
     pd.testing.assert_frame_equal(frames["name"], frames["left"])
     pd.testing.assert_frame_equal(frames["name"], frames["pair"])
+
+
+def test_adaptive_num_buckets():
+    """Bucket count scales with records: floor at small tiers (keeps
+    historical behavior), ~records/4k in the middle, capped at 4096."""
+    assert block.adaptive_num_buckets(0) == 32
+    assert block.adaptive_num_buckets(21_000) == 32      # sf0.01
+    assert block.adaptive_num_buckets(210_000) == 52     # sf0.1
+    assert block.adaptive_num_buckets(2_100_000) == 525  # sf1
+    assert block.adaptive_num_buckets(100_000_000) == 4096
+    # monotone non-decreasing
+    vals = [block.adaptive_num_buckets(n) for n in
+            (0, 10_000, 200_000, 1_000_000, 50_000_000)]
+    assert vals == sorted(vals)
+
+
+def test_candidate_pairs_bucket_count_invariant(ray_session):
+    """num_buckets is a task-granularity knob only: pair rows must be
+    identical whether the shuffles run at 5 buckets or 64 (and via the
+    adaptive default)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.pipelines import reconcile
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages import records
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import extract_pages
+
+    _, pages, works = reconcile.load_tables("/root/testdata/sf0.001")
+    recs = records.build_records(extract_pages(pages), works).materialize()
+    key = ["left_id", "right_id"]
+    frames = {}
+    for nb in (5, 64, None):
+        df = block.candidate_pairs(recs, num_buckets=nb).to_pandas()
+        frames[nb] = df.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(frames[5]) > 0
+    pd.testing.assert_frame_equal(frames[5], frames[64])
+    pd.testing.assert_frame_equal(frames[5], frames[None])
