@@ -54,23 +54,31 @@ DEFAULT_HOT_THRESHOLD = 256
 DEFAULT_MAX_PAIRS_PER_BLOCK = 20_000
 
 
-def adaptive_num_buckets(n_records: int, records_per_bucket: int = 4_000,
+def adaptive_num_buckets(n_records: int, records_per_bucket: int = 1_000,
                          lo: int = 32, hi: int = 4_096) -> int:
     """Bucket count for the pair-gen / pair-dedup shuffles, scaled to
     the record count. The PARALLELISM of a bucketed_map_groups stage —
     and of everything Ray fuses onto its output, which in the flagship
-    e2e configuration includes the whole scoring kernel — equals the
-    bucket count: groupby().map_groups runs one task per non-empty
-    bucket. A fixed 32 was one clean wave at sf0.1 (3.4M candidate
-    pairs, ~100k/bucket) but serialized sf1's 120M-candidate stream
-    into ~28 tasks of 4M+ pairs each (pair-gen 12.5 min, dedup+scoring
-    11.5 min with a 5-minute single-task tail — BASELINE §c15
-    timeline). records/4k targets ~250k candidates per bucket at the
-    measured superlinear pair growth (14 -> 57 pairs/record from sf0.1
-    to sf1); the floor keeps small tiers identical to the historical
-    32, the ceiling bounds per-bucket Python overhead. Bucket count
-    never changes output rows (the bucket key is a pure function of
-    the group key), only task granularity."""
+    e2e configuration includes the whole scoring kernel — is bounded
+    by the bucket count: groupby().map_groups tasks follow the sort's
+    range partitions. A fixed 32 serialized sf1's 120M-candidate
+    stream into ~28 tasks of 4M+ pairs each (pair-gen 12.5 min,
+    dedup+scoring 11.5 min with a 5-minute single-task tail — BASELINE
+    §c15 timeline).
+
+    The count must also be MUCH larger than the wanted parallelism,
+    not equal to it: Ray's sort samples quantile boundaries over the
+    bucket values, and with only ~hundreds of distinct integers the
+    sampled boundaries repeat and partitions COLLAPSE (525 buckets ->
+    41 effective scoring partitions at sf1, §c15). records/1k gives
+    the sampler ~3k+ distinct values at sf1 so effective parallelism
+    is bounded by the input block count instead; at sf0.1 a 52- vs
+    210- vs 420-bucket paired A/B is a wash (29.5-34 s, inside host
+    noise), so fine buckets cost nothing where 32 was already one
+    wave. The floor keeps tiny tiers at the historical 32; the ceiling
+    bounds per-bucket Python overhead. Bucket count never changes
+    output rows (the bucket key is a pure function of the group key),
+    only task granularity."""
     return max(lo, min(hi, int(n_records) // records_per_bucket))
 
 # per-worker-process caches (tasks reuse workers; building the

