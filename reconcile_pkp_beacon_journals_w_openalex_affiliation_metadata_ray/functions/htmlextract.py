@@ -212,6 +212,232 @@ class _FastTree:
         self.text_precomputed = None
 
 
+def _fast_extract(html: str):
+    """Tier-1 extractor: ONE `_TAG_RE.split` pass that computes
+    :func:`extract_page`'s result directly — no DOM, no Node
+    allocations, attrs parsed only for the three tags whose attributes
+    the extractors read (``meta`` always, ``ul``/``span`` only while
+    the ul.authors state machine needs them). Returns the page dict or
+    None when any token falls outside the proven strict shapes — the
+    same gate as `_fast_parse` plus one extra: a raw-text element
+    (script/style) whose content contains markup, which only the
+    CDATA-aware tiers below can tokenize. Aborted documents fall to
+    `_fast_parse` (tier 2) and then stdlib (tier 3); all three are
+    equivalence-gated, so the answer is identical on every tier.
+
+    Parity argument (each point mirrors a `_TreeBuilder` invariant):
+    pre-order of the final tree = start-tag token order, so "first
+    ul.authors" / "first descendant span" = first matching start tag;
+    a node's subtree = the token interval while it is on the stack, so
+    span text = data tokens seen while the span's stack slot is live;
+    text nodes are exactly the inter-tag runs, so get_text_stripped's
+    per-child strip/join is reproduced per data token."""
+    if _HAZARD_RE.search(html) is not None:
+        return None
+    parts = _TAG_RE.split(html)
+    stack = ["[document]"]  # open tag NAMES; index 0 = root sentinel
+    cum = [0]  # cumulative _TEXT_SKIP count per slot (pop = O(1) restore)
+    sd = 0     # == cum[-1]; 0 -> text-spec collects
+    metas = []  # attr dicts, document order
+    text_parts = []
+    attr_memo: dict = {}
+    # ul.authors state machine (extract_ul_pairs semantics)
+    ul_found = False
+    ul_idx = -1   # stack index of the OPEN target ul, -1 when closed/absent
+    li_idx = -1   # stack index of the current DIRECT li of the target ul
+    # span collector states: None = not found yet; [parts, start_idx] =
+    # collecting; str = finalized text
+    li_name = None
+    li_aff = None
+    ul_items = []  # finalized (author_text_or_None, affiliation_text)
+    cdata_close = None  # script/style open: next tag token MUST close it
+
+    def _parse_attrs(attrtext):
+        attrs = {}
+        for am in _ATTR_RE.finditer(attrtext):
+            ak = am.group(1)
+            if ak not in attrs:
+                v = am.group(2)
+                if v is None:
+                    v = am.group(3)
+                    if v is None:
+                        v = am.group(4) or ""
+                attrs[ak] = v
+        attr_memo[attrtext] = attrs
+        return attrs
+
+    def _pops(newlen):
+        """Pop stack to newlen, finalizing span collectors, the open
+        direct li, and the target ul — innermost first. Only called
+        while the target ul is open (the hot path inlines plain pops)."""
+        nonlocal sd, ul_idx, li_idx, li_name, li_aff
+        del stack[newlen:]
+        del cum[newlen:]
+        sd = cum[-1]
+        if type(li_name) is list and li_name[1] >= newlen:
+            li_name = "".join(li_name[0])
+        if type(li_aff) is list and li_aff[1] >= newlen:
+            li_aff = "".join(li_aff[0])
+        if li_idx >= newlen:
+            ul_items.append((li_name if type(li_name) is str else None,
+                             li_aff if type(li_aff) is str else ""))
+            li_idx = -1
+            li_name = None
+            li_aff = None
+        if ul_idx >= newlen:
+            ul_idx = -1
+
+    data = parts[0]
+    if data:
+        if "<" in data:
+            return None
+        s = " ".join(data.split())
+        if s:
+            text_parts.append(s)
+    # locals for the hot loop
+    voids = VOID_ELEMENTS
+    implied = _IMPLIED_CLOSE
+    boundary = _CLOSE_BOUNDARY
+    tskip = _TEXT_SKIP
+    memo_get = attr_memo.get
+    it = iter(parts)
+    next(it)
+    for close, tag, attrtext, selfclose, data in zip(it, it, it, it, it):
+        if close:
+            if cdata_close is not None:
+                # stdlib CDATA mode: the only token shape the split
+                # stream can represent is an immediate plain close tag;
+                # markup inside script/style needs tier 2
+                if tag != cdata_close or attrtext or selfclose:
+                    return None
+                cdata_close = None
+            if attrtext or selfclose:
+                return None  # attrs on an end tag: tolerance territory
+            for j in range(len(stack) - 1, 0, -1):
+                if stack[j] == tag:
+                    if ul_idx < 0:
+                        del stack[j:]
+                        del cum[j:]
+                        sd = cum[-1]
+                    else:
+                        _pops(j)
+                    break
+        elif cdata_close is not None:
+            return None
+        elif tag in voids:
+            if tag == "meta":
+                metas.append((memo_get(attrtext) or _parse_attrs(attrtext))
+                             if attrtext else {})
+        else:
+            closes = implied.get(tag)
+            if closes:
+                for j in range(len(stack) - 1, 0, -1):
+                    t = stack[j]
+                    if t in boundary:
+                        break
+                    if t in closes:
+                        if ul_idx < 0:
+                            del stack[j:]
+                            del cum[j:]
+                            sd = cum[-1]
+                        else:
+                            _pops(j)
+                        break
+            if tag == "ul":
+                if not ul_found:
+                    attrs = (memo_get(attrtext) or _parse_attrs(attrtext)) \
+                        if attrtext else {}
+                    if "authors" in attrs.get("class", "").split():
+                        ul_found = True
+                        if not selfclose:
+                            ul_idx = len(stack)
+            elif tag == "li":
+                # direct child of the target ul (post implied-close)
+                if ul_idx >= 0 and len(stack) == ul_idx + 1 and not selfclose:
+                    li_idx = len(stack)
+                    li_name = None
+                    li_aff = None
+                # a self-closed li has no children: author None, skipped
+            elif tag == "span" and li_idx >= 0 and (li_name is None
+                                                    or li_aff is None):
+                attrs = (memo_get(attrtext) or _parse_attrs(attrtext)) \
+                    if attrtext else {}
+                cl = attrs.get("class", "").split()
+                if li_name is None and "name" in cl:
+                    li_name = "" if selfclose else [[], len(stack)]
+                if li_aff is None and "affiliation" in cl:
+                    li_aff = "" if selfclose else [[], len(stack)]
+            if not selfclose:
+                stack.append(tag)
+                if tag in tskip:
+                    sd += 1
+                cum.append(sd)
+                if tag == "script" or tag == "style":
+                    if type(li_name) is list or type(li_aff) is list:
+                        # raw-text content inside an ACTIVE span
+                        # collector: stdlib drops unterminated CDATA,
+                        # which the split stream can't always see —
+                        # tier 2 resolves it exactly
+                        return None
+                    cdata_close = tag
+        if data:
+            if "<" in data:
+                return None
+            if not sd:
+                s = " ".join(data.split())
+                if s:
+                    text_parts.append(s)
+            if li_idx >= 0:
+                if type(li_name) is list:
+                    s2 = data.strip()
+                    if s2:
+                        li_name[0].append(s2)
+                if type(li_aff) is list:
+                    s2 = data.strip()
+                    if s2:
+                        li_aff[0].append(s2)
+    _pops(1)  # EOF: finalize everything still open (open li still counts)
+
+    ul_pairs = [(a, aff, "ul.authors") for a, aff in ul_items if a]
+    # meta state machine (extract_meta_pairs semantics, over attr dicts)
+    pairs = []
+    current_author = None
+    current_insts: list = []
+    has_author_tag = False
+    has_inst_tag = False
+    doi = ""
+    for attrs in metas:
+        content = attrs.get("content")
+        if not content:
+            continue
+        content = content.strip()
+        if not content:
+            continue
+        name = (attrs.get("name") or "").lower()
+        if name == "citation_author":
+            has_author_tag = True
+            if current_author is not None:
+                pairs.append((current_author, current_insts, "meta"))
+            current_author = content
+            current_insts = []
+        elif name == "citation_author_institution":
+            has_inst_tag = True
+            if current_author is not None:
+                current_insts.append(content)
+        elif name == "citation_doi" and not doi:
+            doi = content
+    if current_author is not None:
+        pairs.append((current_author, current_insts, "meta"))
+    return {
+        "mentions": merge_mentions(pairs, ul_pairs),
+        "doi": doi,
+        "text": "\n".join(text_parts),
+        "has_author_tag": has_author_tag,
+        "has_inst_tag": has_inst_tag,
+        "has_ul_authors": bool(ul_pairs),
+    }
+
+
 def _fast_parse(html: str):
     """Strict-shape tokenizer; returns a `_FastTree` or None when any
     token falls outside the shapes stdlib parity is proven for."""
@@ -467,6 +693,15 @@ def extract_page(html):
     This single function is the unit of determinism: the Ray stage maps
     it over rows, the oracle calls it in a plain loop — outputs must be
     identical at any parallelism (whole document always in one row)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="ignore")
+    if isinstance(html, str):
+        try:
+            page = _fast_extract(html)
+        except Exception:
+            page = None
+        if page is not None:
+            return page
     builder = parse_html(html)
     meta_pairs, has_author, has_inst, doi = extract_meta_pairs(builder)
     ul_pairs = extract_ul_pairs(builder)

@@ -187,3 +187,138 @@ def test_fuzz_arbitrary_text_public_api_consistent(doc):
         "has_ul_authors": bool(ul_pairs),
     }
     assert fast == slow
+
+
+# ---------------------------------------------------------------------------
+# Tier-1 `_fast_extract` (no-DOM one-pass extractor): whenever it accepts
+# a document, its page dict must equal the DOM-path extraction exactly.
+
+
+def dom_extract(html: str) -> dict:
+    b = stdlib_tree(html)
+    meta_pairs, has_author, has_inst, doi = hx.extract_meta_pairs(b)
+    ul_pairs = hx.extract_ul_pairs(b)
+    return {
+        "mentions": hx.merge_mentions(meta_pairs, ul_pairs),
+        "doi": doi,
+        "text": hx.extract_text(b),
+        "has_author_tag": has_author,
+        "has_inst_tag": has_inst,
+        "has_ul_authors": bool(ul_pairs),
+    }
+
+
+def assert_extract_equivalent(html: str):
+    fe = hx._fast_extract(html)
+    if fe is None:
+        return False
+    assert fe == dom_extract(html), html[:200]
+    return True
+
+
+def test_fast_extract_fixture_corpus_all_fast_and_identical():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.sources.fixtures import (
+        ensure_fixtures,
+    )
+    import os
+    import pyarrow.parquet as pq
+
+    fdir = ensure_fixtures(SF)
+    t = pq.read_table(os.path.join(fdir, "pages.parquet"), columns=["html"])
+    n_fast = 0
+    for h in t["html"].to_pylist():
+        if isinstance(h, bytes):
+            h = h.decode()
+        n_fast += assert_extract_equivalent(h)
+    assert n_fast == t.num_rows
+
+
+EXTRACT_EDGE_DOCS = [
+    # ul.authors structural edges
+    "<ul class='authors'><li><span class='name'>N1</span>"
+    "<span class='affiliation'>A1</span><li><span class='name'>N2</span></ul>",
+    "<ul class='authors'><li><div><span class='name'>deep</span></div></ul>",
+    "<ul class='authors'><li><span class='name'/></ul>",       # empty author
+    "<ul class='authors'><li><span class='name affiliation'>both</span></ul>",
+    "<ul class='authors'><li><span class='name'>outer"
+    "<span class='affiliation'>inner</span>tail</span></ul>",   # nested spans
+    "<ul class='authors'/><ul class='authors'><li>"
+    "<span class='name'>late</span></ul>",  # first (empty) ul wins
+    "<ul class='authors'><li><span class='name'>eof",           # open at EOF
+    "<ul><li><ul class='authors'><li><span class='name'>n</span></ul></ul>",
+    "<ul class='authors'><li><ul><li><span class='name'>nested-li</span>"
+    "</ul><span class='affiliation'>aff</span></ul>",  # span in non-direct li
+    "<div><ul class='authors'><li><span class='name'>x</span></li></ul>"
+    "</div><ul class='authors'><li><span class='name'>y</span></ul>",
+    # li implied-close separating items
+    "<ul class='authors'><li><span class='name'>a</span>"
+    "<li><span class='affiliation'>only-aff</span></ul>",
+    # script/style interactions
+    "<script>var x=1;</script><p>t</p>",
+    "<style>.a{color:red}</style><p>s</p>",
+    "<p><script>hidden</script>shown</p>",
+    "<ul class='authors'><li><span class='name'>n<script>js</script>m"
+    "</span></ul>",  # CDATA inside an active collector -> tier 2
+    "<script>unterminated",
+    "<script></script>",
+    "<title>skipped title</title><p>kept</p>",
+    # meta edges
+    "<meta name='citation_author' content=' pad '>"
+    "<meta name='citation_author_institution' content='U1'>"
+    "<meta name='citation_author_institution' content='U2'>"
+    "<meta name='citation_author' content='B'>",
+    "<meta name='citation_doi' content='10.1/x'>"
+    "<meta name='citation_doi' content='10.2/y'>",  # first doi wins
+    "<meta name='citation_author_institution' content='orphan'>",
+    "<meta content='no-name'><meta name='citation_author'>",
+    # text-spec edges
+    "a  b\n\n c<p> d   e </p>",
+    "<head><p>inside head</p></head>after",
+    "tail after last tag</p> trailing ",
+]
+
+
+@pytest.mark.parametrize("doc", EXTRACT_EDGE_DOCS)
+def test_fast_extract_edges_equivalent(doc):
+    # acceptance not asserted (the gate may refuse); equivalence is
+    assert_extract_equivalent(doc)
+    # and the public entry agrees with the forced DOM path regardless
+    assert hx.extract_page(doc) == dom_extract(doc)
+
+
+@given(_html_docs())
+@settings(max_examples=300, deadline=None)
+def test_fuzz_fast_extract_matches_dom(doc):
+    assert_extract_equivalent(doc)
+
+
+_ul_tags = st.sampled_from(["ul", "li", "span", "div", "script", "p"])
+_ul_classes = st.sampled_from(
+    ["authors", "name", "affiliation", "name affiliation", "x", ""])
+
+
+@st.composite
+def _ul_docs(draw):
+    """Tag soup biased toward the ul.authors state machine: the magic
+    class names appear constantly, in valid and invalid nestings."""
+    parts = []
+    for _ in range(draw(st.integers(0, 16))):
+        kind = draw(st.integers(0, 3))
+        tag = draw(_ul_tags)
+        if kind == 0:
+            parts.append(draw(_words))
+        elif kind == 1:
+            cls = draw(_ul_classes)
+            parts.append(f'<{tag} class="{cls}">' if cls else f"<{tag}>")
+        elif kind == 2:
+            parts.append(f"</{tag}>")
+        else:
+            cls = draw(_ul_classes)
+            parts.append(f'<{tag} class="{cls}"/>' if cls else f"<{tag}/>")
+    return "".join(parts)
+
+
+@given(_ul_docs())
+@settings(max_examples=500, deadline=None)
+def test_fuzz_ul_state_machine_matches_dom(doc):
+    assert_extract_equivalent(doc)
