@@ -134,7 +134,7 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
-        extract_pages,
+        read_extract_pages,
     )
     import __ray_entry__ as entrymod
 
@@ -148,9 +148,7 @@ def run_bench() -> dict:
     per_op_runs.update({n: [] for n in op_names})
     for _ in range(n_op_runs):
         t0 = time.time()
-        ds = rd.read_parquet(os.path.join(fdir, "pages.parquet"),
-                             columns=["url", "lang", "html"])
-        extract_pages(ds).count()
+        read_extract_pages(os.path.join(fdir, "pages.parquet")).count()
         per_op_runs["extract_only"].append(round(time.time() - t0, 3))
         for name in op_names:
             t0 = time.time()

@@ -18,7 +18,11 @@ import pyarrow as pa
 
 from ..sources.fixtures import ensure_fixtures
 from ..stages import block, cluster, records, score
-from ..stages.extract import extract_pages, mentions_from_extracted
+from ..stages.extract import (
+    extract_pages,
+    mentions_from_extracted,
+    read_extract_pages,
+)
 
 
 def _read_parallelism() -> int:
@@ -108,8 +112,13 @@ def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
     path fully streaming (extracted text never parked in plasma)."""
     import ray
 
-    fdir, pages, works = load_tables(sf_dir)
-    extracted = extract_pages(pages)
+    import ray.data as rd
+
+    fdir = ensure_fixtures(sf_dir)
+    works = rd.read_parquet(os.path.join(fdir, "reference_works.parquet"))
+    # read fused into the extract task (html never enters the object
+    # store — Ray 2.49 won't fuse a Read with a downstream map)
+    extracted = read_extract_pages(os.path.join(fdir, "pages.parquet"))
     if materialize_extracted:
         extracted = extracted.materialize()
     recs = records.build_records(extracted, works).materialize()  # reused 3x, small (no html)
@@ -145,7 +154,6 @@ def run_reconcile(sf_dir: str, hot_threshold: int = block.DEFAULT_HOT_THRESHOLD,
     clusters = cluster.connected_components_auto(edges, nodes_ds=recs)
     return {
         "fixture_dir": fdir,
-        "pages": pages,
         "extracted": extracted,
         "records": recs,
         "hot_keys": hot,
@@ -174,10 +182,8 @@ def run_reconcile_checkpointed(sf_dir: str, workdir: str):
     def records_factory():
         import ray.data as rd
 
-        pages = rd.read_parquet(pages_path, columns=list(EXTRACT_COLUMNS),
-                                override_num_blocks=_read_parallelism())
         works = rd.read_parquet(works_path)
-        return records.build_records(extract_pages(pages), works)
+        return records.build_records(read_extract_pages(pages_path), works)
 
     recs, resumed["records"] = mf.checkpoint(
         records_factory, workdir, "records", fp, partition_key="record_id")
@@ -336,8 +342,11 @@ def run_mention_scoring(sf_dir: str, concurrency=None):
     """The reference-parity chain: extract -> flat mentions -> 8-column
     comparison vs authority works (per-DOI lookup) — the Ray-native
     equivalent of scripts 6 -> 7 (`SURVEY.md §3.2`)."""
-    fdir, pages, works = load_tables(sf_dir)
-    extracted = extract_pages(pages)
+    import ray.data as rd
+
+    fdir = ensure_fixtures(sf_dir)
+    works = rd.read_parquet(os.path.join(fdir, "reference_works.parquet"))
+    extracted = read_extract_pages(os.path.join(fdir, "pages.parquet"))
     mentions = mentions_from_extracted(extracted)
     works_ref = score.broadcast_works_by_doi(works)
     return fdir, score.score_mentions(mentions, works_ref, concurrency=concurrency)

@@ -66,16 +66,23 @@ def main(argv=None) -> int:
         result = out["clusters"]
         summary["clusters"] = result.count()
     elif args.pipeline == "extract":
-        from .stages.extract import extract_pages
+        import os as _os
 
-        _, pages, _ = reconcile.load_tables(args.sf_dir)
-        result = extract_pages(pages)
+        from .sources.fixtures import ensure_fixtures
+        from .stages.extract import read_extract_pages
+
+        fdir = ensure_fixtures(args.sf_dir)
+        result = read_extract_pages(_os.path.join(fdir, "pages.parquet"))
         summary["pages"] = result.count()
     elif args.pipeline == "mentions":
-        from .stages.extract import extract_pages, mentions_from_extracted
+        import os as _os
 
-        _, pages, _ = reconcile.load_tables(args.sf_dir)
-        result = mentions_from_extracted(extract_pages(pages))
+        from .sources.fixtures import ensure_fixtures
+        from .stages.extract import mentions_from_extracted, read_extract_pages
+
+        fdir = ensure_fixtures(args.sf_dir)
+        result = mentions_from_extracted(
+            read_extract_pages(_os.path.join(fdir, "pages.parquet")))
         summary["mentions"] = result.count()
     elif args.pipeline == "stats":
         from .stages import stats

@@ -415,3 +415,22 @@ def test_connected_components_no_edges_all_singletons(ray_session):
     got = got.sort_values("record_id").reset_index(drop=True)
     assert got["record_id"].tolist() == ["a", "b", "c"]
     assert got["cluster_id"].tolist() == ["a", "b", "c"]
+
+
+def test_read_extract_pages_equals_unfused_path(ray_session, fdir):
+    """The fused row-group source (read inside the extract task) must
+    produce exactly the rows of read_parquet |> extract_pages — same
+    urls, same bytes, at more tasks than row groups and fewer alike."""
+    import ray.data as rd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
+        read_extract_pages,
+    )
+
+    path = os.path.join(fdir, "pages.parquet")
+    base = extract_pages(rd.read_parquet(path)).to_pandas()
+    base = base.sort_values("url").reset_index(drop=True)
+    for target_rows in (100, 10**9):  # many tiny tasks / one big task
+        got = read_extract_pages(path, target_rows=target_rows).to_pandas()
+        got = got.sort_values("url").reset_index(drop=True)
+        assert got.equals(base), f"fused != unfused at target_rows={target_rows}"
