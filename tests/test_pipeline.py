@@ -434,3 +434,30 @@ def test_read_extract_pages_equals_unfused_path(ray_session, fdir):
         got = read_extract_pages(path, target_rows=target_rows).to_pandas()
         got = got.sort_values("url").reset_index(drop=True)
         assert got.equals(base), f"fused != unfused at target_rows={target_rows}"
+
+
+def test_read_extract_pages_shard_directory(ray_session, fdir, tmp_path):
+    """Big tiers (sf1) write pages.parquet as a per-shard DIRECTORY of
+    parquet files; the fused source must read it identically to a
+    read_parquet over the same directory (chunks never span files)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_ray.stages.extract import (
+        read_extract_pages,
+    )
+
+    src = pq.read_table(os.path.join(fdir, "pages.parquet"))
+    shard_dir = tmp_path / "pages.parquet"
+    shard_dir.mkdir()
+    n = src.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        pq.write_table(src.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       shard_dir / f"shard-{i:05d}.parquet",
+                       row_group_size=64)
+    base = extract_pages(rd.read_parquet(str(shard_dir))).to_pandas()
+    base = base.sort_values("url").reset_index(drop=True)
+    got = read_extract_pages(str(shard_dir), target_rows=100).to_pandas()
+    got = got.sort_values("url").reset_index(drop=True)
+    assert got.equals(base)
